@@ -1,0 +1,252 @@
+"""The distributed extraction job: Spark orchestration around the kernel.
+
+Design (SURVEY.md §3.4 / §4 custom items):
+
+* **No shuffle on the happy path.** The input table has one row per document
+  with spans nested, so per-document extraction is a ``mapInPandas`` over the
+  scan — the only exchange is an explicit *salted repartition* on
+  ``part_key = pmod(xxhash64(doc_id), P)`` for load balance and stable
+  checkpoint identity.
+* **Skew routing.** Documents whose total span bytes exceed a threshold are
+  routed to a chunked path: spans are ``posexplode``-ed into fixed-size
+  chunks, parsed chunk-parallel with ``applyInPandas`` (the expensive stage —
+  in production this is where PDF bytes are rasterized/OCR'd), then
+  re-assembled per document for the cheap doc-global layout/boundary logic.
+  The reference OOMs silently on big docs (eager per-page loop,
+  Document_Processor_DocLayout_YOLO_Code_v10.R:32-191); the north rule makes
+  sub-batching mandatory.
+* **Lineage / resume.** Every run appends one row per ``part_key`` to a
+  checkpoint table; a restart anti-joins input partitions against completed
+  rows and re-processes only the remainder — batch incrementality standing in
+  for the reference's "skip if .RData exists" idiom (v10.R:3712-3723).
+* **No per-row Python.** Only Arrow-vectorized ``mapInPandas`` /
+  ``applyInPandas``; everything else is native column expressions.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import extract_core as ec
+from .schema import CHECKPOINT, EXTRACTED_WITH_PART, REGIONS
+from .tables import read_table, write_table
+
+DEFAULT_NUM_PARTS = 64
+# docs whose summed span text exceeds this go through the chunked path
+DEFAULT_OVERSIZE_CHARS = 1_000_000
+DEFAULT_CHUNK_SPANS = 512
+
+
+# ---------------------------------------------------------------------------
+# partitioning
+# ---------------------------------------------------------------------------
+
+
+def with_part_key(docs: DataFrame, num_parts: int = DEFAULT_NUM_PARTS) -> DataFrame:
+    """Stable salted partition key: pmod(xxhash64(doc_id), P).
+
+    Hash-based, so hot *input file* layouts cannot skew the extraction stage;
+    stable across runs/cluster sizes, so checkpoint rows written at N
+    executors are valid for a resume at 4N.
+    """
+    return docs.withColumn(
+        "part_key", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(num_parts)).cast("int")
+    )
+
+
+def _spans_to_records(spans) -> list[dict]:
+    """Normalize an Arrow-materialized spans array to list-of-dicts."""
+    if spans is None:
+        return []
+    out = []
+    for sp in spans:
+        if isinstance(sp, dict):
+            out.append(sp)
+        else:  # pyspark Row
+            out.append(sp.asDict())
+    return out
+
+
+# ---------------------------------------------------------------------------
+# normal path: one mapInPandas stage, zero extra shuffles
+# ---------------------------------------------------------------------------
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        norm = pdf.assign(spans=pdf["spans"].map(_spans_to_records))
+        out = ec.extract_docs_frame(norm[["doc_id", "spans"]])
+        out["part_key"] = pdf["part_key"].to_numpy()
+        yield out
+
+
+def extract_direct(docs: DataFrame) -> DataFrame:
+    """docs(doc_id, spans, part_key) -> extracted, one Arrow stage."""
+    return docs.mapInPandas(_extract_batches, schema=EXTRACTED_WITH_PART)
+
+
+# ---------------------------------------------------------------------------
+# skew path: chunk-parallel parse, then per-doc assemble
+# ---------------------------------------------------------------------------
+
+
+def _parse_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Stage 1 (chunk-parallel): raw spans -> parsed region rows."""
+    records = pdf.sort_values("offset", kind="stable")[
+        ["kind", "text", "media_ref", "offset"]
+    ].to_dict("records")
+    regions = ec.spans_to_regions(records)
+    regions.insert(0, "doc_id", pdf["doc_id"].iloc[0])
+    regions.insert(1, "part_key", int(pdf["part_key"].iloc[0]))
+    return regions[[f.name for f in REGIONS.fields]]
+
+
+def _assemble_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Stage 2 (per document): assembled regions -> extracted record."""
+    res = ec.extract_from_regions(pdf["doc_id"].iloc[0], pdf)
+    out = pd.DataFrame([res], columns=ec.EXTRACT_RESULT_COLUMNS)
+    out["part_key"] = int(pdf["part_key"].iloc[0])
+    return out
+
+
+def extract_chunked(docs: DataFrame, chunk_spans: int = DEFAULT_CHUNK_SPANS) -> DataFrame:
+    """Oversized documents: explode spans -> parse per (doc, chunk) ->
+    assemble per doc.  Two shuffles, but only over the (few) huge docs."""
+    exploded = docs.select(
+        "doc_id",
+        "part_key",
+        F.posexplode_outer("spans").alias("pos", "span"),
+    ).select(
+        "doc_id",
+        "part_key",
+        F.floor(F.col("pos") / F.lit(chunk_spans)).cast("int").alias("chunk"),
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+    regions = exploded.groupBy("doc_id", "chunk", "part_key").applyInPandas(
+        lambda pdf: _parse_chunk(pdf), schema=REGIONS
+    )
+    return regions.groupBy("doc_id").applyInPandas(
+        lambda pdf: _assemble_doc(pdf), schema=EXTRACTED_WITH_PART
+    )
+
+
+# ---------------------------------------------------------------------------
+# full job
+# ---------------------------------------------------------------------------
+
+
+def extract_docs(
+    docs: DataFrame,
+    num_parts: int = DEFAULT_NUM_PARTS,
+    oversize_chars: int = DEFAULT_OVERSIZE_CHARS,
+    chunk_spans: int = DEFAULT_CHUNK_SPANS,
+) -> DataFrame:
+    """Route by size and extract.  Returns extracted rows with part_key."""
+    from .shipping import ship_package
+
+    ship_package(docs.sparkSession)
+    if "part_key" not in docs.columns:
+        docs = with_part_key(docs, num_parts)
+    sized = docs.withColumn(
+        "_total_chars",
+        F.coalesce(  # NULL spans => 0, so the doc still routes (and emits an
+            # empty extraction) instead of silently vanishing from both paths
+            F.aggregate(
+                F.col("spans"),
+                F.lit(0).cast("long"),
+                lambda acc, s: acc + F.coalesce(F.length(s["text"]), F.lit(0)),
+            ),
+            F.lit(0).cast("long"),
+        ),
+    )
+    small = sized.filter(F.col("_total_chars") <= oversize_chars).drop("_total_chars")
+    big = sized.filter(F.col("_total_chars") > oversize_chars).drop("_total_chars")
+    small_out = extract_direct(small.repartition(num_parts, "part_key"))
+    big_out = extract_chunked(big, chunk_spans)
+    return small_out.unionByName(big_out)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    run_id: str | None = None,
+    num_parts: int = DEFAULT_NUM_PARTS,
+    oversize_chars: int = DEFAULT_OVERSIZE_CHARS,
+    resume: bool = True,
+) -> dict:
+    """End-to-end job with checkpoint/lineage and resume-from-partition.
+
+    Writes ``{out_dir}/extracted`` (partitioned by part_key) and appends to
+    ``{out_dir}/checkpoint``.  Returns run metrics.
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    docs = with_part_key(docs, num_parts)
+
+    ckpt_path = f"{out_dir}/checkpoint"
+    done_parts: set[int] = set()
+    if resume:
+        ckpt = read_table(spark, ckpt_path, schema=CHECKPOINT)
+        if ckpt is not None:
+            done = (
+                ckpt.filter((F.col("run_id") == run_id) & (F.col("status") == "done"))
+                .select("part_key")
+                .distinct()
+            )
+            done_parts = {r.part_key for r in done.collect()}
+            if done_parts:
+                docs = docs.join(F.broadcast(done), "part_key", "left_anti")
+
+    t0 = time.time()
+    extracted = extract_docs(docs, num_parts, oversize_chars)
+    write_table(
+        extracted, f"{out_dir}/extracted", mode="append", partition_by=["part_key"]
+    )
+    elapsed = time.time() - t0
+
+    # lineage: recompute per-partition metrics from what was just written —
+    # one cheap columnar aggregation over the output, no second extraction
+    out_df = read_table(spark, f"{out_dir}/extracted")
+    this_run = out_df.filter(~F.col("part_key").isin(list(done_parts)) if done_parts else F.lit(True))
+    metrics = (
+        this_run.groupBy("part_key")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(F.size("spans")).alias("spans"),
+            F.sum("parse_failures").alias("parse_failures"),
+        )
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("status", F.lit("done"))
+        .withColumn("ts", F.current_timestamp())
+        .select([f.name for f in CHECKPOINT.fields])
+    )
+    write_table(metrics, ckpt_path, mode="append")
+
+    totals = (
+        read_table(spark, ckpt_path, schema=CHECKPOINT)
+        .filter(F.col("run_id") == run_id)
+        .agg(
+            F.sum("docs").alias("docs"),
+            F.sum("spans").alias("spans"),
+            F.sum("parse_failures").alias("parse_failures"),
+        )
+        .collect()[0]
+    )
+    return {
+        "run_id": run_id,
+        "elapsed_sec": elapsed,
+        "docs": totals["docs"] or 0,
+        "spans": totals["spans"] or 0,
+        "parse_failures": totals["parse_failures"] or 0,
+        "resumed_parts_skipped": len(done_parts),
+    }

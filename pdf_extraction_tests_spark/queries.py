@@ -1,0 +1,606 @@
+"""Named queries + DuckDB oracle SQL — the driver-harness surface.
+
+One named query per SQL-expressible operator row of SURVEY.md §2, each in two
+equivalent forms: an idiomatic PySpark DataFrame plan (Catalyst-optimized) and
+an ANSI-SQL string DuckDB runs on the same parquet files.  Column names/types
+are aligned on both sides because the driver hash-compares values per column.
+
+Conventions:
+* every computed column is aliased identically in both forms;
+* doubles are rounded (4-6 dp) before comparison;
+* timestamps are cast to strings/dates (Spark TZ pinned to UTC);
+* deterministic tie-breaks on every top-k / argmax.
+
+Cross-engine 48-bit hash (used by dedup/minhash/fingerprint queries):
+  Spark : cast(conv(substr(md5(s), 1, 12), 16, 10) as bigint)
+  DuckDB: ('0x' || substr(md5(s), 1, 12))::BIGINT
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Window as W
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # None => no DuckDB oracle (rows-only check)
+
+
+REGISTRY: list[QuerySpec] = []
+
+
+def query(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY.append(QuerySpec(name, fn, sql))
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# §2.4 A1-A3 aggregations / TPC-H-style core
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(avg(l_discount), 6)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark, sf_dir):
+    """TPC-H Q1-style pricing summary (agg A1-A3 capability; map-side
+    partial aggregation + scan-pushed date filter)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q02_filter_project",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 4) AS net_price
+    FROM lineitem
+    WHERE l_quantity > 45 AND l_discount >= 0.05
+    """,
+)
+def q02(spark, sf_dir):
+    """Projection + conjunctive filter (P1/P5); both predicates reach the
+    parquet scan as PushedFilters, only 4 columns read."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_quantity") > 45) & (F.col("l_discount") >= 0.05)).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net_price"),
+    )
+
+
+@query(
+    "q03_revenue_by_nation",
+    """
+    SELECT n_name, r_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(DISTINCT o_orderkey)                        AS n_orders
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY n_name, r_name
+    """,
+)
+def q03(spark, sf_dir):
+    """Multi-join star query; dims are broadcast (no shuffle for the small
+    sides — the plan a 100-TB fact table needs)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "q04_semi_join",
+    """
+    SELECT o_orderpriority, count(*) AS n
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q04(spark, sf_dir):
+    """left_semi join (EXISTS)."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    sel = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate")
+    ).select("l_orderkey").distinct()
+    return (
+        o.join(sel, o.o_orderkey == sel.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "q05_anti_join",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers_without_big_orders
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    GROUP BY c_mktsegment
+    """,
+)
+def q05(spark, sf_dir):
+    """left_anti join (NOT EXISTS); the filter on the right side is pushed
+    below the join."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers_without_big_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 window functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q06_topk_per_group",
+    """
+    SELECT c_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 3
+    """,
+)
+def q06(spark, sf_dir):
+    """W6 top-k per group: row_number window, deterministic tiebreak."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice"
+        )
+    )
+
+
+@query(
+    "q07_running_sum",
+    """
+    SELECT user_id, event_id,
+           round(sum(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 4) AS running_value
+    FROM events
+    """,
+)
+def q07(spark, sf_dir):
+    """W1-style ordered accumulation per key."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return e.select(
+        "user_id", "event_id", F.round(F.sum("value").over(w), 4).alias("running_value")
+    )
+
+
+@query(
+    "q08_lag_gap",
+    """
+    SELECT user_id, round(max(gap), 4) AS max_gap
+    FROM (SELECT user_id,
+                 value - lag(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS gap
+          FROM events) t
+    WHERE gap IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q08(spark, sf_dir):
+    """A8/W3 neighbor-gap analysis (the reference's column-boundary method,
+    v10.R:569-583, as lag + max)."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("gap", F.col("value") - F.lag("value").over(w))
+        .filter(F.col("gap").isNotNull())
+        .groupBy("user_id")
+        .agg(F.round(F.max("gap"), 4).alias("max_gap"))
+    )
+
+
+@query(
+    "q09_boundary_scan",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    bounds AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN rn END) AS start_rn,
+             min(CASE WHEN event_type = 'error'  THEN rn END) AS end_rn
+      FROM ranked GROUP BY user_id)
+    SELECT r.user_id, count(*) AS n_between
+    FROM ranked r JOIN bounds b ON r.user_id = b.user_id
+    WHERE b.start_rn IS NOT NULL AND b.end_rn IS NOT NULL
+      AND r.rn >= b.start_rn AND r.rn < b.end_rn
+    GROUP BY r.user_id
+    """,
+)
+def q09(spark, sf_dir):
+    """W5 conditional-window boundary extraction — the reference's
+    intro..references slice (v10.R:1691-1776) expressed relationally:
+    min(when(flag, rn)) over partition, then filter rn between bounds."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wp = W.partitionBy("user_id")
+    ranked = e.withColumn("rn", F.row_number().over(w))
+    bounded = ranked.withColumn(
+        "start_rn", F.min(F.when(F.col("event_type") == "signup", F.col("rn"))).over(wp)
+    ).withColumn(
+        "end_rn", F.min(F.when(F.col("event_type") == "error", F.col("rn"))).over(wp)
+    )
+    return (
+        bounded.filter(
+            F.col("start_rn").isNotNull()
+            & F.col("end_rn").isNotNull()
+            & (F.col("rn") >= F.col("start_rn"))
+            & (F.col("rn") < F.col("end_rn"))
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_between"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 A1 ordered group-concat, A5 argmax, A7 quantile, A10 dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q10_group_concat",
+    """
+    SELECT p_brand, string_agg(p_name, ' ' ORDER BY p_partkey) AS names
+    FROM part GROUP BY p_brand
+    """,
+)
+def q10(spark, sf_dir):
+    """A1 THE core reference op: ordered string aggregation
+    (pull(text) %>% paste(collapse), v10.R:1788-1791) — collect_list of
+    (key, value) structs, array_sort, project, join.  Order is explicit in
+    the plan, not an accident of partitioning."""
+    p = load(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p_partkey", "p_name"))),
+                lambda s: s["p_name"],
+            ),
+            " ",
+        ).alias("names")
+    )
+
+
+@query(
+    "q11_argmax",
+    """
+    SELECT o_custkey, arg_max(o_orderpriority, o_totalprice) AS top_priority,
+           round(max(o_totalprice), 2) AS top_price
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q11(spark, sf_dir):
+    """A5 argmax-over-score (which.max(format_scores), v10.R:672)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.expr("max_by(o_orderpriority, o_totalprice)").alias("top_priority"),
+        F.round(F.max("o_totalprice"), 2).alias("top_price"),
+    )
+
+
+@query(
+    "q12_quantile",
+    """
+    SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.3), 4) AS p30
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q12(spark, sf_dir):
+    """A7 quantile threshold (quantile(areas, 0.3), v7.R:2238-2240); exact
+    interpolated percentile so the DuckDB oracle matches bit-for-bit after
+    rounding."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.3)"), 4).alias("p30")
+    )
+
+
+@query(
+    "q13_dedup_tokens",
+    """
+    SELECT doc_id, string_agg(word, ' ' ORDER BY first_pos) AS deduped
+    FROM (
+      SELECT doc_id, word, min(pos) AS first_pos
+      FROM (
+        SELECT doc_id, u.word, u.pos
+        FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents) a,
+             LATERAL (SELECT unnest(arr) AS word,
+                             generate_subscripts(arr, 1) AS pos) u) t
+      GROUP BY doc_id, word)
+    GROUP BY doc_id
+    """,
+)
+def q13(spark, sf_dir):
+    """A10 order-preserving distinct (R unique(), v10.R:1808-1814):
+    array_distinct keeps first occurrence — matched in DuckDB via
+    min(position) re-sort."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.array_join(F.array_distinct(F.split("text", " ")), " ").alias("deduped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 P8 regex filters, §2.8 scalar/regex functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q14_regex_clean",
+    """
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text, '[0-9]+', '#', 'g'), '\\s+', ' ', 'g')
+             AS cleaned,
+           length(text) - length(replace(text, ' ', '')) + 1 AS n_words
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q14(spark, sf_dir):
+    """§2.8 cleaning pipelines as native column expressions
+    (clean_text_for_llm_aggressive, v10.R:3431-3442): chained
+    regexp_replace, zero UDFs."""
+    d = load(spark, sf_dir, "documents")
+    return d.filter(F.col("doc_id") < 200).select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), "[0-9]+", "#"), r"\s+", " "
+        ).alias("cleaned"),
+        (
+            F.length("text") - F.length(F.regexp_replace(F.col("text"), " ", "")) + 1
+        ).alias("n_words"),
+    )
+
+
+@query(
+    "q15_boilerplate_filter",
+    """
+    SELECT source, count(*) AS n_kept
+    FROM documents
+    WHERE NOT regexp_matches(lower(text), 'copyright|correspondence|all rights reserved')
+      AND length(trim(text)) > 0
+    GROUP BY source
+    """,
+)
+def q15(spark, sf_dir):
+    """P1 + P8: non-empty-text filter + negative-regex boilerplate strip
+    (v10.R:173, 1661-1685)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.filter(
+            ~F.lower(F.col("text")).rlike("copyright|correspondence|all rights reserved")
+            & (F.length(F.trim(F.col("text"))) > 0)
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+
+
+@query(
+    "q16_weighted_classifier",
+    """
+    SELECT doc_id,
+      CASE WHEN s_spark >= s_sql AND s_spark >= 2 THEN 'sparky'
+           WHEN s_sql > s_spark AND s_sql >= 2 THEN 'tabular'
+           ELSE 'generic' END AS category
+    FROM (
+      SELECT doc_id,
+        2 * (CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END)
+          + (CASE WHEN text LIKE '%stream%' THEN 1 ELSE 0 END)
+          + (CASE WHEN text LIKE '%vector%' THEN 1 ELSE 0 END)   AS s_spark,
+        2 * (CASE WHEN text LIKE '%table%' THEN 1 ELSE 0 END)
+          + (CASE WHEN text LIKE '%row%' THEN 1 ELSE 0 END)
+          + (CASE WHEN text LIKE '%column%' THEN 1 ELSE 0 END)   AS s_sql
+      FROM documents) t
+    """,
+)
+def q16(spark, sf_dir):
+    """A5/U6 weighted-rule classifier (format scores, v10.R:623-672):
+    additive regex-hit weights then argmax — pure column expressions."""
+    d = load(spark, sf_dir, "documents")
+    s_spark = (
+        2 * F.col("text").contains("spark").cast("int")
+        + F.col("text").contains("stream").cast("int")
+        + F.col("text").contains("vector").cast("int")
+    )
+    s_sql = (
+        2 * F.col("text").contains("table").cast("int")
+        + F.col("text").contains("row").cast("int")
+        + F.col("text").contains("column").cast("int")
+    )
+    return d.select(
+        "doc_id",
+        F.when((s_spark >= s_sql) & (s_spark >= 2), "sparky")
+        .when((s_sql > s_spark) & (s_sql >= 2), "tabular")
+        .otherwise("generic")
+        .alias("category"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 J2 band join, §2.7 set ops, misc relational
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q17_band_join",
+    """
+    SELECT b.band, count(*) AS n, round(sum(e.value), 2) AS total
+    FROM events e
+    JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0), ('high', 150.0, 1e9))
+         AS b(band, lo, hi)
+      ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band
+    """,
+)
+def q17(spark, sf_dir):
+    """J2 interval/band join — the reference's y-band segment assignment
+    (v10.R:246-255) as a broadcast range join against a band-spec table."""
+    e = load(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    return (
+        e.join(F.broadcast(bands), (e.value >= bands.lo) & (e.value < bands.hi))
+        .groupBy("band")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+
+
+@query(
+    "q18_union_distinct",
+    """
+    SELECT side, count(*) AS n FROM (
+      SELECT DISTINCT 'cust' AS side, c_nationkey AS nationkey FROM customer
+      UNION ALL
+      SELECT DISTINCT 'supp' AS side, s_nationkey AS nationkey FROM supplier
+    ) t GROUP BY side
+    """,
+)
+def q18(spark, sf_dir):
+    """J1 vertical union (bind_rows, v10.R:195) + distinct."""
+    c = load(spark, sf_dir, "customer").select(
+        F.lit("cust").alias("side"), F.col("c_nationkey").alias("nationkey")
+    ).distinct()
+    s = load(spark, sf_dir, "supplier").select(
+        F.lit("supp").alias("side"), F.col("s_nationkey").alias("nationkey")
+    ).distinct()
+    return c.unionByName(s).groupBy("side").agg(F.count("*").alias("n"))
+
+
+@query(
+    "q19_rollup",
+    """
+    SELECT coalesce(r_name, '(all)') AS r_name,
+           coalesce(n_name, '(all)') AS n_name,
+           count(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q19(spark, sf_dir):
+    """Hierarchical rollup (driver-harness capability row, SURVEY §2.4)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"))
+        .select(
+            F.coalesce("r_name", F.lit("(all)")).alias("r_name"),
+            F.coalesce("n_name", F.lit("(all)")).alias("n_name"),
+            "n_customers",
+        )
+    )
+
+
+@query(
+    "q20_histogram",
+    """
+    SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q20(spark, sf_dir):
+    """A4 element-type histogram (v10.R:55-63)."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# public API consumed by __spark_entry__.py
+# ---------------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {spec.name: spec.fn for spec in REGISTRY}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {spec.name: spec.sql.strip() for spec in REGISTRY if spec.sql is not None}

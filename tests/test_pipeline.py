@@ -1,0 +1,171 @@
+"""Distributed-vs-oracle differential tests for the Spark pipeline.
+
+The invariant (BASELINE.json): exact span-sequence equality
+(kind, text, media_ref, order) per doc_id between the Spark job and the
+single-process pandas oracle, at any parallelism, with or without the
+chunked skew path engaged.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pdf_extraction_tests_spark import extract_core as ec
+from pdf_extraction_tests_spark import pipeline as pl
+from pdf_extraction_tests_spark.corpus import corpus_pandas, make_document
+from pdf_extraction_tests_spark.schema import DOCS
+from tests import fixtures as fx
+
+
+def _docs_df(spark, docs):
+    pdf = pd.DataFrame([{"doc_id": d["doc_id"], "spans": d["spans"]} for d in docs])
+    return spark.createDataFrame(pdf, schema=DOCS)
+
+
+def _spans_key(rows):
+    return {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in r["spans"]]
+        for r in rows
+    }
+
+
+def _oracle(docs):
+    pdf = pd.DataFrame([{"doc_id": d["doc_id"], "spans": d["spans"]} for d in docs])
+    out = ec.extract_docs_frame(pdf)
+    return {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in r["spans"]]
+        for _, r in out.iterrows()
+    }
+
+
+@pytest.fixture(scope="module")
+def synthetic_docs():
+    src = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    return corpus_pandas(src.head(60))
+
+
+class TestDirectPath:
+    def test_fixtures_match_oracle(self, spark):
+        df = pl.extract_docs(_docs_df(spark, fx.ALL_FIXTURES), num_parts=4)
+        got = _spans_key([r.asDict(recursive=True) for r in df.collect()])
+        assert got == _oracle(fx.ALL_FIXTURES)
+
+    def test_corpus_matches_oracle(self, spark, synthetic_docs):
+        docs = [
+            {"doc_id": r.doc_id, "spans": r.spans}
+            for r in synthetic_docs.itertuples(index=False)
+        ]
+        df = pl.extract_docs(_docs_df(spark, docs), num_parts=8)
+        got = _spans_key([r.asDict(recursive=True) for r in df.collect()])
+        assert got == _oracle(docs)
+
+    def test_sections_match_oracle(self, spark, synthetic_docs):
+        docs = [
+            {"doc_id": r.doc_id, "spans": r.spans}
+            for r in synthetic_docs.itertuples(index=False)
+        ]
+        df = pl.extract_docs(_docs_df(spark, docs), num_parts=8)
+        got = {
+            r["doc_id"]: (r["title"], r["abstract"], r["main_text"], r["document_format"],
+                          r["boundary_start"], r["boundary_end"])
+            for r in (row.asDict() for row in df.collect())
+        }
+        pdf = pd.DataFrame(docs)
+        oracle = ec.extract_docs_frame(pdf)
+        want = {
+            r["doc_id"]: (r["title"], r["abstract"], r["main_text"], r["document_format"],
+                          r["boundary_start"], r["boundary_end"])
+            for _, r in oracle.iterrows()
+        }
+        assert got == want
+
+
+class TestChunkedPath:
+    def test_chunked_equals_direct(self, spark):
+        """Force every doc through the oversize path; results identical."""
+        docs = fx.ALL_FIXTURES
+        direct = pl.extract_docs(_docs_df(spark, docs), num_parts=4,
+                                 oversize_chars=10**12)
+        chunked = pl.extract_docs(_docs_df(spark, docs), num_parts=4,
+                                  oversize_chars=0, chunk_spans=2)
+        a = _spans_key([r.asDict(recursive=True) for r in direct.collect()])
+        b = _spans_key([r.asDict(recursive=True) for r in chunked.collect()])
+        assert a == b
+        assert a == _oracle(docs)
+
+    def test_media_at_chunk_boundary(self, spark):
+        """A media span opening a chunk must still anchor to the previous
+        chunk's last block (reanchor_media runs post-assembly)."""
+        doc = fx.GENERIC_DOC
+        chunked = pl.extract_docs(_docs_df(spark, [doc]), num_parts=2,
+                                  oversize_chars=0, chunk_spans=3)
+        got = _spans_key([r.asDict(recursive=True) for r in chunked.collect()])
+        assert got == _oracle([doc])
+
+
+class TestCheckpointResume:
+    def test_run_and_resume(self, spark, tmp_path, synthetic_docs):
+        docs = [
+            {"doc_id": r.doc_id, "spans": r.spans}
+            for r in synthetic_docs.head(20).itertuples(index=False)
+        ]
+        df = _docs_df(spark, docs)
+        out = str(tmp_path / "out")
+        m1 = pl.run_pipeline(spark, df, out, run_id="r1", num_parts=4)
+        assert m1["docs"] == 20
+        assert m1["resumed_parts_skipped"] == 0
+        # resume with the same run_id: everything already done -> no new work
+        m2 = pl.run_pipeline(spark, df, out, run_id="r1", num_parts=4)
+        assert m2["resumed_parts_skipped"] > 0
+        assert m2["docs"] == 20  # totals unchanged — nothing double-counted
+
+    def test_lineage_rows_written(self, spark, tmp_path):
+        docs = fx.ALL_FIXTURES
+        out = str(tmp_path / "out2")
+        pl.run_pipeline(spark, _docs_df(spark, docs), out, run_id="rX", num_parts=4)
+        ckpt = spark.read.parquet(f"{out}/checkpoint")
+        rows = ckpt.collect()
+        assert {r.status for r in rows} == {"done"}
+        assert sum(r.docs for r in rows) == len(docs)
+        assert sum(r.parse_failures for r in rows) == 1  # fix_broken
+
+
+class TestHostileInputs:
+    def test_null_and_empty_spans_not_dropped(self, spark):
+        """A NULL spans array must route through the pipeline and emit an
+        empty extraction — not silently vanish from both size-routing paths
+        (regression: F.aggregate over NULL returned NULL total_chars)."""
+        pdf = pd.DataFrame(
+            [
+                {"doc_id": "null_spans", "spans": None},
+                {"doc_id": "empty", "spans": []},
+                {"doc_id": "only_media",
+                 "spans": [{"kind": "media", "text": "", "media_ref": "m://x",
+                            "offset": 0}]},
+            ]
+        )
+        from pdf_extraction_tests_spark.schema import DOCS
+
+        df = spark.createDataFrame(pdf, schema=DOCS)
+        rows = {r.doc_id: r for r in pl.extract_docs(df, num_parts=2).collect()}
+        assert set(rows) == {"null_spans", "empty", "only_media"}
+        assert len(rows["only_media"].spans) == 1
+
+
+class TestOversizedDoc:
+    def test_multi_mb_doc(self, spark):
+        """A deliberately huge doc (SURVEY §7 risk) goes through chunking."""
+        big_text = "word " * 2000
+        spans = []
+        for i in range(600):
+            spans.append(
+                {"kind": "region", "media_ref": None, "offset": i,
+                 "text": f"1,200,{100 + i * 10},2000,50,plain text|{big_text}{i}"}
+            )
+        doc = {"doc_id": "huge", "spans": spans}
+        df = pl.extract_docs(_docs_df(spark, [doc]), num_parts=2,
+                             oversize_chars=100_000, chunk_spans=100)
+        rows = [r.asDict(recursive=True) for r in df.collect()]
+        assert len(rows) == 1
+        assert _spans_key(rows) == _oracle([doc])
