@@ -25,6 +25,8 @@ FORMAT_FAMILIES = [
     "nature_banded",
     "html_doc",
     "plain_text",
+    "jac_structured",
+    "elsevier_banded",
 ]
 
 # per-family extra front-matter rows: (element_type, text, y)
@@ -106,20 +108,51 @@ def make_document(doc_id: int, text: str, seed: int = 42) -> list[dict]:
     regions: list[tuple] = []  # (page, x, y, w, h, etype, text)
 
     title = _sentence(words, rng, 7).rstrip(".")
-    regions.append((1, 200, 150, 2000, 90, "title", title))
-    regions.append((1, 200, 300, 1800, 60, "plain text",
-                    "Alice Example, Bob Sample, Carol Test 1,2"))
     abstract_body = _sentence(words, rng, 60)
-    regions.append((1, 200, 420, 2000, 200, "plain text", f"Abstract {abstract_body}"))
 
-    if family == "mdpi_boiler":
-        for etype, t, y in _MDPI_FRONT:
-            regions.append((1, 120, y, 600, 30, etype, t))
-    elif family == "nature_banded":
+    if family == "nature_banded":
+        # coordinates chosen to land in the nature band spec
+        # (extract_core.BAND_SPECS['nature']): title 200-450, authors
+        # 450-550, boxed abstract 550-850 (area > 30000), body >= 850
         for etype, t, y in _NATURE_FRONT:
             regions.append((1, 200, y, 1200, 30, etype, t))
+        regions.append((1, 200, 250, 2000, 90, "title", title))
+        regions.append((1, 200, 470, 1800, 60, "plain text",
+                        "Alice Example, Bob Sample, Carol Test 1,2"))
+        regions.append((1, 200, 600, 2000, 220, "plain text", abstract_body))
+        intro_y = 900
+    elif family == "jac_structured":
+        regions.append((1, 120, 40, 900, 30, "abandon",
+                        "Journal of Antimicrobial Chemotherapy synthetic issue"))
+        regions.append((1, 200, 350, 2000, 90, "title", title))
+        regions.append((1, 200, 700, 1800, 60, "plain text",
+                        "Alice Example, Bob Sample, Carol Test 1,2"))
+        for i, sec in enumerate(("Objectives", "Methods", "Results", "Conclusions")):
+            regions.append((1, 200, 950 + i * 200, 2000, 160, "plain text",
+                            f"{sec}: {_sentence(words, rng, 20)}"))
+        intro_y = 1900
+    elif family == "elsevier_banded":
+        regions.append((1, 120, 40, 900, 30, "abandon",
+                        "Contents lists available at ScienceDirect - Elsevier"))
+        regions.append((1, 200, 450, 2000, 90, "title", title))
+        regions.append((1, 200, 750, 1800, 60, "plain text",
+                        "Alice Example, Bob Sample, Carol Test 1,2"))
+        regions.append((1, 150, 1050, 550, 400, "plain text",
+                        "Article history: synthetic keywords list and info"))
+        regions.append((1, 900, 1050, 1400, 400, "plain text",
+                        f"Abstract {abstract_body}"))
+        intro_y = 1700
+    else:
+        regions.append((1, 200, 150, 2000, 90, "title", title))
+        regions.append((1, 200, 300, 1800, 60, "plain text",
+                        "Alice Example, Bob Sample, Carol Test 1,2"))
+        regions.append((1, 200, 420, 2000, 200, "plain text", f"Abstract {abstract_body}"))
+        if family == "mdpi_boiler":
+            for etype, t, y in _MDPI_FRONT:
+                regions.append((1, 120, y, 600, 30, etype, t))
+        intro_y = 700
 
-    regions.append((1, 200, 700, 2000, 50, "title", "1. Introduction"))
+    regions.append((1, 200, intro_y, 2000, 50, "title", "1. Introduction"))
 
     def body_block(page: int, col: int, y: int) -> tuple:
         if two_col:
@@ -130,13 +163,13 @@ def make_document(doc_id: int, text: str, seed: int = 42) -> list[dict]:
         return (page, x, y, w, 180, "plain text",
                 _sentence(words, rng, int(rng.integers(25, 70))))
 
-    y = 800
+    y = intro_y + 100
     col = 1
     for _ in range(int(rng.integers(2, 5))):
         regions.append(body_block(1, col, y))
         y += 220
         if two_col and y > 3000:
-            col, y = 2, 800
+            col, y = 2, intro_y + 100
     for page in range(2, n_pages + 1):
         regions.append((page, 100, 60, 800, 30, "abandon", f"Page {page} running header"))
         y = 200

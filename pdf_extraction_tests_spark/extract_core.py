@@ -1,4 +1,4 @@
-"""Pure pandas/numpy per-document extraction kernel.
+"""Pure-Python/numpy per-document extraction kernel.
 
 This module is the *semantics* of the engine: a deterministic, single-process
 re-expression of the reference's per-document pipeline
@@ -7,9 +7,15 @@ re-expression of the reference's per-document pipeline
 functions over Arrow batches — so the same code doubles as the local oracle
 for differential tests (SURVEY.md §5).
 
+Representation note: documents are small (tens to hundreds of regions), so
+the per-document kernel works on plain lists of dict records — pandas frames
+at this size cost ~10-30x in per-op overhead (measured: 35 docs/s/thread
+frame-based vs >400 list-based).  pandas appears only at the Arrow batch
+boundary (:func:`extract_docs_frame`).
+
 Per-document stages and their reference counterparts:
 
-  parse spans -> region table      v10.R:26-179 (pdf_convert + YOLO + OCR)
+  parse spans -> region records    v10.R:26-179 (pdf_convert + YOLO + OCR)
   region filters                   v10.R:108, 173-175 (P1-P3 in SURVEY §2.2)
   column detection (largest gap)   v10.R:569-583 (A8); accept thresholds :551
   reading-order sort               v10.R:176, 271-274 (O1/O2)
@@ -38,7 +44,8 @@ import pandas as pd
 # ---------------------------------------------------------------------------
 
 # element classes kept for OCR/extraction (v10.R:108)
-KEEP_TYPES = ("plain text", "title", "abandon")
+KEEP_TYPES = frozenset(("plain text", "title", "abandon"))
+BODY_TYPES = frozenset(("plain text", "title"))
 
 # "substantial" region pre-filter before column detection (v10.R:524-530)
 SUBSTANTIAL_MIN_CHARS = 20
@@ -50,32 +57,32 @@ COLUMN_GAP_FRACTION = 0.15  # max x-gap must exceed 0.15 * page width
 COLUMN_MIN_SUBSTANTIAL = 4  # need at least 4 substantial regions
 
 # format detection: weighted regex hits -> argmax (v10.R:603-674)
-FORMAT_RULES: dict[str, list[tuple[str, float]]] = {
+FORMAT_RULES: dict[str, list[tuple[re.Pattern, float]]] = {
     "mdpi": [
-        (r"\bmdpi\b", 3.0),
-        (r"academic editor", 2.0),
-        (r"\bcitation:", 2.0),
-        (r"received:.*accepted:", 2.0),
+        (re.compile(r"\bmdpi\b"), 3.0),
+        (re.compile(r"academic editor"), 2.0),
+        (re.compile(r"\bcitation:"), 2.0),
+        (re.compile(r"received:.*accepted:"), 2.0),
     ],
     "nature": [
-        (r"\bnature\b", 2.0),
-        (r"springer", 1.0),
-        (r"nature research", 2.0),
+        (re.compile(r"\bnature\b"), 2.0),
+        (re.compile(r"springer"), 1.0),
+        (re.compile(r"nature research"), 2.0),
     ],
     "jac": [
-        (r"journal of antimicrobial chemotherapy", 3.0),
-        (r"\bjac\b", 1.0),
-        (r"objectives:", 1.0),
-        (r"\bmethods:", 1.0),
+        (re.compile(r"journal of antimicrobial chemotherapy"), 3.0),
+        (re.compile(r"\bjac\b"), 1.0),
+        (re.compile(r"objectives:"), 1.0),
+        (re.compile(r"\bmethods:"), 1.0),
     ],
     "jsm": [
-        (r"journal of sports medicine", 3.0),
-        (r"\bjsm\b", 1.0),
+        (re.compile(r"journal of sports medicine"), 3.0),
+        (re.compile(r"\bjsm\b"), 1.0),
     ],
     "elsevier": [
-        (r"elsevier", 3.0),
-        (r"sciencedirect", 2.0),
-        (r"article info", 1.0),
+        (re.compile(r"elsevier"), 3.0),
+        (re.compile(r"sciencedirect"), 2.0),
+        (re.compile(r"article info"), 1.0),
     ],
 }
 DEFAULT_FORMAT = "generic_academic"
@@ -113,6 +120,7 @@ ABSTRACT_HEADER_RE = re.compile(r"^abstract\b[:.]?\s*", re.IGNORECASE)
 # author scoring (v10.R:1085-1103, 1171-1195)
 NAME_RE = re.compile(r"[A-Z][a-z]+\s+[A-Z][a-z]+")
 AUTHOR_PENALTY_RE = re.compile(r"abstract|introduction|keywords|received", re.IGNORECASE)
+TITLE_PENALTY_RE = re.compile(r"^(abstract|introduction|keywords)", re.IGNORECASE)
 
 # cleaning pipelines (v10.R:3431-3498)
 _WS_RE = re.compile(r"\s+")
@@ -136,21 +144,23 @@ HTML_MIN_BLOCK_CHARS = 10
 
 
 # ---------------------------------------------------------------------------
-# Span parsing: interleaved input spans -> region table
+# Span parsing: interleaved input spans -> region records
 # ---------------------------------------------------------------------------
+# A region record is a plain dict with keys:
+#   page, x, y, w, h, text, element_type, media_ref, offset, parse_failure
 
 REGION_COLUMNS = [
-    "page",
-    "x",
-    "y",
-    "w",
-    "h",
-    "text",
-    "element_type",
-    "media_ref",
-    "offset",
-    "parse_failure",
+    "page", "x", "y", "w", "h", "text", "element_type",
+    "media_ref", "offset", "parse_failure",
 ]
+
+
+def _rec(page, x, y, w, h, text, etype, media_ref, offset, pf):
+    return {
+        "page": page, "x": x, "y": y, "w": w, "h": h, "text": text,
+        "element_type": etype, "media_ref": media_ref, "offset": offset,
+        "parse_failure": pf,
+    }
 
 
 def parse_region_payload(payload: str) -> tuple[int, int, int, int, int, str, str] | None:
@@ -196,17 +206,17 @@ def strip_html_blocks(fragment: str) -> list[tuple[str, str]]:
     return out
 
 
-def spans_to_regions(spans: Iterable[dict]) -> pd.DataFrame:
-    """Convert one document's input spans to a region table.
+def spans_to_regions(spans: Iterable[dict]) -> list[dict]:
+    """Convert one document's input spans to region records.
 
     ``spans`` is an iterable of dicts with keys kind/text/media_ref/offset.
     Media spans become placeholder rows (re-anchored to the geometry of the
     preceding block by :func:`reanchor_media`, which must run on the fully
-    assembled table — this keeps per-chunk parsing order-independent so the
-    oversized-doc path can parse chunks in parallel); parse failures become
-    counter rows (parse_failure=1).
+    assembled document — this keeps per-chunk parsing order-independent so
+    the oversized-doc path can parse chunks in parallel); parse failures
+    become counter rows (parse_failure=1).
     """
-    rows: list[tuple] = []
+    rows: list[dict] = []
     for sp in spans:
         kind = sp.get("kind")
         text = sp.get("text")
@@ -215,47 +225,41 @@ def spans_to_regions(spans: Iterable[dict]) -> pd.DataFrame:
         if kind == "region":
             parsed = parse_region_payload(text or "")
             if parsed is None:
-                rows.append((0, 0, 0, 0, 0, "", "parse_failure", None, offset, 1))
+                rows.append(_rec(0, 0, 0, 0, 0, "", "parse_failure", None, offset, 1))
                 continue
             page, x, y, w, h, etype, btext = parsed
-            rows.append((page, x, y, w, h, btext, etype, None, offset, 0))
+            rows.append(_rec(page, x, y, w, h, btext, etype, None, offset, 0))
         elif kind == "html":
             for i, (etype, btext) in enumerate(strip_html_blocks(text)):
                 # synthetic geometry: single column, document order == y order
-                yy = offset * 1000 + i * 10
-                rows.append((1, 0, yy, 1000, 10, btext, etype, None, offset, 0))
+                rows.append(_rec(1, 0, offset * 1000 + i * 10, 1000, 10,
+                                 btext, etype, None, offset, 0))
         elif kind == "media":
-            rows.append((0, 0, 0, 0, 0, "", "media", sp.get("media_ref"), offset, 0))
+            rows.append(_rec(0, 0, 0, 0, 0, "", "media", sp.get("media_ref"), offset, 0))
         else:  # plain 'text' span: pre-extracted block, order by offset
-            yy = offset * 1000
-            rows.append((1, 0, yy, 1000, 10, text or "", "plain text", None, offset, 0))
-    return pd.DataFrame(rows, columns=REGION_COLUMNS)
+            rows.append(_rec(1, 0, offset * 1000, 1000, 10, text or "",
+                             "plain text", None, offset, 0))
+    return rows
 
 
-def reanchor_media(regions: pd.DataFrame) -> pd.DataFrame:
-    """Anchor each media row at the geometry of the preceding block.
+def reanchor_media(records: list[dict]) -> list[dict]:
+    """Anchor each media record at the geometry of the preceding block.
 
     Media has no layout coordinates; to keep it interleaved at its reading
-    position it inherits (page, x, y) from the last text-bearing row before
-    it in input (offset) order — the ``offset`` tiebreak in
+    position it inherits (page, x, y) from the last text-bearing record
+    before it in input (offset) order — the ``offset`` tiebreak in
     :func:`reading_order` then places it immediately after that block.
-    Runs on the assembled per-document table so chunk-parallel parsing and
+    Runs on the assembled per-document records so chunk-parallel parsing and
     single-pass parsing yield identical results.
     """
-    if regions.empty or not (regions["element_type"] == "media").any():
-        return regions
-    out = regions.sort_values("offset", kind="stable").reset_index(drop=True)
+    out = sorted(records, key=lambda r: r["offset"])
     page, ax, ay = 1, 0, -1
-    pages = out["page"].to_numpy().copy()
-    xs = out["x"].to_numpy().copy()
-    ys = out["y"].to_numpy().copy()
-    etypes = out["element_type"].to_numpy()
-    for i in range(len(out)):
-        if etypes[i] == "media":
-            pages[i], xs[i], ys[i] = page, ax, ay
-        elif etypes[i] != "parse_failure":
-            page, ax, ay = pages[i], xs[i], ys[i]
-    out["page"], out["x"], out["y"] = pages, xs, ys
+    for r in out:
+        et = r["element_type"]
+        if et == "media":
+            r["page"], r["x"], r["y"] = page, ax, ay
+        elif et != "parse_failure":
+            page, ax, ay = r["page"], r["x"], r["y"]
     return out
 
 
@@ -264,19 +268,27 @@ def reanchor_media(regions: pd.DataFrame) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def filter_regions(regions: pd.DataFrame) -> pd.DataFrame:
+def filter_regions(records: list[dict]) -> list[dict]:
     """Apply the reference's pre-extraction region filters.
 
     P3 keep {plain text, title, abandon} (v10.R:108); P1 non-empty text
     (v10.R:173); P2 drop 'abandon' on pages > 1 (kept on page 1 for format
     detection, v10.R:174-175).  'media' rows always survive.
     """
-    r = regions
-    is_media = r["element_type"] == "media"
-    keep_type = r["element_type"].isin(KEEP_TYPES)
-    nonempty = r["text"].fillna("").str.strip().str.len() > 0
-    abandon_late = (r["element_type"] == "abandon") & (r["page"] > 1)
-    return r[(is_media | (keep_type & nonempty & ~abandon_late))].copy()
+    out = []
+    for r in records:
+        et = r["element_type"]
+        if et == "media":
+            out.append(r)
+            continue
+        if et not in KEEP_TYPES:
+            continue
+        if not (r["text"] or "").strip():
+            continue
+        if et == "abandon" and r["page"] > 1:
+            continue
+        out.append(r)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -284,7 +296,7 @@ def filter_regions(regions: pd.DataFrame) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def detect_column_boundary(page_df: pd.DataFrame) -> float | None:
+def detect_column_boundary(page_records: list[dict]) -> float | None:
     """Largest-gap column boundary for one page (v10.R:569-583).
 
     Deterministic replacement for the reference's seed-dependent
@@ -292,59 +304,239 @@ def detect_column_boundary(page_df: pd.DataFrame) -> float | None:
     unique, take the largest gap; accept iff gap > 0.15 * page width and
     both sides are non-empty.  Same accept thresholds as v10.R:551/575.
     """
-    sub = page_df[
-        (page_df["text"].str.len() > SUBSTANTIAL_MIN_CHARS)
-        & (page_df["w"] * page_df["h"] > SUBSTANTIAL_MIN_AREA)
-        & ~page_df["text"].str.contains(SUBSTANTIAL_SKIP_RE, na=False)
-    ]
-    if len(sub) < COLUMN_MIN_SUBSTANTIAL:
+    sub_centers = []
+    page_right = 0
+    for r in page_records:
+        right = r["x"] + r["w"]
+        if right > page_right:
+            page_right = right
+        t = r["text"]
+        if (
+            len(t) > SUBSTANTIAL_MIN_CHARS
+            and r["w"] * r["h"] > SUBSTANTIAL_MIN_AREA
+            and not SUBSTANTIAL_SKIP_RE.search(t)
+        ):
+            sub_centers.append(r["x"] + r["w"] / 2.0)
+    if len(sub_centers) < COLUMN_MIN_SUBSTANTIAL or page_right <= 0:
         return None
-    page_width = float((page_df["x"] + page_df["w"]).max())
-    if page_width <= 0:
-        return None
-    x_centers = (sub["x"] + sub["w"] / 2.0).to_numpy()
-    xs = np.unique(np.round(x_centers / 10.0) * 10.0)
+    xs = sorted({round(c / 10.0) * 10.0 for c in sub_centers})
     if len(xs) < 2:
         return None
-    gaps = np.diff(xs)
-    gi = int(np.argmax(gaps))
-    if gaps[gi] <= COLUMN_GAP_FRACTION * page_width:
+    gi, gmax = 0, 0.0
+    for i in range(len(xs) - 1):
+        g = xs[i + 1] - xs[i]
+        if g > gmax:
+            gi, gmax = i, g
+    if gmax <= COLUMN_GAP_FRACTION * page_right:
         return None
     boundary = (xs[gi] + xs[gi + 1]) / 2.0
-    left = (x_centers < boundary).sum()
-    if left == 0 or left == len(x_centers):
+    left = sum(1 for c in sub_centers if c < boundary)
+    if left == 0 or left == len(sub_centers):
         return None
-    return float(boundary)
+    return boundary
 
 
-def reading_order(regions: pd.DataFrame) -> pd.DataFrame:
+def reading_order(records: list[dict]) -> list[dict]:
     """Column-aware reading-order sort: (page, column, y, x, offset).
 
     The reference sorts arrange(page, y, x) (v10.R:176) then re-sorts pages
     with a detected column boundary as arrange(column, y, x) (v10.R:271-274).
-    ``offset`` is the explicit deterministic tiebreak (SURVEY §7 risk note) so
-    two runs can never disagree on ties.
+    ``offset`` is the explicit deterministic tiebreak (SURVEY §7 risk note)
+    so two runs can never disagree on ties.  Adds ``column`` and ``row_id``.
     """
-    if regions.empty:
-        out = regions.copy()
-        out["column"] = pd.Series(dtype="int64")
-        out["row_id"] = pd.Series(dtype="int64")
-        return out
-    parts = []
-    for page, pdf in regions.groupby("page", sort=True):
-        boundary = detect_column_boundary(pdf[pdf["element_type"] != "media"])
-        pdf = pdf.copy()
+    if not records:
+        return []
+    by_page: dict[int, list[dict]] = {}
+    for r in records:
+        by_page.setdefault(r["page"], []).append(r)
+    out: list[dict] = []
+    for page in sorted(by_page):
+        rows = by_page[page]
+        boundary = detect_column_boundary(
+            [r for r in rows if r["element_type"] != "media"]
+        )
         if boundary is None:
-            pdf["column"] = 1
+            for r in rows:
+                r["column"] = 1
         else:
-            pdf["column"] = np.where((pdf["x"] + pdf["w"] / 2.0) < boundary, 1, 2)
-        parts.append(pdf)
-    out = pd.concat(parts, ignore_index=True)
-    out = out.sort_values(
-        ["page", "column", "y", "x", "offset"], kind="stable"
-    ).reset_index(drop=True)
-    out["row_id"] = np.arange(len(out))
+            for r in rows:
+                r["column"] = 1 if (r["x"] + r["w"] / 2.0) < boundary else 2
+        rows.sort(key=lambda r: (r["column"], r["y"], r["x"], r["offset"]))
+        out.extend(rows)
+    for i, r in enumerate(out):
+        r["row_id"] = i
     return out
+
+
+# ---------------------------------------------------------------------------
+# Legacy layout detectors (v7) — kept for parity (SURVEY §2 row A7)
+# ---------------------------------------------------------------------------
+
+
+def detect_page_layout_legacy(page_records: list[dict], quantile: float = 0.3) -> list[dict]:
+    """v7's area-quantile main-text filter (v7.R:2225-2277): drop regions
+    whose bbox area falls below the page's ``quantile`` area cutoff —
+    a crude noise filter superseded by the substantial-region rules, exposed
+    for capability parity and unit-tested."""
+    body = [r for r in page_records if r["element_type"] in BODY_TYPES]
+    if len(body) < 4:
+        return page_records
+    areas = np.array([r["w"] * r["h"] for r in body], dtype=float)
+    cutoff = float(np.quantile(areas, quantile))
+    return [
+        r for r in page_records
+        if r["element_type"] not in BODY_TYPES or r["w"] * r["h"] >= cutoff
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Per-format page-1 band segmentation (SURVEY §2.2 P7 / §2.3 J2)
+# ---------------------------------------------------------------------------
+# The reference assigns page-1 regions to named bands by coordinate
+# intervals per publisher format (Elsevier v10.R:246-255, Nature :294-306,
+# JAC :344-358, JSM :392-406, generic :443-449) — semantically a range/
+# interval join of regions against a per-format band table.
+# Band spec rows: (band, x_lo, x_hi, y_lo, y_hi); None = unbounded.
+
+BAND_SPECS: dict[str, list[tuple[str, float | None, float | None, float | None, float | None]]] = {
+    "elsevier": [
+        ("header", None, None, None, 300.0),
+        ("title", None, None, 400.0, 700.0),
+        ("authors", None, None, 700.0, 1000.0),
+        ("article_info", None, 800.0, 1000.0, 1600.0),
+        ("abstract", 800.0, None, 1000.0, 1600.0),
+        ("body", None, None, 1600.0, None),
+    ],
+    "nature": [
+        ("header", None, None, None, 200.0),
+        ("title", None, None, 200.0, 450.0),
+        ("authors", None, None, 450.0, 550.0),
+        ("abstract", None, None, 550.0, 850.0),
+        ("body", None, None, 850.0, None),
+    ],
+    "jac": [
+        ("header", None, None, None, 300.0),
+        ("title", None, None, 300.0, 650.0),
+        ("authors", None, None, 650.0, 900.0),
+        ("abstract", None, None, 900.0, 1800.0),
+        ("body", None, None, 1800.0, None),
+    ],
+    "jsm": [
+        ("header", None, None, None, 250.0),
+        ("title", None, None, 250.0, 600.0),
+        ("authors", None, None, 600.0, 850.0),
+        ("abstract", None, None, 850.0, 1500.0),
+        ("body", None, None, 1500.0, None),
+    ],
+}
+
+# Nature requires a boxed abstract (area > 30000, v10.R:312-318);
+# JSM area > 20000 (v10.R:410-416)
+BOXED_ABSTRACT_MIN_AREA = {"nature": 30000, "jsm": 20000}
+
+JAC_STRUCTURED_RE = re.compile(
+    r"^(objectives?|methods?|results?|conclusions?)\s*:", re.IGNORECASE
+)
+
+
+def assign_bands(ordered: list[dict], doc_format: str) -> None:
+    """Label page-1 regions with their format band (mutates ``band`` key).
+
+    The interval membership test *is* the reference's y/x predicate chain
+    (P7); regions matching no band get band=None, pages > 1 get 'body'.
+    """
+    spec = BAND_SPECS.get(doc_format)
+    for r in ordered:
+        if r["page"] > 1 or spec is None:
+            r["band"] = "body"
+            continue
+        xc = r["x"] + r["w"] / 2.0
+        y = r["y"]
+        r["band"] = None
+        for band, x_lo, x_hi, y_lo, y_hi in spec:
+            if (
+                (x_lo is None or xc >= x_lo)
+                and (x_hi is None or xc < x_hi)
+                and (y_lo is None or y >= y_lo)
+                and (y_hi is None or y < y_hi)
+            ):
+                r["band"] = band
+                break
+
+
+def extract_abstract_banded(ordered: list[dict], doc_format: str) -> tuple[str, int]:
+    """Per-format abstract extraction from the band segmentation.
+
+    nature/jsm: the boxed abstract region (area over the format threshold)
+    in the abstract band (v10.R:312-318, 410-416); jac: the structured
+    Objectives:/Methods:/Results:/Conclusions: blocks concatenated in
+    reading order (v10.R:344-386, 1439-1475); elsevier: right-column
+    abstract-band text (x >= 800 split, v10.R:246-255, 2248-2263).
+    Returns ("", -1) when the banded path finds nothing (caller falls back
+    to the generic scorer).
+    """
+    cands = [r for r in ordered
+             if r.get("band") == "abstract" and r["element_type"] in BODY_TYPES]
+    if not cands:
+        return "", -1
+    if doc_format in BOXED_ABSTRACT_MIN_AREA:
+        min_area = BOXED_ABSTRACT_MIN_AREA[doc_format]
+        boxed = [r for r in cands if r["w"] * r["h"] > min_area]
+        if boxed:
+            best = max(boxed, key=lambda r: (r["w"] * r["h"], -r["row_id"]))
+            return ABSTRACT_HEADER_RE.sub("", best["text"], count=1).strip(), best["row_id"]
+        return "", -1
+    if doc_format == "jac":
+        structured = [r for r in cands if JAC_STRUCTURED_RE.match(r["text"])]
+        if structured:
+            return " ".join(r["text"] for r in structured), structured[-1]["row_id"]
+        return "", -1
+    if doc_format == "elsevier":
+        text = " ".join(
+            ABSTRACT_HEADER_RE.sub("", r["text"], count=1).strip() for r in cands
+        ).strip()
+        return (text, cands[-1]["row_id"]) if text else ("", -1)
+    return "", -1
+
+
+# ---------------------------------------------------------------------------
+# MDPI X-zone filter (SURVEY §2.2 P9)
+# ---------------------------------------------------------------------------
+
+MDPI_XZONE_MIN_CHARS = 100
+MDPI_XZONE_SLACK = 50
+
+
+def mdpi_xzone_filter(body: list[dict]) -> list[dict]:
+    """Drop the MDPI left mini-column (affiliations/badges) from main-text
+    candidates: keep regions with x >= mean(x of long blocks) - 50
+    (v10.R:2096-2111 via v9.R:1396's simplified X-zone method)."""
+    longs = [r for r in body if len(r["text"]) > MDPI_XZONE_MIN_CHARS]
+    if not longs:
+        return body
+    x_min = sum(r["x"] for r in longs) / len(longs)
+    return [r for r in body if r["x"] >= x_min - MDPI_XZONE_SLACK]
+
+
+# ---------------------------------------------------------------------------
+# Lookahead end-scan (SURVEY §2.5 W4)
+# ---------------------------------------------------------------------------
+
+TRUNCATE_AFTER_RE = re.compile(r"\bclinical trial\b", re.IGNORECASE)
+LOOKAHEAD_WINDOW = 5
+
+
+def lookahead_end_scan(body: list[dict], start: int, end: int) -> int:
+    """Bounded-frame lookahead (v10.R:1743-1772): if a row mentions the
+    truncation marker and any of the next 5 rows is end-matter, end the
+    body at that marker row — the rowsBetween(1, 5) lead-scan pattern."""
+    in_range = [r for r in body if start <= r["row_id"] < end]
+    for i, r in enumerate(in_range):
+        if TRUNCATE_AFTER_RE.search(r["text"]):
+            window = in_range[i + 1 : i + 1 + LOOKAHEAD_WINDOW]
+            if any(END_RE.match(w["text"]) for w in window):
+                return r["row_id"] + 1
+    return end
 
 
 # ---------------------------------------------------------------------------
@@ -352,17 +544,16 @@ def reading_order(regions: pd.DataFrame) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def detect_document_format(regions: pd.DataFrame) -> str:
+def detect_document_format(records: list[dict]) -> str:
     """Weighted-regex argmax over page-1 abandon + plain-text blobs
     (v10.R:599-675; scoring table :623-656, argmax :672)."""
-    p1 = regions[
-        (regions["page"] <= 1)
-        & regions["element_type"].isin(("abandon", "plain text"))
-    ]
-    blob = " ".join(p1["text"].fillna("")).lower()
+    blob = " ".join(
+        r["text"] for r in records
+        if r["page"] <= 1 and r["element_type"] in ("abandon", "plain text")
+    ).lower()
     best, best_score = DEFAULT_FORMAT, 0.0
     for fmt, rules in FORMAT_RULES.items():
-        score = sum(wt for pat, wt in rules if re.search(pat, blob))
+        score = sum(wt for pat, wt in rules if pat.search(blob))
         if score > best_score:
             best, best_score = fmt, score
     return best if best_score >= 2.0 else DEFAULT_FORMAT
@@ -373,90 +564,91 @@ def detect_document_format(regions: pd.DataFrame) -> str:
 # ---------------------------------------------------------------------------
 
 
-def extract_title(ordered: pd.DataFrame) -> tuple[str, int]:
+def extract_title(ordered: list[dict]) -> tuple[str, int]:
     """Score-argmax title pick on page 1 (v10.R:1912-1957).
 
     Returns (title, row_id) — row_id -1 if none found.
     """
-    p1 = ordered[(ordered["page"] <= 1) & (ordered["element_type"] != "media")]
-    if p1.empty:
+    p1 = [r for r in ordered if r["page"] <= 1 and r["element_type"] != "media"]
+    if not p1:
         return "", -1
-    page_h = float(p1["y"].max()) if len(p1) else 0.0
-    cands = p1[(p1["element_type"] == "title") | (p1["y"] <= 0.3 * max(page_h, 1.0))]
-    if cands.empty:
+    page_h = max(r["y"] for r in p1)
+    best_key, best = None, None
+    for r in p1:
+        if r["element_type"] != "title" and r["y"] > 0.3 * max(page_h, 1.0):
+            continue
+        t = r["text"]
+        n = len(t)
+        words = t.split()
+        nw = max(len(words), 1)
+        cap_words = sum(1 for wd in words if wd[:1].isupper())
+        score = (
+            (2.0 if r["element_type"] == "title" else 0.0)
+            + (1.0 if 20 <= n <= 200 else 0.0)
+            + (1.5 if r["y"] < 500 else 0.0)
+            + cap_words / nw
+            - (2.0 if TITLE_PENALTY_RE.match(t) else 0.0)
+        )
+        key = (-score, r["y"], r["row_id"])
+        if best_key is None or key < best_key:
+            best_key, best = key, r
+    if best is None:
         return "", -1
-    txt = cands["text"].fillna("")
-    n = txt.str.len()
-    words = txt.str.split().map(len).clip(lower=1)
-    cap_words = txt.map(lambda s: sum(1 for wd in s.split() if wd[:1].isupper()))
-    score = (
-        2.0 * (cands["element_type"] == "title").astype(float)
-        + 1.0 * ((n >= 20) & (n <= 200)).astype(float)
-        + 1.5 * (cands["y"] < 500).astype(float)
-        + (cap_words / words)
-        - 2.0 * txt.str.lower().str.match("abstract|introduction|keywords").astype(float)
-    )
-    best = cands.assign(_s=score).sort_values(
-        ["_s", "y", "row_id"], ascending=[False, True, True], kind="stable"
-    ).iloc[0]
-    return str(best["text"]), int(best["row_id"])
+    return best["text"], best["row_id"]
 
 
-def extract_authors(ordered: pd.DataFrame, title_row: int) -> str:
+def extract_authors(ordered: list[dict], title_row: int) -> str:
     """Author-line pick by name-count score (v10.R:1085-1115).
 
     author_score = #"First Last" matches + #commas + digit-superscript bonus,
     penalized for section-header words; argmax desc(score), asc(y)
     (v10.R:1102-1115).
     """
-    p1 = ordered[(ordered["page"] <= 1) & (ordered["element_type"] != "media")]
-    if title_row >= 0:
-        p1 = p1[p1["row_id"] > title_row]
-    if p1.empty:
-        return ""
-    txt = p1["text"].fillna("")
-    name_counts = txt.map(lambda s: len(NAME_RE.findall(s)))
-    commas = txt.str.count(",")
-    digits = txt.str.contains(r"\d").astype(int)
-    penalty = txt.map(lambda s: 5.0 if AUTHOR_PENALTY_RE.search(s) else 0.0)
-    length_pen = (txt.str.len() > 300).astype(float) * 5.0
-    score = name_counts * 2.0 + commas * 0.5 + digits * 0.5 - penalty - length_pen
-    cand = p1.assign(_s=score)
-    cand = cand[cand["_s"] >= 2.0]
-    if cand.empty:
-        return ""
-    best = cand.sort_values(
-        ["_s", "y", "row_id"], ascending=[False, True, True], kind="stable"
-    ).iloc[0]
-    return str(best["text"])
+    best_key, best = None, None
+    for r in ordered:
+        if r["page"] > 1 or r["element_type"] == "media" or r["row_id"] <= title_row:
+            continue
+        t = r["text"]
+        score = (
+            2.0 * len(NAME_RE.findall(t))
+            + 0.5 * t.count(",")
+            + (0.5 if any(c.isdigit() for c in t) else 0.0)
+            - (5.0 if AUTHOR_PENALTY_RE.search(t) else 0.0)
+            - (5.0 if len(t) > 300 else 0.0)
+        )
+        if score < 2.0:
+            continue
+        key = (-score, r["y"], r["row_id"])
+        if best_key is None or key < best_key:
+            best_key, best = key, r
+    return best["text"] if best is not None else ""
 
 
-def extract_abstract(ordered: pd.DataFrame, title_row: int) -> tuple[str, int]:
+def extract_abstract(ordered: list[dict], title_row: int) -> tuple[str, int]:
     """Abstract pick (v10.R:1281-1302, 1340-1531; simple path :1974-2004).
 
     Preference 1: a region starting with 'Abstract' (header stripped).
     Preference 2: longest page-1 region with > 200 chars after the title.
     Returns (abstract, row_id) — row_id -1 if none.
     """
-    body = ordered[ordered["element_type"].isin(("plain text", "title"))]
-    hdr = body[body["text"].fillna("").str.match(ABSTRACT_HEADER_RE)]
-    if not hdr.empty:
-        row = hdr.iloc[0]
-        text = ABSTRACT_HEADER_RE.sub("", str(row["text"]), count=1).strip()
-        if len(text) < 40:  # bare header: abstract body is the next region
-            nxt = body[body["row_id"] > row["row_id"]]
-            if not nxt.empty:
-                text = (text + " " + str(nxt.iloc[0]["text"])).strip()
-                return text, int(nxt.iloc[0]["row_id"])
-        return text, int(row["row_id"])
-    p1 = body[(body["page"] <= 1) & (body["row_id"] > title_row)]
-    cands = p1[p1["text"].fillna("").str.len() > 200]
-    if cands.empty:
+    body = [r for r in ordered if r["element_type"] in BODY_TYPES]
+    for i, r in enumerate(body):
+        if ABSTRACT_HEADER_RE.match(r["text"]):
+            text = ABSTRACT_HEADER_RE.sub("", r["text"], count=1).strip()
+            if len(text) < 40 and i + 1 < len(body):  # bare header
+                nxt = body[i + 1]
+                return (text + " " + nxt["text"]).strip(), nxt["row_id"]
+            return text, r["row_id"]
+    best_key, best = None, None
+    for r in body:
+        if r["page"] > 1 or r["row_id"] <= title_row or len(r["text"]) <= 200:
+            continue
+        key = (-len(r["text"]), r["row_id"])
+        if best_key is None or key < best_key:
+            best_key, best = key, r
+    if best is None:
         return "", -1
-    best = cands.assign(_n=cands["text"].str.len()).sort_values(
-        ["_n", "row_id"], ascending=[False, True], kind="stable"
-    ).iloc[0]
-    return str(best["text"]), int(best["row_id"])
+    return best["text"], best["row_id"]
 
 
 # ---------------------------------------------------------------------------
@@ -464,19 +656,19 @@ def extract_abstract(ordered: pd.DataFrame, title_row: int) -> tuple[str, int]:
 # ---------------------------------------------------------------------------
 
 
-def strip_boilerplate(ordered: pd.DataFrame) -> pd.DataFrame:
+def strip_boilerplate(ordered: list[dict]) -> list[dict]:
     """Drop front-matter boilerplate rows (v10.R:1661-1685) and renumber
     (W2, v10.R:1685)."""
-    txt = ordered["text"].fillna("")
-    mask = txt.str.contains(BOILERPLATE_RE, na=False) & (
-        ordered["element_type"] != "media"
-    )
-    out = ordered[~mask].reset_index(drop=True)
-    out["row_id"] = np.arange(len(out))
+    out = [
+        r for r in ordered
+        if r["element_type"] == "media" or not BOILERPLATE_RE.search(r["text"])
+    ]
+    for i, r in enumerate(out):
+        r["row_id"] = i
     return out
 
 
-def scan_boundaries(clean: pd.DataFrame, abstract_row: int) -> tuple[int, int]:
+def scan_boundaries(clean: list[dict], abstract_row: int) -> tuple[int, int]:
     """Conditional-window boundary extraction (v10.R:1691-1776, 2007-2038).
 
     start = first row matching the intro pattern (fallback: first body row
@@ -485,20 +677,27 @@ def scan_boundaries(clean: pd.DataFrame, abstract_row: int) -> tuple[int, int]:
     with the slice semantics rows [start, end) — cf. golden boundaries
     start=15 end=88 (v10_ALTAIR.R:3764-3769).
     """
-    body = clean[clean["element_type"].isin(("plain text", "title"))]
-    if body.empty:
+    body = [r for r in clean if r["element_type"] in BODY_TYPES]
+    if not body:
         return (0, 0)
-    txt = body["text"].fillna("")
-    intro = body[txt.str.match(INTRO_RE)]
-    if not intro.empty:
-        start = int(intro["row_id"].iloc[0])
-    elif abstract_row >= 0:
-        after = body[body["row_id"] > abstract_row]
-        start = int(after["row_id"].iloc[0]) if not after.empty else int(body["row_id"].iloc[0])
-    else:
-        start = int(body["row_id"].iloc[0])
-    endm = body[txt.str.match(END_RE) & (body["row_id"] > start)]
-    end = int(endm["row_id"].iloc[0]) if not endm.empty else int(body["row_id"].iloc[-1]) + 1
+    start = None
+    for r in body:
+        if INTRO_RE.match(r["text"]):
+            start = r["row_id"]
+            break
+    if start is None:
+        if abstract_row >= 0:
+            after = [r for r in body if r["row_id"] > abstract_row]
+            start = after[0]["row_id"] if after else body[0]["row_id"]
+        else:
+            start = body[0]["row_id"]
+    end = None
+    for r in body:
+        if r["row_id"] > start and END_RE.match(r["text"]):
+            end = r["row_id"]
+            break
+    if end is None:
+        end = body[-1]["row_id"] + 1
     return (start, end)
 
 
@@ -561,54 +760,61 @@ EXTRACT_RESULT_COLUMNS = [
 ]
 
 
-def extract_from_regions(doc_id: str, regions: pd.DataFrame,
+def extract_from_records(doc_id: str, records: list[dict],
                          cleaning_method: str = "hybrid") -> dict:
-    """Run the full extraction given an already-parsed region table."""
-    parse_failures = int(regions["parse_failure"].sum()) if len(regions) else 0
-    regions = reanchor_media(regions[regions["parse_failure"] == 0])
-    kept = filter_regions(regions)
+    """Run the full extraction given parsed region records."""
+    parse_failures = sum(r["parse_failure"] for r in records)
+    live = [r for r in records if not r["parse_failure"]]
+    if any(r["element_type"] == "media" for r in live):
+        live = reanchor_media(live)
+    kept = filter_regions(live)
     ordered = reading_order(kept)
     doc_format = detect_document_format(ordered)
+    assign_bands(ordered, doc_format)
     title, title_row = extract_title(ordered)
     authors = extract_authors(ordered, title_row)
     clean = strip_boilerplate(ordered)
     # recompute title row id after renumbering (the title text is stable)
+    title_row2 = -1
     if title:
-        hit = clean[(clean["text"] == title)]
-        title_row2 = int(hit["row_id"].iloc[0]) if not hit.empty else -1
-    else:
-        title_row2 = -1
-    abstract, abstract_row = extract_abstract(clean, title_row2)
+        for r in clean:
+            if r["text"] == title:
+                title_row2 = r["row_id"]
+                break
+    # per-format banded abstract first (P7/J2), generic scorer as fallback
+    abstract, abstract_row = extract_abstract_banded(clean, doc_format)
+    if abstract_row < 0:
+        abstract, abstract_row = extract_abstract(clean, title_row2)
     start, end = scan_boundaries(clean, abstract_row)
-    body = clean[
-        (clean["row_id"] >= start)
-        & (clean["row_id"] < end)
-        & clean["element_type"].isin(("plain text", "title"))
-    ]
-    main_raw = " ".join(body["text"].fillna(""))
+    body_rows = [r for r in clean if r["element_type"] in BODY_TYPES]
+    end = lookahead_end_scan(body_rows, start, end)
+    main_rows = [r for r in body_rows if start <= r["row_id"] < end]
+    if doc_format == "mdpi":
+        main_rows = mdpi_xzone_filter(main_rows)
+    main_raw = " ".join(r["text"] for r in main_rows)
     main_text = clean_text(dedupe_sentences(main_raw), cleaning_method)
 
     # span emission: every surviving non-abandon block in reading order,
     # media interleaved at its position; order = 0..n-1
-    emit = clean[clean["element_type"].isin(("plain text", "title", "media"))]
     spans = []
-    for order, (_, row) in enumerate(emit.iterrows()):
-        if row["element_type"] == "media":
-            spans.append(
-                {"kind": "media", "text": "", "media_ref": row["media_ref"], "order": order}
-            )
+    order = 0
+    for r in clean:
+        et = r["element_type"]
+        if et == "media":
+            spans.append({"kind": "media", "text": "", "media_ref": r["media_ref"],
+                          "order": order})
+        elif et in BODY_TYPES:
+            spans.append({
+                "kind": "title" if et == "title" else "text",
+                "text": clean_text(r["text"], cleaning_method),
+                "media_ref": None,
+                "order": order,
+            })
         else:
-            kind = "title" if row["element_type"] == "title" else "text"
-            spans.append(
-                {
-                    "kind": kind,
-                    "text": clean_text(str(row["text"]), cleaning_method),
-                    "media_ref": None,
-                    "order": order,
-                }
-            )
-    n_text_regions = int((kept["element_type"].isin(("plain text", "title"))).sum())
-    pages = kept[kept["element_type"] != "media"]["page"]
+            continue
+        order += 1
+    n_text_regions = sum(1 for r in kept if r["element_type"] in BODY_TYPES)
+    pages = [r["page"] for r in kept if r["element_type"] != "media"]
     return {
         "doc_id": doc_id,
         "spans": spans,
@@ -619,17 +825,23 @@ def extract_from_regions(doc_id: str, regions: pd.DataFrame,
         "boundary_start": start,
         "boundary_end": end,
         "document_format": doc_format,
-        "total_pages": int(pages.max()) if len(pages) else 0,
+        "total_pages": max(pages) if pages else 0,
         "total_text_regions": n_text_regions,
-        "parse_failures": parse_failures,
+        "parse_failures": int(parse_failures),
     }
+
+
+def extract_from_regions(doc_id: str, regions: pd.DataFrame,
+                         cleaning_method: str = "hybrid") -> dict:
+    """Region-DataFrame wrapper (used by the chunked skew path, where stage-1
+    output crosses an Arrow boundary as the REGIONS schema)."""
+    return extract_from_records(doc_id, regions.to_dict("records"), cleaning_method)
 
 
 def extract_document(doc_id: str, spans: Iterable[dict],
                      cleaning_method: str = "hybrid") -> dict:
     """spans-in -> extracted-doc-out; the per-document unit of work."""
-    regions = spans_to_regions(spans)
-    return extract_from_regions(doc_id, regions, cleaning_method)
+    return extract_from_records(doc_id, spans_to_regions(spans), cleaning_method)
 
 
 def extract_docs_frame(pdf: pd.DataFrame, cleaning_method: str = "hybrid") -> pd.DataFrame:
@@ -639,7 +851,8 @@ def extract_docs_frame(pdf: pd.DataFrame, cleaning_method: str = "hybrid") -> pd
     the single-process local oracle for differential tests.
     """
     results = [
-        extract_document(row.doc_id, row.spans or [], cleaning_method)
+        extract_document(row.doc_id, row.spans if row.spans is not None else [],
+                         cleaning_method)
         for row in pdf.itertuples(index=False)
     ]
     if not results:

@@ -1,0 +1,277 @@
+"""Deduplication operators over a document corpus.
+
+All variants are declarative DataFrame plans (JVM-side, codegen'd); no UDFs.
+The 48-bit cross-engine hash ``h48(s) = int(md5(s)[:12], 16)`` keeps every
+operator exactly reproducible in DuckDB for the driver's oracle check.
+
+Scale notes (100 TB):
+* exact dedup = one shuffle on the digest — the minimum possible;
+* MinHash signatures are computed scan-side per row (no shuffle), the LSH
+  band join shuffles only (band_key -> doc) pairs, and candidate
+  verification joins only within buckets;
+* stop-shingle removal (drop shingles appearing in > max_df docs) bounds the
+  n-gram self-join blowup — the standard trick for web-scale near-dup;
+* all self-joins are strictly upper-triangular (doc_a < doc_b).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def h48(col):
+    """48-bit md5-derived hash as a Spark column (bigint, non-negative).
+
+    DuckDB equivalent: ``('0x' || substr(md5(x), 1, 12))::BIGINT``.
+    """
+    return F.expr(f"cast(conv(substr(md5({col}), 1, 12), 16, 10) as bigint)")
+
+
+def _h48(col_expr) -> str:
+    return f"cast(conv(substr(md5({col_expr}), 1, 12), 16, 10) as bigint)"
+
+
+def _h48_duck(col_expr) -> str:
+    """Same 48-bit hash in DuckDB dialect (no conv(); hex-literal cast)."""
+    return f"('0x' || substr(md5({col_expr}), 1, 12))::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content digest: keep the min id, count dups.
+
+    One hash-shuffle on the digest; at scale add
+    ``.hint("rebalance")`` upstream if the corpus has giant identical docs.
+    """
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# word-shingle helpers
+# ---------------------------------------------------------------------------
+
+
+def with_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, shingle) pairs: distinct word n-grams per document.
+
+    Built scan-side with split + transform + filter — no explode until the
+    (smaller) distinct shingle set is formed per row.
+    """
+    words = F.split(F.col(text_col), " ")
+    k = F.size(words) - F.lit(n - 1)
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        )
+    )
+    return (
+        docs.filter(F.size(words) >= n)
+        .select(F.col(id_col).alias("doc_id"), F.explode(shingles).alias("shingle"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 8, shingle_n: int = 3,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc MinHash signature columns h0..h{k-1}.
+
+    Each hash family member is ``h48(seed || shingle)``; the min is taken
+    with a scan-side array aggregate — signatures never shuffle raw text.
+    """
+    pairs = with_shingles(docs, shingle_n, text_col, id_col)
+    aggs = [
+        F.min(h48(f"concat('s{i}:', shingle)")).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return pairs.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_sql(num_hashes: int = 8, shingle_n: int = 3,
+                table: str = "documents") -> str:
+    """DuckDB oracle for :func:`minhash_signatures`."""
+    parts = []
+    for i in range(num_hashes):
+        inner = _h48_duck(f"concat('s{i}:', shingle)")
+        parts.append(f"min({inner}) AS h{i}")
+    mins = ",\n           ".join(parts)
+    return f"""
+    SELECT doc_id,
+           {mins}
+    FROM (
+      SELECT DISTINCT doc_id, array_to_string(arr[i:i+{shingle_n - 1}], ' ') AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM {table}
+            WHERE len(string_split(text, ' ')) >= {shingle_n}) t,
+           LATERAL (SELECT unnest(generate_series(1, len(arr) - {shingle_n - 1})) AS i) u
+    ) s
+    GROUP BY doc_id
+    """
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
+                        rows_per_band: int = 2) -> DataFrame:
+    """LSH banding: docs agreeing on all hashes of any band become a
+    candidate pair.  Shuffle is on (band, band_key) — tiny rows.  The band
+    key is the band's hash values concatenated (cross-engine deterministic;
+    on a pure-Spark deployment swap in xxhash64(*cols) to shrink the key)."""
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("_", *cols).alias("bh"))
+        )
+    exploded = signatures.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard verification
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
+                        max_df: int = 50, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Exact Jaccard over word n-gram sets for near-duplicate pairs.
+
+    ``max_df`` drops stop-shingles (appearing in > max_df docs) before the
+    self-join — bounding the quadratic blowup; at web scale this filter is
+    what keeps the shuffle linear-ish in corpus size.
+    """
+    sh = with_shingles(docs, n, text_col, id_col).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    rare = sh.join(
+        sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df),
+        "shingle",
+    ).select("doc_id", "shingle")
+    a = rare.alias("a")
+    b = rare.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Per-doc SimHash over word tokens (bit-majority of token hashes).
+
+    The whole computation is one scan-side expression chain: token array ->
+    per-bit +/-1 votes via aggregate -> sign -> packed integer.  No shuffle.
+    """
+    token_hash = _h48("concat('t:', w)")
+    votes = [
+        F.expr(
+            f"aggregate(array_distinct(split({text_col}, ' ')), 0, (acc, w) -> acc + "
+            f"CASE WHEN (({token_hash} >> {b}) & 1) = 1 THEN 1 ELSE -1 END)"
+        )
+        for b in range(bits)
+    ]
+    sig = None
+    for b, v in enumerate(votes):
+        term = F.when(v > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return docs.select(F.col(id_col).alias("doc_id"), sig.cast("bigint").alias("simhash"))
+
+
+def simhash_sql(bits: int = 16, table: str = "documents") -> str:
+    """DuckDB oracle for :func:`simhash`."""
+    token_hash = _h48_duck("concat('t:', w)")
+    terms = []
+    for b in range(bits):
+        terms.append(
+            f"(CASE WHEN sum(CASE WHEN (({token_hash} >> {b}) & 1) = 1 "
+            f"THEN 1 ELSE -1 END) > 0 THEN {1 << b} ELSE 0 END)"
+        )
+    return f"""
+    SELECT doc_id, CAST({' + '.join(terms)} AS BIGINT) AS simhash
+    FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM {table}) t
+    GROUP BY doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dups(emb: DataFrame, threshold: float = 0.95,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Cosine near-duplicate pairs among embeddings (upper-triangular).
+
+    Brute-force O(n^2) — correct baseline; the LSH-bucketed variant in
+    :mod:`.similarity` is the scale path.  Cosine is computed in double
+    precision via zip_with + aggregate (JVM-side, no UDF).
+    """
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot / (norm("va") * norm("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -102,7 +102,7 @@ def _parse_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
     records = pdf.sort_values("offset", kind="stable")[
         ["kind", "text", "media_ref", "offset"]
     ].to_dict("records")
-    regions = ec.spans_to_regions(records)
+    regions = pd.DataFrame(ec.spans_to_regions(records), columns=ec.REGION_COLUMNS)
     regions.insert(0, "doc_id", pdf["doc_id"].iloc[0])
     regions.insert(1, "part_key", int(pdf["part_key"].iloc[0]))
     return regions[[f.name for f in REGIONS.fields]]

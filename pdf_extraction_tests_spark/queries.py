@@ -594,6 +594,335 @@ def q20(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# training-data pipeline operators (dedup / similarity / text analysis)
+# ---------------------------------------------------------------------------
+
+from .operators import dedup as D  # noqa: E402
+from .operators import text_analysis as TA  # noqa: E402
+
+
+@query(
+    "q21_dedup_exact",
+    """
+    SELECT digest, keep_id, n_copies FROM (
+      SELECT md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS digest,
+             min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM documents GROUP BY 1) t
+    WHERE n_copies > 1
+    """,
+)
+def q21(spark, sf_dir):
+    """Exact/prefix dedup: hash-groupBy on a content digest, keep min id.
+    Keyed on the 5-word prefix (URL/prefix-dedup style) so the synthetic
+    corpus actually yields duplicate groups; full-text exact dedup is the
+    same plan with digest = md5(text)."""
+    d = load(spark, sf_dir, "documents").withColumn(
+        "prefix_text", F.array_join(F.slice(F.split("text", " "), 1, 5), " ")
+    )
+    return D.exact_dedup(d, text_col="prefix_text")
+
+
+_MINHASH_K, _SHINGLE_N = 6, 3
+
+
+@query("q22_minhash_signatures", D.minhash_sql(_MINHASH_K, _SHINGLE_N))
+def q22(spark, sf_dir):
+    """MinHash signatures (k=6, word-3-gram shingles), scan-side mins —
+    the signature computation never shuffles raw text."""
+    return D.minhash_signatures(load(spark, sf_dir, "documents"), _MINHASH_K, _SHINGLE_N)
+
+
+@query(
+    "q23_lsh_candidates",
+    f"""
+    WITH sig AS ({D.minhash_sql(_MINHASH_K, _SHINGLE_N)}),
+    bands AS (
+      SELECT doc_id, 0 AS band, h0 || '_' || h1 AS bh FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, h2 || '_' || h3 AS bh FROM sig
+      UNION ALL
+      SELECT doc_id, 2 AS band, h4 || '_' || h5 AS bh FROM sig)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    """,
+)
+def q23(spark, sf_dir):
+    """MinHash-LSH near-dup candidates: band the signatures, self-join on
+    (band, band_key) — the standard web-scale shingle->minhash->band->bucket
+    join; candidate pairs only, verified by q24."""
+    sig = D.minhash_signatures(load(spark, sf_dir, "documents"), _MINHASH_K, _SHINGLE_N)
+    return D.lsh_candidate_pairs(sig, bands=3, rows_per_band=2)
+
+
+@query(
+    "q24_ngram_jaccard",
+    f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, array_to_string(arr[i:i+{_SHINGLE_N - 1}], ' ') AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+            WHERE len(string_split(text, ' ')) >= {_SHINGLE_N}) t,
+           LATERAL (SELECT unnest(generate_series(1, len(arr) - {_SHINGLE_N - 1})) AS i) u),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    rare AS (SELECT doc_id, shingle FROM sh
+             WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle
+                               HAVING count(*) <= 50)),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b,
+           round(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.8
+    """,
+)
+def q24(spark, sf_dir):
+    """Exact n-gram Jaccard >= 0.8 near-dup pairs with stop-shingle removal
+    (df <= 50) bounding the self-join."""
+    return D.ngram_jaccard_pairs(load(spark, sf_dir, "documents"),
+                                 n=_SHINGLE_N, threshold=0.8, max_df=50)
+
+
+@query("q25_simhash", D.simhash_sql(16))
+def q25(spark, sf_dir):
+    """16-bit SimHash per doc: bit-majority of token hashes, one scan-side
+    expression chain, zero shuffles."""
+    return D.simhash(load(spark, sf_dir, "documents"), bits=16)
+
+
+@query(
+    "q26_embedding_near_dups",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                 6) AS cosine
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) a
+    JOIN (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) b
+      ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.4
+    """,
+)
+def q26(spark, sf_dir):
+    """Embedding cosine near-duplicate pairs (brute-force baseline;
+    LSH-bucketed scale path in operators.similarity).  Threshold 0.4 is
+    calibrated to the synthetic random embeddings (0.95 on real data)."""
+    return D.embedding_near_dups(load(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@query(
+    "q27_cosine_topk",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, round(list_dot_product(e, qe)
+           / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))), 6) AS cosine
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) v, q
+    ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+)
+def q27(spark, sf_dir):
+    """Brute-force cosine top-k similarity search against a query vector
+    (vec_id=0's embedding), exact baseline for ANN."""
+    from .operators.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return cosine_topk(emb, [float(x) for x in qvec], k=10)
+
+
+@query("q28_ann_lsh_topk", None)  # pandas-UDF bucketing: rows-only check
+def q28(spark, sf_dir):
+    """ANN: sign-LSH bucketed top-k (single-probe).  The bucket assignment
+    is a vectorized pandas UDF (one BLAS matmul per Arrow batch) — not
+    SQL-expressible, so no DuckDB oracle; recall vs q27 is asserted in
+    tests/test_operators.py."""
+    from .operators.similarity import ann_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ann_topk(emb, [float(x) for x in qvec], k=10, bits=4)
+
+
+@query("q29_language_guess", TA.language_guess_sql())
+def q29(spark, sf_dir):
+    """Language-ID heuristic (marker-word scores -> argmax with priority
+    tie-break) — same classifier shape as the reference's format detector."""
+    return with_lang(load(spark, sf_dir, "documents"))
+
+
+def with_lang(d):
+    return TA.with_language_guess(d).select("doc_id", "lang_guess")
+
+
+@query("q30_quality_score", TA.quality_score_sql())
+def q30(spark, sf_dir):
+    """Pre-training quality filters (C4/Gopher-style) as one codegen'd
+    expression: length band + stopword ratio + alpha ratio + word length."""
+    return TA.with_quality_score(load(spark, sf_dir, "documents")).select(
+        "doc_id", "quality"
+    )
+
+
+@query("q31_token_counts", TA.token_counts_sql())
+def q31(spark, sf_dir):
+    """Whitespace + BPE-ish subword token counting."""
+    return TA.with_token_counts(load(spark, sf_dir, "documents")).select(
+        "doc_id", "ws_tokens", "subword_pieces"
+    )
+
+
+@query(
+    "q32_fingerprint",
+    """
+    SELECT doc_id,
+           ('0x' || substr(md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 12))::BIGINT
+             AS fingerprint
+    FROM documents
+    """,
+)
+def q32(spark, sf_dir):
+    """48-bit content fingerprint of normalized text."""
+    return TA.with_fingerprint(load(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint"
+    )
+
+
+@query("q33_media_features", None)  # binary decode stub: rows-only check
+def q33(spark, sf_dir):
+    """Multimodal plumbing: opaque binary media -> per-item features via
+    batched mapInPandas (decode kernel stubbed — no codecs in the image;
+    schema/batching/partitioning are real)."""
+    from .operators.multimodal import extract_media_features, synthetic_media
+
+    return extract_media_features(synthetic_media(spark, n=96)).drop("feature")
+
+
+# ---------------------------------------------------------------------------
+# extraction-shaped relational queries (reading order / slice over sequences)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q34_reading_order_words",
+    """
+    SELECT doc_id, word,
+           row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS ord
+    FROM (
+      SELECT doc_id, u.word, u.pos
+      FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+            WHERE doc_id < 100) a,
+           LATERAL (SELECT unnest(arr) AS word,
+                           generate_subscripts(arr, 1) AS pos) u) t
+    WHERE length(word) > 4
+    """,
+)
+def q34(spark, sf_dir):
+    """O1/W1/W2: tokenize -> positional order -> filter -> renumber — the
+    reading-order + renumber-after-filter pattern (v10.R:176, 1685) over a
+    word sequence."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    w = W.partitionBy("doc_id").orderBy("pos")
+    return (
+        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
+        .filter(F.length("word") > 4)
+        .withColumn("ord", F.row_number().over(w))
+        .select("doc_id", "word", "ord")
+    )
+
+
+@query(
+    "q35_boundary_slice",
+    """
+    WITH words AS (
+      SELECT doc_id, u.word, u.pos
+      FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents) a,
+           LATERAL (SELECT unnest(arr) AS word,
+                           generate_subscripts(arr, 1) AS pos) u),
+    bounds AS (
+      SELECT doc_id,
+             min(CASE WHEN word = 'spark'  THEN pos END) AS start_pos,
+             min(CASE WHEN word = 'window' THEN pos END) AS end_pos
+      FROM words GROUP BY doc_id)
+    SELECT w.doc_id, count(*) AS n_words_between
+    FROM words w JOIN bounds b ON w.doc_id = b.doc_id
+    WHERE b.start_pos IS NOT NULL AND b.end_pos IS NOT NULL
+      AND b.end_pos > b.start_pos
+      AND w.pos > b.start_pos AND w.pos < b.end_pos
+    GROUP BY w.doc_id
+    """,
+)
+def q35(spark, sf_dir):
+    """W5/O5 slice-range body extraction (slice(start_idx:end_idx),
+    v10.R:1788-1790) over word sequences: first marker -> first end marker,
+    count the strictly-between tokens."""
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "word")
+    ).withColumn("pos", F.col("pos0") + 1)
+    wp = W.partitionBy("doc_id")
+    bounded = words.withColumn(
+        "start_pos", F.min(F.when(F.col("word") == "spark", F.col("pos"))).over(wp)
+    ).withColumn(
+        "end_pos", F.min(F.when(F.col("word") == "window", F.col("pos"))).over(wp)
+    )
+    return (
+        bounded.filter(
+            F.col("start_pos").isNotNull()
+            & F.col("end_pos").isNotNull()
+            & (F.col("end_pos") > F.col("start_pos"))
+            & (F.col("pos") > F.col("start_pos"))
+            & (F.col("pos") < F.col("end_pos"))
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_words_between"))
+    )
+
+
+@query(
+    "q36_sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps)
+    SELECT user_id, count(DISTINCT session_id) AS n_sessions,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id
+    """,
+)
+def q36(spark, sf_dir):
+    """Sessionization: lag-gap > 30 min starts a session, running sum labels
+    it — the lag + conditional + cumulative-window composite."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    gaps = e.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sess = gaps.withColumn("session_id", F.sum("new_session").over(wrun))
+    return sess.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,56 @@
+"""Streaming/incremental extraction.
+
+The reference is a batch per-file loop with "skip if .RData exists" restart
+semantics (Document_Processor_DocLayout_YOLO_Code_v10.R:3712-3723).  Two
+Spark re-expressions:
+
+1. **Batch incrementality** — :func:`pdf_extraction_tests_spark.pipeline.
+   run_pipeline` with its checkpoint anti-join (the primary path; SURVEY §2.9).
+2. **Structured Streaming** (this module) — ``readStream`` over the docs
+   table + ``foreachBatch`` applying the same ``extract_docs`` plan with
+   ``Trigger.AvailableNow`` semantics: each micro-batch is extracted and
+   appended, Spark's own streaming checkpoint provides exactly-once resume.
+   Useful when the corpus grows continuously (new parquet files landing).
+
+Both paths run the identical kernel — streaming changes scheduling, never
+results (asserted in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from ..pipeline import extract_docs
+from ..schema import DOCS
+
+
+def stream_extract(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    num_parts: int = 16,
+    max_files_per_trigger: int = 8,
+):
+    """Start an available-now streaming extraction over a parquet directory.
+
+    Returns the StreamingQuery; callers use ``processAllAvailable()`` +
+    ``stop()`` for batch-drain semantics, or leave it running for continuous
+    ingestion.  Restart with the same checkpoint_path resumes exactly-once.
+    """
+    stream = (
+        spark.readStream.schema(DOCS)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+
+    def process_batch(batch_df, epoch_id: int) -> None:
+        out = extract_docs(batch_df, num_parts=num_parts)
+        out.write.mode("append").parquet(output_path)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -144,4 +144,62 @@ BROKEN_DOC = {
     ],
 }
 
-ALL_FIXTURES = [GENERIC_DOC, TWO_COL_DOC, MDPI_DOC, HTML_DOC, BROKEN_DOC]
+# --- fixture 6: Nature boxed-abstract banding (v10.R:290-338) ----------------
+NATURE_ABS = "A boxed abstract body without any header prefix that the nature band rule must find by area."
+NATURE_DOC = {
+    "doc_id": "fix_nature",
+    "spans": [
+        region(1, 200, 40, 1200, 30, "abandon",
+               "nature research | springer nature synthetic edition", 0),
+        region(1, 200, 250, 2000, 90, "title", "A Nature Banded Synthetic Article", 1),
+        region(1, 200, 470, 1800, 60, "plain text", "Alice Example, Bob Sample 1,2", 2),
+        # y=600 in abstract band [550, 850); area 2000*220 > 30000 => boxed
+        region(1, 200, 600, 2000, 220, "plain text", NATURE_ABS, 3),
+        region(1, 200, 900, 2000, 50, "title", "1. Introduction", 4),
+        region(1, 200, 1000, 2000, 180, "plain text", "Nature fixture body paragraph.", 5),
+    ],
+}
+
+# --- fixture 7: JAC structured abstract (v10.R:340-386, 1439-1475) ------------
+JAC_DOC = {
+    "doc_id": "fix_jac",
+    "spans": [
+        region(1, 120, 40, 1200, 30, "abandon",
+               "Journal of Antimicrobial Chemotherapy synthetic issue", 0),
+        region(1, 200, 350, 2000, 90, "title", "A JAC Structured Abstract Article", 1),
+        region(1, 200, 700, 1800, 60, "plain text", "Alice Example, Bob Sample 1,2", 2),
+        region(1, 200, 950, 2000, 160, "plain text", "Objectives: test the band rule.", 3),
+        region(1, 200, 1150, 2000, 160, "plain text", "Methods: synthetic regions.", 4),
+        region(1, 200, 1350, 2000, 160, "plain text", "Results: bands detected.", 5),
+        region(1, 200, 1550, 2000, 160, "plain text", "Conclusions: parity held.", 6),
+        region(1, 200, 1900, 2000, 50, "title", "1. Introduction", 7),
+        region(1, 200, 2000, 2000, 180, "plain text", "JAC fixture body paragraph.", 8),
+    ],
+}
+JAC_EXPECTED_ABSTRACT = (
+    "Objectives: test the band rule. Methods: synthetic regions. "
+    "Results: bands detected. Conclusions: parity held."
+)
+
+# --- fixture 8: Elsevier left-info / right-abstract split (v10.R:246-255) -----
+ELSEVIER_DOC = {
+    "doc_id": "fix_elsevier",
+    "spans": [
+        region(1, 120, 40, 900, 30, "abandon",
+               "Contents lists available at ScienceDirect - Elsevier", 0),
+        region(1, 200, 450, 2000, 90, "title", "An Elsevier Banded Synthetic Article", 1),
+        region(1, 200, 750, 1800, 60, "plain text", "Alice Example, Bob Sample 1,2", 2),
+        # left column x_center 425 < 800 => article_info band (dropped from abstract)
+        region(1, 150, 1050, 550, 400, "plain text",
+               "Article history: synthetic keywords list and info", 3),
+        # right column x_center 1600 >= 800 => abstract band
+        region(1, 900, 1050, 1400, 400, "plain text",
+               "Abstract The elsevier right column abstract body text.", 4),
+        region(1, 200, 1700, 2000, 50, "title", "1. Introduction", 5),
+        region(1, 200, 1800, 2000, 180, "plain text", "Elsevier fixture body paragraph.", 6),
+    ],
+}
+ELSEVIER_EXPECTED_ABSTRACT = "The elsevier right column abstract body text."
+
+ALL_FIXTURES = [GENERIC_DOC, TWO_COL_DOC, MDPI_DOC, HTML_DOC, BROKEN_DOC,
+                NATURE_DOC, JAC_DOC, ELSEVIER_DOC]

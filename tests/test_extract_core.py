@@ -23,9 +23,9 @@ class TestParsing:
         assert ec.parse_region_payload("1,2|x") is None
 
     def test_spans_to_regions_counts_failures(self):
-        df = ec.spans_to_regions(fx.BROKEN_DOC["spans"])
-        assert df["parse_failure"].sum() == 1
-        assert (df["parse_failure"] == 0).sum() == 2
+        recs = ec.spans_to_regions(fx.BROKEN_DOC["spans"])
+        assert sum(r["parse_failure"] for r in recs) == 1
+        assert sum(1 for r in recs if not r["parse_failure"]) == 2
 
 
 class TestHtml:
@@ -47,19 +47,19 @@ class TestHtml:
 
 class TestFilters:
     def test_filter_regions(self):
-        df = ec.spans_to_regions(fx.GENERIC_DOC["spans"])
-        kept = ec.filter_regions(df)
+        recs = ec.spans_to_regions(fx.GENERIC_DOC["spans"])
+        kept = ec.filter_regions(recs)
         # abandon on page 2 dropped; media kept
-        assert not ((kept["element_type"] == "abandon") & (kept["page"] > 1)).any()
-        assert (kept["element_type"] == "media").sum() == 1
+        assert not any(r["element_type"] == "abandon" and r["page"] > 1 for r in kept)
+        assert sum(1 for r in kept if r["element_type"] == "media") == 1
 
 
 class TestReadingOrder:
     def test_two_column_order(self):
-        df = ec.spans_to_regions(fx.TWO_COL_DOC["spans"])
-        ordered = ec.reading_order(ec.filter_regions(df))
-        assert list(ordered["text"]) == fx.TWO_COL_EXPECTED_ORDER
-        assert list(ordered["column"]) == [1, 1, 2, 2]
+        recs = ec.spans_to_regions(fx.TWO_COL_DOC["spans"])
+        ordered = ec.reading_order(ec.filter_regions(recs))
+        assert [r["text"] for r in ordered] == fx.TWO_COL_EXPECTED_ORDER
+        assert [r["column"] for r in ordered] == [1, 1, 2, 2]
 
     def test_single_column_when_gap_small(self):
         rows = []
@@ -70,7 +70,7 @@ class TestReadingOrder:
                          f"block number {i} with plenty of characters inside"}
             )
         ordered = ec.reading_order(ec.filter_regions(ec.spans_to_regions(rows)))
-        assert (ordered["column"] == 1).all()
+        assert all(r["column"] == 1 for r in ordered)
 
     def test_deterministic_tiebreak(self):
         # identical coordinates: offset breaks the tie
@@ -81,17 +81,17 @@ class TestReadingOrder:
              "text": "1,100,100,500,50,plain text|first by offset"},
         ]
         ordered = ec.reading_order(ec.filter_regions(ec.spans_to_regions(rows)))
-        assert list(ordered["text"]) == ["first by offset", "second by offset"]
+        assert [r["text"] for r in ordered] == ["first by offset", "second by offset"]
 
 
 class TestFormatDetection:
     def test_mdpi_detected(self):
-        df = ec.spans_to_regions(fx.MDPI_DOC["spans"])
-        assert ec.detect_document_format(ec.filter_regions(df)) == "mdpi"
+        recs = ec.spans_to_regions(fx.MDPI_DOC["spans"])
+        assert ec.detect_document_format(ec.filter_regions(recs)) == "mdpi"
 
     def test_generic_default(self):
-        df = ec.spans_to_regions(fx.GENERIC_DOC["spans"])
-        assert ec.detect_document_format(ec.filter_regions(df)) == "generic_academic"
+        recs = ec.spans_to_regions(fx.GENERIC_DOC["spans"])
+        assert ec.detect_document_format(ec.filter_regions(recs)) == "generic_academic"
 
 
 class TestCleaning:
@@ -151,6 +151,66 @@ class TestEndToEnd:
         out = ec.extract_docs_frame(pdf)
         assert list(out["doc_id"]) == [d["doc_id"] for d in fx.ALL_FIXTURES]
         assert out["parse_failures"].sum() == 1
+
+
+class TestBandedFormats:
+    def test_nature_boxed_abstract(self):
+        res = ec.extract_document(fx.NATURE_DOC["doc_id"], fx.NATURE_DOC["spans"])
+        assert res["document_format"] == "nature"
+        assert res["abstract"] == fx.NATURE_ABS
+        assert res["title"] == "A Nature Banded Synthetic Article"
+
+    def test_jac_structured_abstract(self):
+        res = ec.extract_document(fx.JAC_DOC["doc_id"], fx.JAC_DOC["spans"])
+        assert res["document_format"] == "jac"
+        assert res["abstract"] == fx.JAC_EXPECTED_ABSTRACT
+
+    def test_elsevier_right_column_abstract(self):
+        res = ec.extract_document(fx.ELSEVIER_DOC["doc_id"], fx.ELSEVIER_DOC["spans"])
+        assert res["document_format"] == "elsevier"
+        assert res["abstract"] == fx.ELSEVIER_EXPECTED_ABSTRACT
+
+    def test_band_assignment(self):
+        recs = ec.reading_order(
+            ec.filter_regions(ec.spans_to_regions(fx.ELSEVIER_DOC["spans"]))
+        )
+        ec.assign_bands(recs, "elsevier")
+        bands = {r["text"][:16]: r["band"] for r in recs if r["page"] == 1}
+        assert bands["Article history:"] == "article_info"
+        assert bands["Abstract The els"] == "abstract"
+
+    def test_mdpi_xzone_filter(self):
+        body = [
+            {"x": 100, "text": "left mini column badge", "row_id": 0},
+            {"x": 600, "text": "m" * 150, "row_id": 1},
+            {"x": 620, "text": "n" * 150, "row_id": 2},
+        ]
+        kept = ec.mdpi_xzone_filter(body)
+        assert [r["row_id"] for r in kept] == [1, 2]
+
+    def test_lookahead_end_scan(self):
+        body = [
+            {"text": "intro", "row_id": 0},
+            {"text": "registered clinical trial NCT01", "row_id": 1},
+            {"text": "some trailing text", "row_id": 2},
+            {"text": "References", "row_id": 3},
+        ]
+        assert ec.lookahead_end_scan(body, 0, 10) == 2
+        # no end-matter within 5 rows => unchanged
+        body2 = body[:2] + [{"text": f"t{i}", "row_id": 2 + i} for i in range(6)]
+        assert ec.lookahead_end_scan(body2, 0, 10) == 10
+
+    def test_legacy_area_quantile(self):
+        page = [
+            {"element_type": "plain text", "w": 10, "h": 10, "text": "tiny"},
+            {"element_type": "plain text", "w": 100, "h": 100, "text": "a"},
+            {"element_type": "plain text", "w": 100, "h": 120, "text": "b"},
+            {"element_type": "plain text", "w": 100, "h": 140, "text": "c"},
+            {"element_type": "abandon", "w": 1, "h": 1, "text": "hdr"},
+        ]
+        kept = ec.detect_page_layout_legacy(page, 0.3)
+        texts = [r["text"] for r in kept]
+        assert "tiny" not in texts and "hdr" in texts
 
 
 class TestDeterminism:

@@ -1,0 +1,141 @@
+"""Tests for the training-data operators (dedup / similarity / multimodal)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extraction_tests_spark.operators import dedup as D
+from pdf_extraction_tests_spark.operators import similarity as S
+from pdf_extraction_tests_spark.operators import text_analysis as TA
+from pdf_extraction_tests_spark.operators.multimodal import (
+    extract_media_features,
+    synthetic_media,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+class TestDedup:
+    def test_exact_dedup_finds_planted_dup(self, spark):
+        pdf = pd.DataFrame(
+            {"doc_id": [1, 2, 3], "text": ["same text", "same text", "other"]}
+        )
+        df = spark.createDataFrame(pdf)
+        rows = D.exact_dedup(df).collect()
+        assert len(rows) == 1
+        assert rows[0].keep_id == 1 and rows[0].n_copies == 2
+
+    def test_shingles(self, spark):
+        pdf = pd.DataFrame({"doc_id": [1], "text": ["a b c d"]})
+        got = {r.shingle for r in D.with_shingles(spark.createDataFrame(pdf), 3).collect()}
+        assert got == {"a b c", "b c d"}
+
+    def test_minhash_identical_docs_same_signature(self, spark):
+        pdf = pd.DataFrame(
+            {"doc_id": [1, 2], "text": ["the quick brown fox jumps"] * 2}
+        )
+        sig = D.minhash_signatures(spark.createDataFrame(pdf), 4, 3).collect()
+        a, b = sorted(sig, key=lambda r: r.doc_id)
+        assert (a.h0, a.h1, a.h2, a.h3) == (b.h0, b.h1, b.h2, b.h3)
+
+    def test_lsh_catches_identical(self, spark):
+        pdf = pd.DataFrame(
+            {"doc_id": [1, 2, 3],
+             "text": ["the quick brown fox jumps over it",
+                      "the quick brown fox jumps over it",
+                      "completely different words appear in this document"]}
+        )
+        sig = D.minhash_signatures(spark.createDataFrame(pdf), 6, 3)
+        pairs = {(r.doc_a, r.doc_b) for r in D.lsh_candidate_pairs(sig, 3, 2).collect()}
+        assert (1, 2) in pairs
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    def test_jaccard_exact_one(self, spark):
+        pdf = pd.DataFrame(
+            {"doc_id": [1, 2], "text": ["alpha beta gamma delta"] * 2}
+        )
+        rows = D.ngram_jaccard_pairs(spark.createDataFrame(pdf), 3, 0.8, 50).collect()
+        assert len(rows) == 1 and rows[0].jaccard == 1.0
+
+    def test_simhash_close_for_similar(self, spark):
+        pdf = pd.DataFrame(
+            {"doc_id": [1, 2, 3],
+             "text": ["w1 w2 w3 w4 w5 w6 w7 w8 w9 w10",
+                      "w1 w2 w3 w4 w5 w6 w7 w8 w9 w11",   # 1 token differs
+                      "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"]}  # all differ
+        )
+        rows = {r.doc_id: r.simhash for r in D.simhash(spark.createDataFrame(pdf), 16).collect()}
+        ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+        assert ham(rows[1], rows[2]) < ham(rows[1], rows[3])
+
+
+class TestSimilarity:
+    def test_bruteforce_top1_is_self(self, spark, emb):
+        qvec = emb.filter(F.col("vec_id") == 0).head()[1]
+        top = S.cosine_topk(emb, [float(x) for x in qvec], k=3).collect()
+        assert top[0].vec_id == 0
+        assert abs(top[0].cosine - 1.0) < 1e-6
+
+    def test_ann_recall_vs_bruteforce(self, spark, emb):
+        qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()[1]]
+        exact = {r.vec_id for r in S.cosine_topk(emb, qvec, k=10).collect()}
+        approx = {r.vec_id for r in S.ann_topk(emb, qvec, k=10, bits=4).collect()}
+        # single-probe LSH: require the query itself + meaningful overlap
+        assert 0 in approx
+        assert len(exact & approx) >= 3
+
+    def test_bucket_is_deterministic(self, spark, emb):
+        planes = S.hyperplanes(64, 6)
+        a = {r.vec_id: r.bucket for r in S.with_lsh_bucket(emb, planes).collect()}
+        b = {r.vec_id: r.bucket for r in S.with_lsh_bucket(emb, planes).collect()}
+        assert a == b
+
+
+class TestTextAnalysis:
+    def test_language_guess_markers(self, spark):
+        pdf = pd.DataFrame(
+            {"doc_id": [1, 2],
+             "text": ["the cat and the dog of the house",
+                      "der hund und die katze und der baum"]}
+        )
+        rows = {r.doc_id: r.lang_guess
+                for r in TA.with_language_guess(spark.createDataFrame(pdf))
+                .select("doc_id", "lang_guess").collect()}
+        assert rows == {1: "en", 2: "de"}
+
+    def test_quality_score_range(self, spark, docs):
+        vals = [r.quality for r in TA.with_quality_score(docs).select("quality").collect()]
+        assert all(0.0 <= v <= 1.0 for v in vals)
+
+    def test_fingerprint_whitespace_invariant(self, spark):
+        pdf = pd.DataFrame({"doc_id": [1, 2], "text": ["a  b\tc", "a b c"]})
+        rows = [r.fingerprint for r in TA.with_fingerprint(spark.createDataFrame(pdf)).collect()]
+        assert rows[0] == rows[1]
+
+
+class TestMultimodal:
+    def test_feature_extraction_runs_batched(self, spark):
+        media = synthetic_media(spark, n=48)
+        feats = extract_media_features(media).collect()
+        assert len(feats) == 48
+        assert all(r.decode_ok for r in feats)
+        assert all(len(r.feature) == 16 for r in feats)
+
+    def test_features_deterministic_and_content_sensitive(self, spark):
+        media = synthetic_media(spark, n=8)
+        a = {r.media_ref: tuple(r.feature) for r in extract_media_features(media).collect()}
+        b = {r.media_ref: tuple(r.feature) for r in extract_media_features(media).collect()}
+        assert a == b
+        assert len(set(a.values())) == 8  # distinct content -> distinct features
