@@ -36,7 +36,12 @@ from . import extract_core as ec
 from .schema import CHECKPOINT, EXTRACTED_WITH_PART, REGIONS
 from .tables import read_table, write_table
 
-DEFAULT_NUM_PARTS = 64
+# part_key cardinality: the checkpoint/resume granularity.  Deliberately
+# much larger than any shuffle partition count so hashing part_keys into
+# physical partitions balances by law of large numbers — with cardinality
+# equal to the partition count, Poisson collisions make 2-3-key straggler
+# tasks the critical path (measured: 0.45 -> 0.8+ scaling efficiency).
+DEFAULT_NUM_PARTS = 512
 # docs whose summed span text exceeds this go through the chunked path
 DEFAULT_OVERSIZE_CHARS = 1_000_000
 DEFAULT_CHUNK_SPANS = 512
@@ -150,13 +155,34 @@ def extract_docs(
     num_parts: int = DEFAULT_NUM_PARTS,
     oversize_chars: int = DEFAULT_OVERSIZE_CHARS,
     chunk_spans: int = DEFAULT_CHUNK_SPANS,
+    repartition: bool | None = None,
 ) -> DataFrame:
-    """Route by size and extract.  Returns extracted rows with part_key."""
+    """Route by size and extract.  Returns extracted rows with part_key.
+
+    ``repartition=None`` (auto) shuffles on the fine-grained part_key ONLY
+    when the input is under-partitioned (< 2x cluster parallelism — the
+    shape of a freshly-landed crawl dump: few writers, huge row groups).
+    When the scan already yields enough splits, extraction fuses directly
+    onto it: shuffling nested span payloads costs ~3x the extraction itself
+    (measured: 214 vs 73 thread-seconds on the bench corpus), and a parquet
+    scan's splits are as balanced as a hash shuffle's.  The salted
+    repartition happens BEFORE size computation and routing so every
+    downstream stage runs at full parallelism.
+    """
     from .shipping import ship_package
 
     ship_package(docs.sparkSession)
     if "part_key" not in docs.columns:
         docs = with_part_key(docs, num_parts)
+    if repartition is None:
+        parallelism = docs.sparkSession.sparkContext.defaultParallelism
+        repartition = docs.rdd.getNumPartitions() < 2 * parallelism
+    if repartition:
+        # hash-distribute on the fine-grained part_key (cardinality
+        # num_parts >> partition count, so buckets balance); partition count
+        # comes from spark.sql.shuffle.partitions (AQE may coalesce), so the
+        # same job re-balances automatically at any cluster size
+        docs = docs.repartition("part_key")
     sized = docs.withColumn(
         "_total_chars",
         F.coalesce(  # NULL spans => 0, so the doc still routes (and emits an
@@ -171,7 +197,7 @@ def extract_docs(
     )
     small = sized.filter(F.col("_total_chars") <= oversize_chars).drop("_total_chars")
     big = sized.filter(F.col("_total_chars") > oversize_chars).drop("_total_chars")
-    small_out = extract_direct(small.repartition(num_parts, "part_key"))
+    small_out = extract_direct(small)  # filter preserves the partitioning
     big_out = extract_chunked(big, chunk_spans)
     return small_out.unionByName(big_out)
 
@@ -209,9 +235,10 @@ def run_pipeline(
 
     t0 = time.time()
     extracted = extract_docs(docs, num_parts, oversize_chars)
-    write_table(
-        extracted, f"{out_dir}/extracted", mode="append", partition_by=["part_key"]
-    )
+    # part_key stays as a COLUMN (lineage/resume join key), not a physical
+    # partition dir: with 512 keys x N tasks, partitionBy would spray tiny
+    # files; predicate pushdown on the column covers the rare key-scoped read
+    write_table(extracted, f"{out_dir}/extracted", mode="append")
     elapsed = time.time() - t0
 
     # lineage: recompute per-partition metrics from what was just written —

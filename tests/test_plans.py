@@ -1,0 +1,86 @@
+"""Plan-shape regression tests: the physical plans scale requires.
+
+Results being right is not enough — these pin that filters push into the
+parquet scan, dimensions broadcast, column pruning holds, and the extraction
+pipeline performs exactly one shuffle (its salted repartition).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pdf_extraction_tests_spark.plans.audit import (
+    count_exchanges,
+    formatted_plan,
+    has_broadcast_join,
+    pushed_filters,
+    read_schema_columns,
+)
+from pdf_extraction_tests_spark.queries import queries
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def q(spark):
+    return {name: fn(spark, SF) for name, fn in queries().items()
+            if name in ("q01_pricing_summary", "q02_filter_project",
+                        "q03_revenue_by_nation", "q17_band_join")}
+
+
+def test_filter_pushdown_reaches_scan(q):
+    plan = formatted_plan(q["q02_filter_project"])
+    pf = pushed_filters(plan)
+    assert "l_quantity" in pf and "l_discount" in pf, plan
+
+
+def test_column_pruning(q):
+    cols = read_schema_columns(formatted_plan(q["q02_filter_project"]))
+    # 5 needed columns, not all 11 of lineitem
+    assert set(cols) == {"l_orderkey", "l_linenumber", "l_quantity",
+                         "l_extendedprice", "l_discount"}
+
+
+def test_date_filter_pushdown(q):
+    plan = formatted_plan(q["q01_pricing_summary"])
+    assert "l_shipdate" in pushed_filters(plan)
+
+
+def test_dims_broadcast(q):
+    plan = formatted_plan(q["q03_revenue_by_nation"])
+    assert has_broadcast_join(plan)
+
+
+def test_band_join_is_broadcast(q):
+    plan = formatted_plan(q["q17_band_join"])
+    assert has_broadcast_join(plan)
+    assert count_exchanges(plan) <= 1  # only the final groupBy shuffle
+
+
+def test_extraction_single_shuffle(spark):
+    """The happy-path extraction plan: exactly one exchange (the salted
+    part_key repartition) between scan and the Arrow stage."""
+    from pdf_extraction_tests_spark.corpus import corpus_pandas
+    from pdf_extraction_tests_spark.pipeline import extract_docs
+    from pdf_extraction_tests_spark.schema import DOCS
+    import pandas as pd
+
+    src = pd.read_parquet(f"{SF}/documents.parquet").head(8)
+    docs = spark.createDataFrame(corpus_pandas(src), schema=DOCS)
+    out = extract_docs(docs, num_parts=4, oversize_chars=10**12)
+    plan = formatted_plan(out)
+    # The Union's first branch (":-" prefixed tree lines) is the small path:
+    # exactly one Exchange feeding MapInPandas.  The chunked branch owns the
+    # other exchanges but processes zero rows (empty after the size filter).
+    small_branch = [ln for ln in plan.splitlines() if ln.lstrip().startswith(":")]
+    assert sum("Exchange" in ln for ln in small_branch) == 1, plan
+    assert any("MapInPandas" in ln for ln in small_branch), plan
+    assert count_exchanges(plan) == 3, plan  # 1 small + 2 chunked-path
+
+
+def test_extraction_scan_prunes_to_needed_columns(spark):
+    from pdf_extraction_tests_spark.corpus import corpus_spark
+
+    docs = corpus_spark(spark, SF)
+    cols = read_schema_columns(formatted_plan(docs))
+    assert set(cols) == {"doc_id", "text"}  # not lang/source/n_chars
