@@ -11,9 +11,10 @@ line::
    "queries": {...per-query sec...}, "sf": ..., "scaling": {...}}
 
 Scaling evidence (north rule: >=0.8 throughput efficiency between N and 4N
-executors; sandbox stand-in is local[8] vs local[32]): run with
-``--scaling`` to fork two child processes that each time the identical
-extraction job on the same materialized corpus at the two core counts.
+executors; sandbox stand-in is local[N] vs local[4N] — default 4 vs 16, see
+``run_scaling`` for why): included in every bench record by forking child
+processes that time the identical extraction job on the same materialized
+corpus, interleaved, best-per-level.  ``--no-scaling`` skips it;
 ``--scale-run MASTER`` is the child mode (internal).
 """
 
