@@ -328,12 +328,58 @@ def detect_column_boundary(page_records: list[dict]) -> float | None:
         if g > gmax:
             gi, gmax = i, g
     if gmax <= COLUMN_GAP_FRACTION * page_right:
-        return None
+        # secondary detector: deterministic 2-means (v10.R:542-567 method 1)
+        return kmeans_1d_boundary(sub_centers, page_right)
     boundary = (xs[gi] + xs[gi + 1]) / 2.0
     left = sum(1 for c in sub_centers if c < boundary)
     if left == 0 or left == len(sub_centers):
         return None
     return boundary
+
+
+KMEANS_MIN_GAP_FRACTION = 0.12   # v10.R:551: gap > 0.12 * page_width
+KMEANS_MIN_SEPARATION = 0.3      # v10.R:551: betweenss/totss > 0.3
+
+
+def kmeans_1d_boundary(x_centers: list[float], page_width: float) -> float | None:
+    """Deterministic 1-D 2-means column split — secondary detector.
+
+    The reference uses ``kmeans(substantial_x, centers=2, nstart=20)``
+    (v10.R:542-567), which is seed-dependent; this is fixed-init Lloyd's
+    (centroids start at min/max — for k=2 in 1-D this converges to the
+    global optimum) with the reference's accept thresholds (v10.R:551):
+    centroid gap > 0.12 * page width, between-SS/total-SS > 0.3, both
+    clusters non-empty.  Used only when the primary largest-gap method
+    (v10.R:569-583) declines.
+    """
+    if len(x_centers) < COLUMN_MIN_SUBSTANTIAL or page_width <= 0:
+        return None
+    xs = np.asarray(x_centers, dtype=float)
+    c1, c2 = float(xs.min()), float(xs.max())
+    if c2 - c1 <= 0:
+        return None
+    for _ in range(50):
+        mid = (c1 + c2) / 2.0
+        left, right = xs[xs < mid], xs[xs >= mid]
+        if len(left) == 0 or len(right) == 0:
+            return None
+        n1, n2 = float(left.mean()), float(right.mean())
+        if n1 == c1 and n2 == c2:
+            break
+        c1, c2 = n1, n2
+    if (c2 - c1) <= KMEANS_MIN_GAP_FRACTION * page_width:
+        return None
+    mid = (c1 + c2) / 2.0
+    left, right = xs[xs < mid], xs[xs >= mid]
+    total_ss = float(((xs - xs.mean()) ** 2).sum())
+    if total_ss <= 0:
+        return None
+    between_ss = len(left) * (left.mean() - xs.mean()) ** 2 + len(right) * (
+        right.mean() - xs.mean()
+    ) ** 2
+    if between_ss / total_ss <= KMEANS_MIN_SEPARATION:
+        return None
+    return mid
 
 
 def reading_order(records: list[dict]) -> list[dict]:

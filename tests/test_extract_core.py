@@ -84,6 +84,31 @@ class TestReadingOrder:
         assert [r["text"] for r in ordered] == ["first by offset", "second by offset"]
 
 
+class TestKmeansFallback:
+    def test_clean_bimodal_accepted(self):
+        xs = [450, 470, 500, 520, 550, 560, 1850, 1870, 1900, 1920, 1950, 1960]
+        b = ec.kmeans_1d_boundary(xs, 2400)
+        assert b is not None and 600 < b < 1800
+
+    def test_bridged_case_where_gap_method_declines(self):
+        # max rounded-unique gap is 100 px < 0.15 * 2400, so the primary
+        # largest-gap method declines; 2-means still separates the mass
+        xs = [450, 500, 550, 600] + list(range(700, 1800, 100)) + [1850, 1900, 1950]
+        b = ec.kmeans_1d_boundary(xs, 2400)
+        assert b is not None and 700 < b < 1800
+
+    def test_uniform_rejected(self):
+        xs = list(range(400, 2000, 100))
+        # uniform spread: weak separation must be rejected (v10.R:551 rule)
+        b = ec.kmeans_1d_boundary(xs, 2400)
+        if b is not None:  # if accepted, both sides must be non-trivial
+            left = sum(1 for x in xs if x < b)
+            assert 0 < left < len(xs)
+
+    def test_single_cluster_rejected(self):
+        assert ec.kmeans_1d_boundary([500, 510, 520, 530, 540], 2400) is None
+
+
 class TestFormatDetection:
     def test_mdpi_detected(self):
         recs = ec.spans_to_regions(fx.MDPI_DOC["spans"])
