@@ -45,6 +45,7 @@ DEFAULT_NUM_PARTS = 512
 # docs whose summed span text exceeds this go through the chunked path
 DEFAULT_OVERSIZE_CHARS = 1_000_000
 DEFAULT_CHUNK_SPANS = 512
+DEFAULT_CHUNK_CHARS = 200_000
 
 
 # ---------------------------------------------------------------------------
@@ -121,21 +122,44 @@ def _assemble_doc(pdf: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def extract_chunked(docs: DataFrame, chunk_spans: int = DEFAULT_CHUNK_SPANS) -> DataFrame:
+def extract_chunked(docs: DataFrame, chunk_spans: int = DEFAULT_CHUNK_SPANS,
+                    chunk_chars: int = DEFAULT_CHUNK_CHARS) -> DataFrame:
     """Oversized documents: explode spans -> parse per (doc, chunk) ->
-    assemble per doc.  Two shuffles, but only over the (few) huge docs."""
-    exploded = docs.select(
-        "doc_id",
-        "part_key",
-        F.posexplode_outer("spans").alias("pos", "span"),
-    ).select(
-        "doc_id",
-        "part_key",
-        F.floor(F.col("pos") / F.lit(chunk_spans)).cast("int").alias("chunk"),
-        F.col("span.kind").alias("kind"),
-        F.col("span.text").alias("text"),
-        F.col("span.media_ref").alias("media_ref"),
-        F.col("span.offset").alias("offset"),
+    assemble per doc.  Two shuffles, but only over the (few) huge docs.
+
+    Chunks are cut on a running CHARACTER budget (window cumsum), not span
+    count — a multi-MB doc made of a few hundred huge spans must still
+    split into many parse units; span count alone would leave it one chunk
+    (north_star: "multi-MB spans split into sub-batches before the Arrow
+    UDF").  ``chunk_spans`` remains a secondary cap for many-tiny-span docs.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    exploded = (
+        docs.select(
+            "doc_id",
+            "part_key",
+            F.posexplode_outer("spans").alias("pos", "span"),
+        )
+        .withColumn(
+            "cum_chars",
+            F.sum(F.coalesce(F.length(F.col("span.text")), F.lit(0))).over(w),
+        )
+        .select(
+            "doc_id",
+            "part_key",
+            F.greatest(
+                F.floor(F.col("cum_chars") / F.lit(chunk_chars)),
+                F.floor(F.col("pos") / F.lit(chunk_spans)),
+            ).cast("int").alias("chunk"),
+            F.col("span.kind").alias("kind"),
+            F.col("span.text").alias("text"),
+            F.col("span.media_ref").alias("media_ref"),
+            F.col("span.offset").alias("offset"),
+        )
     )
     regions = exploded.groupBy("doc_id", "chunk", "part_key").applyInPandas(
         lambda pdf: _parse_chunk(pdf), schema=REGIONS
@@ -143,6 +167,43 @@ def extract_chunked(docs: DataFrame, chunk_spans: int = DEFAULT_CHUNK_SPANS) -> 
     return regions.groupBy("doc_id").applyInPandas(
         lambda pdf: _assemble_doc(pdf), schema=EXTRACTED_WITH_PART
     )
+
+
+# ---------------------------------------------------------------------------
+# layout table (reference complete_layout, SURVEY §1.2 / S5)
+# ---------------------------------------------------------------------------
+
+
+def extract_layout(docs: DataFrame) -> DataFrame:
+    """docs -> one row per detected block (geometry + class, no text).
+
+    Mirrors the reference's ``complete_layout`` sink (v10.R:92-103,
+    197-202): ALL parsed blocks, including 'abandon' and parse failures,
+    before any extraction filter — the debugging/audit relation.
+    """
+    from .schema import LAYOUT
+    from .shipping import ship_package
+
+    ship_package(docs.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in LAYOUT.fields]
+        for pdf in batches:
+            frames = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                recs = ec.spans_to_regions(_spans_to_records(spans))
+                if not recs:
+                    continue
+                f = pd.DataFrame(recs)
+                f.insert(0, "doc_id", doc_id)
+                frames.append(f[cols])
+            yield (
+                pd.concat(frames, ignore_index=True)
+                if frames
+                else pd.DataFrame(columns=cols)
+            )
+
+    return docs.select("doc_id", "spans").mapInPandas(run, schema=LAYOUT)
 
 
 # ---------------------------------------------------------------------------
@@ -156,6 +217,7 @@ def extract_docs(
     oversize_chars: int = DEFAULT_OVERSIZE_CHARS,
     chunk_spans: int = DEFAULT_CHUNK_SPANS,
     repartition: bool | None = None,
+    chunk_chars: int = DEFAULT_CHUNK_CHARS,
 ) -> DataFrame:
     """Route by size and extract.  Returns extracted rows with part_key.
 
@@ -198,7 +260,7 @@ def extract_docs(
     small = sized.filter(F.col("_total_chars") <= oversize_chars).drop("_total_chars")
     big = sized.filter(F.col("_total_chars") > oversize_chars).drop("_total_chars")
     small_out = extract_direct(small)  # filter preserves the partitioning
-    big_out = extract_chunked(big, chunk_spans)
+    big_out = extract_chunked(big, chunk_spans, chunk_chars)
     return small_out.unionByName(big_out)
 
 

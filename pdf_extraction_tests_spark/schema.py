@@ -98,6 +98,26 @@ REGIONS = T.StructType(
     ]
 )
 
+# Layout table (reference §1.2 ``complete_layout``, v10.R:92-103, 197-202):
+# one row per detected block — geometry + class, no text payload.  The
+# reference's per-block model ``confidence`` has no deterministic source
+# here and is omitted; add a DoubleType field when a real layout model
+# fills it.
+LAYOUT = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("page", T.IntegerType(), True),
+        T.StructField("x", T.IntegerType(), True),
+        T.StructField("y", T.IntegerType(), True),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("element_type", T.StringType(), True),
+        T.StructField("media_ref", T.StringType(), True),
+        T.StructField("offset", T.IntegerType(), True),
+        T.StructField("parse_failure", T.IntegerType(), True),
+    ]
+)
+
 # ---------------------------------------------------------------------------
 # Checkpoint / lineage table: one row per (run_id, part_key) enabling
 # resume-from-partition restarts (north rule; replaces the reference's

@@ -169,3 +169,34 @@ class TestOversizedDoc:
         rows = [r.asDict(recursive=True) for r in df.collect()]
         assert len(rows) == 1
         assert _spans_key(rows) == _oracle([doc])
+
+    def test_few_giant_spans_split_by_char_budget(self, spark):
+        """A doc of FEW huge spans must still split into many parse chunks
+        (char-budget chunking; span-count alone would make it one chunk)."""
+        giant = "tok " * 50_000  # ~200k chars per span
+        spans = [
+            {"kind": "region", "media_ref": None, "offset": i,
+             "text": f"1,200,{100 + i * 200},2000,150,plain text|{giant}{i}"}
+            for i in range(6)
+        ]
+        doc = {"doc_id": "giant_spans", "spans": spans}
+        df = pl.extract_docs(_docs_df(spark, [doc]), num_parts=2,
+                             oversize_chars=100_000, chunk_chars=200_000)
+        rows = [r.asDict(recursive=True) for r in df.collect()]
+        assert len(rows) == 1
+        assert _spans_key(rows) == _oracle([doc])
+
+
+class TestLayoutTable:
+    def test_layout_rows(self, spark):
+        lay = pl.extract_layout(_docs_df(spark, [fx.GENERIC_DOC, fx.BROKEN_DOC]))
+        rows = lay.collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        # GENERIC: every span (incl. abandon + media) has a layout row
+        assert len(by_doc["fix_generic"]) == len(fx.GENERIC_DOC["spans"])
+        assert any(r.element_type == "abandon" for r in by_doc["fix_generic"])
+        assert any(r.element_type == "media" for r in by_doc["fix_generic"])
+        # BROKEN: the malformed span appears as a parse_failure row
+        assert sum(r.parse_failure for r in by_doc["fix_broken"]) == 1
