@@ -201,12 +201,13 @@ def make_document(doc_id: int, text: str, seed: int = 42) -> list[dict]:
     if doc_id % 97 == 13:
         spans.append({"kind": "region", "text": "not-a-valid-payload",
                       "media_ref": None, "offset": len(spans)})
-    # rare multi-MB document (heavy-tail skew; routed through the chunked
-    # path — north_star requires oversized-doc sub-batching to be exercised)
-    if doc_id % 997 == 3:
+    # rare multi-MB document (heavy-tail skew; decisively above the 1M-char
+    # oversize threshold so it routes through the chunked path — north_star
+    # requires oversized-doc sub-batching to be exercised end to end)
+    if doc_id % 2999 == 3:
         big_sentence = _sentence(words, rng, 400)
         page0 = n_pages + 1
-        for i in range(420):
+        for i in range(650):
             spans.append({
                 "kind": "region", "media_ref": None, "offset": len(spans),
                 "text": region_payload(page0 + i // 20, 200, 200 + (i % 20) * 150,

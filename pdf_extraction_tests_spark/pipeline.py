@@ -30,10 +30,10 @@ import uuid
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from . import extract_core as ec
-from .schema import CHECKPOINT, EXTRACTED_WITH_PART, REGIONS
+from .schema import CHECKPOINT, DOCS, EXTRACTED_WITH_PART, REGIONS
 from .tables import read_table, write_table
 
 # part_key cardinality: the checkpoint/resume granularity.  Deliberately
@@ -103,15 +103,45 @@ def extract_direct(docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _parse_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Stage 1 (chunk-parallel): raw spans -> parsed region rows."""
-    records = pdf.sort_values("offset", kind="stable")[
-        ["kind", "text", "media_ref", "offset"]
-    ].to_dict("records")
-    regions = pd.DataFrame(ec.spans_to_regions(records), columns=ec.REGION_COLUMNS)
-    regions.insert(0, "doc_id", pdf["doc_id"].iloc[0])
-    regions.insert(1, "part_key", int(pdf["part_key"].iloc[0]))
-    return regions[[f.name for f in REGIONS.fields]]
+
+def _split_chunk_rows(batches: Iterator[pd.DataFrame],
+                      chunk_spans: int, chunk_chars: int) -> Iterator[pd.DataFrame]:
+    """Stage 0 (narrow, no shuffle): slice each oversized doc's span array
+    into chunk rows on a running character budget."""
+    for pdf in batches:
+        rows = []
+        for doc_id, part_key, spans in zip(pdf["doc_id"], pdf["part_key"], pdf["spans"]):
+            spans = _spans_to_records(spans)
+            cur: list[dict] = []
+            cum = 0
+            chunk = 0
+            for sp in spans:
+                cur.append(sp)
+                cum += len(sp.get("text") or "")
+                if cum >= chunk_chars or len(cur) >= chunk_spans:
+                    rows.append((doc_id, int(part_key), chunk, cur))
+                    cur, cum = [], 0
+                    chunk += 1
+            if cur or not spans:
+                rows.append((doc_id, int(part_key), chunk, cur))
+        yield pd.DataFrame(rows, columns=["doc_id", "part_key", "chunk", "spans"])
+
+
+def _parse_chunk_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Stage 1 (chunk-parallel): raw span chunks -> parsed region rows."""
+    cols = [f.name for f in REGIONS.fields]
+    for pdf in batches:
+        frames = []
+        for doc_id, part_key, spans in zip(pdf["doc_id"], pdf["part_key"], pdf["spans"]):
+            recs = ec.spans_to_regions(_spans_to_records(spans))
+            if not recs:
+                continue
+            f = pd.DataFrame(recs, columns=ec.REGION_COLUMNS)
+            f.insert(0, "doc_id", doc_id)
+            f.insert(1, "part_key", int(part_key))
+            frames.append(f[cols])
+        yield (pd.concat(frames, ignore_index=True) if frames
+               else pd.DataFrame(columns=cols))
 
 
 def _assemble_doc(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -124,46 +154,33 @@ def _assemble_doc(pdf: pd.DataFrame) -> pd.DataFrame:
 
 def extract_chunked(docs: DataFrame, chunk_spans: int = DEFAULT_CHUNK_SPANS,
                     chunk_chars: int = DEFAULT_CHUNK_CHARS) -> DataFrame:
-    """Oversized documents: explode spans -> parse per (doc, chunk) ->
-    assemble per doc.  Two shuffles, but only over the (few) huge docs.
+    """Oversized documents: slice spans into chunk rows (narrow) ->
+    spread + parse chunk-parallel -> assemble per doc.
 
-    Chunks are cut on a running CHARACTER budget (window cumsum), not span
+    Chunks are cut on a running CHARACTER budget (default 200k), not span
     count — a multi-MB doc made of a few hundred huge spans must still
-    split into many parse units; span count alone would leave it one chunk
-    (north_star: "multi-MB spans split into sub-batches before the Arrow
-    UDF").  ``chunk_spans`` remains a secondary cap for many-tiny-span docs.
+    split into many parse units (north_star: "multi-MB spans split into
+    sub-batches before the Arrow UDF"); ``chunk_spans`` remains a secondary
+    cap for many-tiny-span docs.  The slicing happens in a narrow
+    mapInPandas over the nested array (no per-span explode — exploding
+    multi-MB docs into one shuffle row per span cost more than the parse);
+    the only shuffles are the chunk spread and the per-doc reassembly,
+    both proportional to the (few) huge docs.
     """
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(
-        W.unboundedPreceding, W.currentRow
+    chunk_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("part_key", T.IntegerType(), False),
+            T.StructField("chunk", T.IntegerType(), False),
+            T.StructField("spans", DOCS["spans"].dataType, True),
+        ]
     )
-    exploded = (
-        docs.select(
-            "doc_id",
-            "part_key",
-            F.posexplode_outer("spans").alias("pos", "span"),
-        )
-        .withColumn(
-            "cum_chars",
-            F.sum(F.coalesce(F.length(F.col("span.text")), F.lit(0))).over(w),
-        )
-        .select(
-            "doc_id",
-            "part_key",
-            F.greatest(
-                F.floor(F.col("cum_chars") / F.lit(chunk_chars)),
-                F.floor(F.col("pos") / F.lit(chunk_spans)),
-            ).cast("int").alias("chunk"),
-            F.col("span.kind").alias("kind"),
-            F.col("span.text").alias("text"),
-            F.col("span.media_ref").alias("media_ref"),
-            F.col("span.offset").alias("offset"),
-        )
+    chunk_rows = docs.select("doc_id", "part_key", "spans").mapInPandas(
+        lambda it: _split_chunk_rows(it, chunk_spans, chunk_chars),
+        schema=chunk_schema,
     )
-    regions = exploded.groupBy("doc_id", "chunk", "part_key").applyInPandas(
-        lambda pdf: _parse_chunk(pdf), schema=REGIONS
-    )
+    spread = chunk_rows.repartition("doc_id", "chunk")
+    regions = spread.mapInPandas(_parse_chunk_rows, schema=REGIONS)
     return regions.groupBy("doc_id").applyInPandas(
         lambda pdf: _assemble_doc(pdf), schema=EXTRACTED_WITH_PART
     )
@@ -296,7 +313,9 @@ def run_pipeline(
                 docs = docs.join(F.broadcast(done), "part_key", "left_anti")
 
     t0 = time.time()
-    extracted = extract_docs(docs, num_parts, oversize_chars)
+    extracted = extract_docs(docs, num_parts, oversize_chars).withColumn(
+        "run_id", F.lit(run_id)  # row-level lineage: which run produced it
+    )
     # part_key stays as a COLUMN (lineage/resume join key), not a physical
     # partition dir: with 512 keys x N tasks, partitionBy would spray tiny
     # files; predicate pushdown on the column covers the rare key-scoped read
@@ -304,9 +323,13 @@ def run_pipeline(
     elapsed = time.time() - t0
 
     # lineage: recompute per-partition metrics from what was just written —
-    # one cheap columnar aggregation over the output, no second extraction
+    # one cheap columnar aggregation over the output, no second extraction.
+    # Filter on the row-level run_id so rows appended by OTHER runs sharing
+    # this output dir are never attributed to this run's checkpoint rows.
     out_df = read_table(spark, f"{out_dir}/extracted")
-    this_run = out_df.filter(~F.col("part_key").isin(list(done_parts)) if done_parts else F.lit(True))
+    this_run = out_df.filter(F.col("run_id") == run_id)
+    if done_parts:  # resumed: completed partitions were not re-processed
+        this_run = this_run.filter(~F.col("part_key").isin(list(done_parts)))
     metrics = (
         this_run.groupBy("part_key")
         .agg(

@@ -120,6 +120,18 @@ class TestCheckpointResume:
         assert m2["resumed_parts_skipped"] > 0
         assert m2["docs"] == 20  # totals unchanged — nothing double-counted
 
+    def test_distinct_runs_not_cross_attributed(self, spark, tmp_path):
+        """Two different run_ids appending into one output dir: the second
+        run's checkpoint metrics must count only its own rows (regression:
+        metrics recomputed from the whole dir double-counted)."""
+        docs = fx.ALL_FIXTURES[:3]
+        df = _docs_df(spark, docs)
+        out = str(tmp_path / "shared")
+        m1 = pl.run_pipeline(spark, df, out, run_id="runA", num_parts=4)
+        m2 = pl.run_pipeline(spark, df, out, run_id="runB", num_parts=4)
+        assert m1["docs"] == 3
+        assert m2["docs"] == 3  # not 6
+
     def test_lineage_rows_written(self, spark, tmp_path):
         docs = fx.ALL_FIXTURES
         out = str(tmp_path / "out2")
