@@ -73,6 +73,36 @@ def llm_structure_stage(
     return extracted.join(analyzed, "doc_id", "left")
 
 
+def apply_structure_slices(extracted_with_structure: DataFrame) -> DataFrame:
+    """P11 row-slice-by-index-list (v10.R:1269-1274): select the Nth spans
+    (1-based reading-order ranks) named by the LLM structure analysis as
+    title/authors/abstract — pure array expressions over the spans column,
+    no UDF (``slice(structure_analysis$abstract_regions)`` relationally)."""
+    spans = F.col("spans")
+
+    def pick(indices_col):
+        # spans are ordered by `order`; element_at is 1-based like the
+        # reference's slice()
+        return F.array_join(
+            F.filter(
+                F.transform(
+                    indices_col,
+                    lambda i: F.element_at(spans, i.cast("int"))["text"],
+                ),
+                lambda t: t.isNotNull(),
+            ),
+            " ",
+        )
+
+    return extracted_with_structure.withColumn(
+        "llm_title", pick(F.array(F.col("structure.title_region")))
+    ).withColumn(
+        "llm_authors", pick(F.col("structure.author_regions"))
+    ).withColumn(
+        "llm_abstract", pick(F.col("structure.abstract_regions"))
+    )
+
+
 def canned_chat_fn(prompts: list[str]) -> list[str]:
     """Deterministic test responder: echoes a fixed structure, with the
     noisy formats real models produce (prose around JSON)."""

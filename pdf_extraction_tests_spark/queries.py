@@ -922,6 +922,53 @@ def q36(spark, sf_dir):
     )
 
 
+@query(
+    "q37_intersect_except",
+    """
+    SELECT 'both' AS side, count(*) AS n FROM (
+      SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'cust_only' AS side, count(*) AS n FROM (
+      SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+    """,
+)
+def q37(spark, sf_dir):
+    """§2.7 set operations: intersect + except (distinct semantics)."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    both = c.intersect(s).agg(F.count("*").alias("n")).select(
+        F.lit("both").alias("side"), "n"
+    )
+    only = c.subtract(s).agg(F.count("*").alias("n")).select(
+        F.lit("cust_only").alias("side"), "n"  # subtract = set EXCEPT
+    )
+    return both.unionByName(only)
+
+
+@query(
+    "q38_cube",
+    """
+    SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
+           coalesce(l_linestatus, '(all)') AS l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q38(spark, sf_dir):
+    """Grouping-sets capability: CUBE over two dims."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("l_linestatus"),
+            "sum_qty",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

@@ -68,6 +68,23 @@ class TestParse:
 
 
 class TestHookStage:
+    def test_structure_slices_applied(self, spark):
+        """P11: spans selected by 1-based structure indices."""
+        from pdf_extraction_tests_spark.operators.llm_hook import apply_structure_slices
+        from pdf_extraction_tests_spark.pipeline import extract_docs
+        from pdf_extraction_tests_spark.schema import DOCS
+        from tests import fixtures as fx
+
+        pdf = pd.DataFrame([{"doc_id": fx.GENERIC_DOC["doc_id"],
+                             "spans": fx.GENERIC_DOC["spans"]}])
+        extracted = extract_docs(spark.createDataFrame(pdf, schema=DOCS), num_parts=2)
+        with_struct = llm_structure_stage(extracted, canned_chat_fn)
+        row = apply_structure_slices(with_struct).collect()[0]
+        # canned structure: title=[1], authors=[2], abstract=[3] (1-based)
+        assert row.llm_title == "Deterministic Extraction Of Ordered Spans"
+        assert row.llm_authors == "Alice Example, Bob Sample 1,2"
+        assert row.llm_abstract.startswith("Abstract This synthetic paper")
+
     def test_structure_attached(self, spark):
         from pdf_extraction_tests_spark.pipeline import extract_docs
         from pdf_extraction_tests_spark.schema import DOCS
