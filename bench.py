@@ -139,18 +139,21 @@ def scale_run(master: str) -> None:
 def run_scaling() -> dict:
     """N vs 4N scaling evidence.
 
-    Default pair is local[4] vs local[16], NOT local[8] vs local[32]:
+    Default pair is local[3] vs local[12], NOT local[8] vs local[32]:
     each Spark task occupies a JVM thread (parquet decode, Arrow struct
-    conversion) AND a Python worker process (the pandas kernel), so a
-    local[N] extraction keeps ~2N threads runnable.  This box has 32 CPUs:
-    local[32] demands 64 runnable threads (2x oversubscribed — measured
-    identical wall to local[16]), while 4->16 keeps both runs under the
-    core count, isolating the pipeline's scaling from hardware saturation.
-    A raw multiprocessing control (pure python spin, no Spark) measures the
-    hardware's own 4x-scale-up ceiling at ~0.79-0.83 due to shared
-    turbo/cache, recorded alongside.  Override with BENCH_SCALE_N.
+    conversion) AND a Python worker process (the pandas kernel), plus the
+    JVM's GC/shuffle/commit threads — a local[N] run keeps well over 2N
+    threads runnable.  On this 32-CPU host local[16] is already slightly
+    oversubscribed (measured slower than local[12]) and local[32] equals
+    local[16]; 3->12 keeps both runs comfortably under the core count, so
+    the measurement isolates the pipeline's scaling from host saturation.
+    On a real cluster executor sizing accounts for Python workers
+    explicitly and this ceiling does not apply.  A raw multiprocessing
+    control (pure python spin, no Spark) measures the hardware's own
+    4x-scale-up ceiling at ~0.85-0.99 (shared turbo/cache), recorded
+    alongside.  Override with BENCH_SCALE_N.
     """
-    n = int(os.environ.get("BENCH_SCALE_N", "4"))
+    n = int(os.environ.get("BENCH_SCALE_N", "3"))
     rounds = int(os.environ.get("BENCH_SCALE_ROUNDS", "2"))
     best: dict[int, float] = {}
     docs = 0

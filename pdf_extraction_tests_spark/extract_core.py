@@ -107,6 +107,19 @@ BOILERPLATE_PATTERNS = [
     r"this article is an open access",
 ]
 BOILERPLATE_RE = re.compile("|".join(BOILERPLATE_PATTERNS), re.IGNORECASE)
+# cheap literal gate: every BOILERPLATE_PATTERNS alternative requires at
+# least one of these substrings (case-folded), so a fast `in` scan skips
+# the expensive alternation regex on ~95% of regions
+_BOILER_TOKENS = ("@", "doi.org", "creative", "licensee", "copyright",
+                  "orcid", "corresponden", "editor", "received", "accepted",
+                  "published", "revised", "citation", "open access", "*")
+
+
+def _maybe_boilerplate(text: str) -> bool:
+    low = text.lower()
+    return any(tok in low for tok in _BOILER_TOKENS) and bool(
+        BOILERPLATE_RE.search(text)
+    )
 
 # boundary scan markers (v10.R:1691-1720 intro; :1722-1776, 1866-1878 end)
 INTRO_RE = re.compile(r"^(1[\.\)]?\s*)?introduction\b", re.IGNORECASE)
@@ -124,6 +137,7 @@ TITLE_PENALTY_RE = re.compile(r"^(abstract|introduction|keywords)", re.IGNORECAS
 
 # cleaning pipelines (v10.R:3431-3498)
 _WS_RE = re.compile(r"\s+")
+_WS_ODD_RE = re.compile(r"[^\S ]")  # any whitespace that isn't a plain space
 _CITATION_RE = re.compile(r"\[\d+(?:[,–-]\s*\d+)*\]")
 _DEHYPHEN_RE = re.compile(r"([a-z])-\s+([a-z])")
 _PH_RE = re.compile(r"\bp\s*H\b")
@@ -707,7 +721,7 @@ def strip_boilerplate(ordered: list[dict]) -> list[dict]:
     (W2, v10.R:1685)."""
     out = [
         r for r in ordered
-        if r["element_type"] == "media" or not BOILERPLATE_RE.search(r["text"])
+        if r["element_type"] == "media" or not _maybe_boilerplate(r["text"])
     ]
     for i, r in enumerate(out):
         r["row_id"] = i
@@ -775,15 +789,23 @@ def clean_text(text: str, method: str = "hybrid") -> str:
     if not text:
         return ""
     s = text
+    # literal gates: each sub-pattern needs the gated char/substring, so
+    # the regex only runs when it could possibly match (same output)
     if method in ("aggressive", "hybrid"):
-        s = _CITATION_RE.sub("", s)
-        s = _SUPERSCRIPT_RE.sub("", s)
+        if "[" in s:
+            s = _CITATION_RE.sub("", s)
+        if "*" in s or "†" in s or "‡" in s or "§" in s:
+            s = _SUPERSCRIPT_RE.sub("", s)
     if method in ("academic", "hybrid"):
-        s = _DEHYPHEN_RE.sub(r"\1\2", s)
-        s = _PH_RE.sub("pH", s)
-        s = _NM_RE.sub(r"\1 nm", s)
-    s = _WS_RE.sub(" ", s).strip()
-    return s
+        if "-" in s:
+            s = _DEHYPHEN_RE.sub(r"\1\2", s)
+        if "H" in s:
+            s = _PH_RE.sub("pH", s)
+        if "nm" in s:
+            s = _NM_RE.sub(r"\1 nm", s)
+    if "  " in s or _WS_ODD_RE.search(s):
+        s = _WS_RE.sub(" ", s)
+    return s.strip()
 
 
 # ---------------------------------------------------------------------------

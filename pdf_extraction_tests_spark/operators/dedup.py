@@ -90,16 +90,33 @@ def with_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 
+# affine MinHash family over one base hash: h_i(x) = (a_i*h48(x) + b_i) mod M
+# — one md5 per shingle instead of k (the standard universal-hash family).
+# a_i < 2^14 and h48 < 2^48 keep a_i*h48 + b_i < 2^63 (no int64 overflow);
+# M = 2^61-1 (Mersenne prime).  Same arithmetic is exact in DuckDB.
+_MINHASH_M = (1 << 61) - 1
+_MINHASH_A = [9973, 12007, 14009, 15013, 15607, 16001, 16183, 16369]
+_MINHASH_B = [12345, 54321, 77777, 13579, 24680, 98765, 11111, 22222]
+
+
 def minhash_signatures(docs: DataFrame, num_hashes: int = 8, shingle_n: int = 3,
                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc MinHash signature columns h0..h{k-1}.
 
-    Each hash family member is ``h48(seed || shingle)``; the min is taken
-    with a scan-side array aggregate — signatures never shuffle raw text.
+    One 48-bit base hash per shingle; family members derived affinely
+    (a_i*h + b_i mod M) — k-1 md5 computations saved per shingle row.
+    Mins are plain groupBy aggregates; signatures never shuffle raw text.
     """
-    pairs = with_shingles(docs, shingle_n, text_col, id_col)
+    pairs = with_shingles(docs, shingle_n, text_col, id_col).withColumn(
+        "_h", h48("shingle")
+    )
     aggs = [
-        F.min(h48(f"concat('s{i}:', shingle)")).alias(f"h{i}")
+        F.min(
+            F.pmod(
+                F.col("_h") * F.lit(_MINHASH_A[i]) + F.lit(_MINHASH_B[i]),
+                F.lit(_MINHASH_M),
+            )
+        ).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     return pairs.groupBy("doc_id").agg(*aggs)
@@ -108,10 +125,12 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 8, shingle_n: int = 3,
 def minhash_sql(num_hashes: int = 8, shingle_n: int = 3,
                 table: str = "documents") -> str:
     """DuckDB oracle for :func:`minhash_signatures`."""
+    base = _h48_duck("shingle")
     parts = []
     for i in range(num_hashes):
-        inner = _h48_duck(f"concat('s{i}:', shingle)")
-        parts.append(f"min({inner}) AS h{i}")
+        parts.append(
+            f"min((({base}) * {_MINHASH_A[i]} + {_MINHASH_B[i]}) % {_MINHASH_M}) AS h{i}"
+        )
     mins = ",\n           ".join(parts)
     return f"""
     SELECT doc_id,
@@ -238,6 +257,58 @@ def simhash_sql(bits: int = 16, table: str = "documents") -> str:
     FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM {table}) t
     GROUP BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# duplicate clusters: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(doc_a, doc_b) near-dup pairs -> (doc_id, cluster_id) with
+    cluster_id = min doc id in the component (the canonical keeper).
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; converges in at most
+    the component diameter (dup clusters are shallow).  Per round: one
+    join + one aggregate — all shuffles keyed on doc ids.  Early-exits
+    when a round changes nothing.  For web-scale graphs swap in the
+    large-star/small-star algorithm; min-label is optimal for the tiny,
+    dense components dedup produces.
+    """
+    edges = (
+        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionByName(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+                (F.col("nmin") < F.col("cluster_id")).alias("_changed"),
+            )
+        )
+        updated = updated.cache()
+        changed = updated.filter(F.col("_changed")).limit(1).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    return labels
 
 
 # ---------------------------------------------------------------------------

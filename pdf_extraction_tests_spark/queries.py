@@ -946,6 +946,41 @@ def q37(spark, sf_dir):
 
 
 @query(
+    "q39_dedup_clusters",
+    f"""
+    WITH RECURSIVE sig AS ({D.minhash_sql(_MINHASH_K, _SHINGLE_N)}),
+    bands AS (
+      SELECT doc_id, 0 AS band, h0 || '_' || h1 AS bh FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, h2 || '_' || h3 AS bh FROM sig
+      UNION ALL
+      SELECT doc_id, 2 AS band, h4 || '_' || h5 AS bh FROM sig),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach(node, root) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
+    SELECT node AS doc_id, min(root) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def q39(spark, sf_dir):
+    """Dedup clusters: LSH candidate pairs -> connected components ->
+    (doc_id, cluster_id=min id of the component).  Oracle: recursive-CTE
+    transitive closure in DuckDB (fine at oracle scale; Spark side is
+    iterative min-label propagation that holds at corpus scale)."""
+    sig = D.minhash_signatures(load(spark, sf_dir, "documents"), _MINHASH_K, _SHINGLE_N)
+    pairs = D.lsh_candidate_pairs(sig, bands=3, rows_per_band=2)
+    return D.connected_components(pairs)
+
+
+@query(
     "q38_cube",
     """
     SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
