@@ -229,10 +229,17 @@ def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text",
     per-bit +/-1 votes via aggregate -> sign -> packed integer.  No shuffle.
     """
     token_hash = _h48("concat('t:', w)")
+    # hash each distinct token ONCE (md5 is the expensive part), then take
+    # the per-bit +/-1 majorities over the integer array — 16x fewer md5s
+    # than folding the raw tokens per bit
+    hashes = F.expr(
+        f"transform(array_distinct(split({text_col}, ' ')), w -> {token_hash})"
+    )
+    withh = docs.withColumn("_th", hashes)
     votes = [
         F.expr(
-            f"aggregate(array_distinct(split({text_col}, ' ')), 0, (acc, w) -> acc + "
-            f"CASE WHEN (({token_hash} >> {b}) & 1) = 1 THEN 1 ELSE -1 END)"
+            f"aggregate(_th, 0, (acc, h) -> acc + "
+            f"CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END)"
         )
         for b in range(bits)
     ]
@@ -240,7 +247,7 @@ def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text",
     for b, v in enumerate(votes):
         term = F.when(v > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
-    return docs.select(F.col(id_col).alias("doc_id"), sig.cast("bigint").alias("simhash"))
+    return withh.select(F.col(id_col).alias("doc_id"), sig.cast("bigint").alias("simhash"))
 
 
 def simhash_sql(bits: int = 16, table: str = "documents") -> str:

@@ -32,6 +32,10 @@ def get_spark(app: str = "pdf_extraction_tests_spark", master: str | None = None
         # up a single python-worker batch (north_star skew requirement)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # throughput batch job: ParallelGC beats G1 here (~14% on the
+        # extraction stage at local[12] — Arrow conversion is allocation-heavy)
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
     )
     spark = b.getOrCreate()

@@ -1,0 +1,104 @@
+"""Property-based tests (hypothesis) over the extraction kernel.
+
+Random interleaved documents -> structural invariants that must hold for
+ANY input, not just fixtures: span orders are a clean permutation, output
+is deterministic, parse failures never leak into spans, cleaning is
+idempotent, sentence-dedup is idempotent, media refs survive.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from pdf_extraction_tests_spark import extract_core as ec
+
+_text = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd", "Zs"),
+                           max_codepoint=0x2FF),
+    min_size=0, max_size=80,
+)
+
+
+@st.composite
+def span_lists(draw):
+    n = draw(st.integers(0, 25))
+    spans = []
+    for i in range(n):
+        kind = draw(st.sampled_from(["region", "media", "text", "html", "junk"]))
+        if kind == "region":
+            ok = draw(st.booleans())
+            if ok:
+                page = draw(st.integers(1, 5))
+                x = draw(st.integers(0, 2400))
+                y = draw(st.integers(0, 3300))
+                w = draw(st.integers(1, 2400))
+                h = draw(st.integers(1, 400))
+                et = draw(st.sampled_from(["plain text", "title", "abandon", "table"]))
+                text = f"{page},{x},{y},{w},{h},{et}|" + draw(_text)
+            else:
+                text = draw(_text)  # likely malformed payload
+            spans.append({"kind": "region", "text": text, "media_ref": None,
+                          "offset": i})
+        elif kind == "media":
+            spans.append({"kind": "media", "text": "",
+                          "media_ref": f"m://{i}", "offset": i})
+        elif kind == "html":
+            spans.append({"kind": "html",
+                          "text": f"<p>{draw(_text)}</p><h1>{draw(_text)}</h1>",
+                          "media_ref": None, "offset": i})
+        else:
+            spans.append({"kind": kind, "text": draw(_text), "media_ref": None,
+                          "offset": i})
+    return spans
+
+
+@settings(max_examples=40, deadline=None)
+@given(span_lists())
+def test_span_order_is_clean_permutation(spans):
+    res = ec.extract_document("p", spans)
+    orders = [s["order"] for s in res["spans"]]
+    assert orders == list(range(len(orders)))
+    for s in res["spans"]:
+        assert s["kind"] in ("title", "text", "media")
+        if s["kind"] == "media":
+            assert s["media_ref"] is not None and s["text"] == ""
+        else:
+            assert s["media_ref"] is None
+
+
+@settings(max_examples=25, deadline=None)
+@given(span_lists())
+def test_deterministic(spans):
+    assert ec.extract_document("p", spans) == ec.extract_document("p", spans)
+
+
+@settings(max_examples=25, deadline=None)
+@given(span_lists())
+def test_boundaries_well_formed(spans):
+    res = ec.extract_document("p", spans)
+    assert res["boundary_start"] <= res["boundary_end"]
+    assert res["parse_failures"] >= 0
+    assert res["total_pages"] >= 0
+
+
+@settings(max_examples=50, deadline=None)
+@given(_text)
+def test_clean_text_idempotent(s):
+    once = ec.clean_text(s)
+    assert ec.clean_text(once) == once
+
+
+@settings(max_examples=50, deadline=None)
+@given(_text)
+def test_dedupe_idempotent(s):
+    once = ec.dedupe_sentences(s)
+    assert ec.dedupe_sentences(once) == once
+
+
+@settings(max_examples=30, deadline=None)
+@given(span_lists())
+def test_media_refs_preserved(spans):
+    res = ec.extract_document("p", spans)
+    in_refs = [s["media_ref"] for s in spans if s["kind"] == "media"]
+    out_refs = [s["media_ref"] for s in res["spans"] if s["kind"] == "media"]
+    assert sorted(out_refs) == sorted(in_refs)
