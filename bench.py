@@ -209,6 +209,15 @@ def main() -> None:
 
     from pdf_extraction_tests_spark.queries import queries
 
+    # scaling children run FIRST, while no other JVM exists in this process
+    # tree — a live multi-GB parent session polluted child measurements
+    scaling = None
+    if "--no-scaling" not in sys.argv:
+        boot = _session(f"local[{CPUS}]")
+        ensure_corpus(boot)
+        boot.stop()
+        scaling = run_scaling()
+
     spark = _session(f"local[{CPUS}]")
     n_docs = ensure_corpus(spark)
     _warmup(spark)
@@ -235,9 +244,9 @@ def main() -> None:
         "cpus": CPUS,
         "total_query_sec": round(sum(per_query.values()), 3),
     }
-    if "--no-scaling" not in sys.argv:
+    if scaling is not None:
         # the north-rule scaling evidence ships in every bench record
-        result["scaling"] = run_scaling()
+        result["scaling"] = scaling
     spark.stop()
     print(json.dumps(result))
 
