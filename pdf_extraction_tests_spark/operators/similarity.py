@@ -79,6 +79,69 @@ def with_lsh_bucket(emb: DataFrame, planes: np.ndarray,
     return emb.withColumn("bucket", bucket_of(F.col(vec_col)))
 
 
+def ivf_centroids(emb: DataFrame, n_lists: int = 16, seed: int = 42,
+                  vec_col: str = "embedding", sample: int = 2048) -> np.ndarray:
+    """Deterministic IVF coarse quantizer: k-means (fixed-seed init, few
+    Lloyd iterations) over a seeded sample of the corpus.
+
+    Runs on the driver over a bounded sample — the standard way to train a
+    coarse quantizer; assignment of the full corpus stays distributed."""
+    rows = (
+        emb.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col).cast("string")))  # seeded-stable sample
+        .limit(sample)
+        .collect()  # bounded-sample ok: quantizer training set, <= `sample` rows
+    )
+    mat = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    rng = np.random.default_rng(seed)
+    cents = mat[rng.choice(len(mat), size=min(n_lists, len(mat)), replace=False)]
+    for _ in range(8):
+        d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            members = mat[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def with_ivf_list(emb: DataFrame, centroids: np.ndarray,
+                  vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest coarse centroid (``ivf_list``).
+
+    Vectorized pandas UDF — one matrix distance computation per Arrow
+    batch.  At scale ``ivf_list`` becomes the table's partition column so a
+    probe is a partition-pruned scan of n_probe lists."""
+    cents = centroids
+
+    @F.pandas_udf(T.IntegerType())
+    def list_of(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="int32")
+        mat = np.stack(vs.to_numpy()).astype(np.float64)
+        d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    return emb.withColumn("ivf_list", list_of(F.col(vec_col)))
+
+
+def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+             n_lists: int = 16, n_probe: int = 3, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN: train a coarse quantizer, probe the n_probe nearest lists,
+    exact-rank inside them.  Recall rises with n_probe (n_probe == n_lists
+    degenerates to exact brute force)."""
+    cents = ivf_centroids(emb, n_lists, seed, vec_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    order = (((cents - q[None, :]) ** 2).sum(axis=1)).argsort()[:n_probe]
+    probe_lists = [int(x) for x in order]
+    assigned = with_ivf_list(emb, cents, vec_col)
+    return cosine_topk(
+        assigned.filter(F.col("ivf_list").isin(probe_lists)),
+        query_vec, k, id_col, vec_col,
+    )
+
+
 def ann_topk(emb: DataFrame, query_vec: list[float], k: int = 10, bits: int = 6,
              seed: int = 42, id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:

@@ -27,8 +27,9 @@ def test_no_row_at_a_time_udfs():
 
 def test_no_driver_side_collect_loops():
     """`.collect()` in package transforms would de-distribute an operator;
-    the only sanctioned uses are checkpoint bookkeeping in pipeline.py and
-    the single-row query-vector fetch documented in queries.py."""
+    sanctioned uses are checkpoint bookkeeping in pipeline.py and lines
+    explicitly marked ``bounded-sample ok`` (driver-side training samples
+    behind a limit())."""
     allowed = {"pipeline.py"}
     offenders = []
     for path in PKG.rglob("*.py"):
@@ -36,6 +37,6 @@ def test_no_driver_side_collect_loops():
             continue
         for i, line in enumerate(path.read_text().splitlines(), 1):
             code = line.split("#")[0]
-            if ".collect()" in code:
+            if ".collect()" in code and "bounded-sample ok" not in line:
                 offenders.append(f"{path.name}:{i}: {line.strip()}")
     assert not offenders, "driver-side collect in operators:\n" + "\n".join(offenders)

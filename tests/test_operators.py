@@ -96,6 +96,25 @@ class TestSimilarity:
         assert 0 in approx
         assert len(exact & approx) >= 3
 
+    def test_ivf_recall_and_determinism(self, spark, emb):
+        qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()[1]]
+        exact = {r.vec_id for r in S.cosine_topk(emb, qvec, k=10).collect()}
+        a = S.ivf_topk(emb, qvec, k=10, n_lists=8, n_probe=3)
+        got_a = [(r.vec_id, r.cosine) for r in a.collect()]
+        got_b = [(r.vec_id, r.cosine)
+                 for r in S.ivf_topk(emb, qvec, k=10, n_lists=8, n_probe=3).collect()]
+        assert got_a == got_b  # deterministic quantizer + assignment
+        approx = {v for v, _ in got_a}
+        assert 0 in approx
+        assert len(exact & approx) >= 5  # multi-probe recall beats 1-probe LSH
+
+    def test_ivf_full_probe_equals_exact(self, spark, emb):
+        qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()[1]]
+        exact = [(r.vec_id, r.cosine) for r in S.cosine_topk(emb, qvec, k=5).collect()]
+        full = [(r.vec_id, r.cosine)
+                for r in S.ivf_topk(emb, qvec, k=5, n_lists=4, n_probe=4).collect()]
+        assert full == exact
+
     def test_bucket_is_deterministic(self, spark, emb):
         planes = S.hyperplanes(64, 6)
         a = {r.vec_id: r.bucket for r in S.with_lsh_bucket(emb, planes).collect()}
