@@ -132,6 +132,7 @@ ABSTRACT_HEADER_RE = re.compile(r"^abstract\b[:.]?\s*", re.IGNORECASE)
 
 # author scoring (v10.R:1085-1103, 1171-1195)
 NAME_RE = re.compile(r"[A-Z][a-z]+\s+[A-Z][a-z]+")
+_DIGIT_RE = re.compile(r"\d")
 AUTHOR_PENALTY_RE = re.compile(r"abstract|introduction|keywords|received", re.IGNORECASE)
 TITLE_PENALTY_RE = re.compile(r"^(abstract|introduction|keywords)", re.IGNORECASE)
 
@@ -672,7 +673,7 @@ def extract_authors(ordered: list[dict], title_row: int) -> str:
         score = (
             2.0 * len(NAME_RE.findall(t))
             + 0.5 * t.count(",")
-            + (0.5 if any(c.isdigit() for c in t) else 0.0)
+            + (0.5 if _DIGIT_RE.search(t) else 0.0)
             - (5.0 if AUTHOR_PENALTY_RE.search(t) else 0.0)
             - (5.0 if len(t) > 300 else 0.0)
         )
