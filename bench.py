@@ -154,7 +154,7 @@ def run_scaling() -> dict:
     alongside.  Override with BENCH_SCALE_N.
     """
     n = int(os.environ.get("BENCH_SCALE_N", "3"))
-    rounds = int(os.environ.get("BENCH_SCALE_ROUNDS", "2"))
+    rounds = int(os.environ.get("BENCH_SCALE_ROUNDS", "3"))
     best: dict[int, float] = {}
     docs = 0
     # interleave the two levels (A,B,A,B) so a slow-host period cannot bias
