@@ -11,7 +11,7 @@ line::
    "queries": {...per-query sec...}, "sf": ..., "scaling": {...}}
 
 Scaling evidence (north rule: >=0.8 throughput efficiency between N and 4N
-executors; sandbox stand-in is local[N] vs local[4N] — default 4 vs 16, see
+executors; sandbox stand-in is local[N] vs local[4N] — default 3 vs 12, see
 ``run_scaling`` for why): included in every bench record by forking child
 processes that time the identical extraction job on the same materialized
 corpus, interleaved, best-per-level.  ``--no-scaling`` skips it;
