@@ -39,7 +39,9 @@ _MDPI_FRONT = [
     ("plain text", "* Correspondence: author@example.org", 1020),
 ]
 _NATURE_FRONT = [
-    ("abandon", "nature research | springer nature synthetic edition", 40),
+    # marker text matches both the detector rule (v10.R:636 'nature.*
+    # communications') and the banded-path flag (v10.R:1363)
+    ("abandon", "nature communications | springer nature synthetic edition", 40),
 ]
 
 

@@ -56,36 +56,43 @@ SUBSTANTIAL_SKIP_RE = re.compile(r"^(?:page|doi|figure|table)\s", re.IGNORECASE)
 COLUMN_GAP_FRACTION = 0.15  # max x-gap must exceed 0.15 * page width
 COLUMN_MIN_SUBSTANTIAL = 4  # need at least 4 substantial regions
 
-# format detection: weighted regex hits -> argmax (v10.R:603-674)
-FORMAT_RULES: dict[str, list[tuple[re.Pattern, float]]] = {
-    "mdpi": [
-        (re.compile(r"\bmdpi\b"), 3.0),
-        (re.compile(r"academic editor"), 2.0),
-        (re.compile(r"\bcitation:"), 2.0),
-        (re.compile(r"received:.*accepted:"), 2.0),
-    ],
-    "nature": [
-        (re.compile(r"\bnature\b"), 2.0),
-        (re.compile(r"springer"), 1.0),
-        (re.compile(r"nature research"), 2.0),
-    ],
-    "jac": [
-        (re.compile(r"journal of antimicrobial chemotherapy"), 3.0),
-        (re.compile(r"\bjac\b"), 1.0),
-        (re.compile(r"objectives:"), 1.0),
-        (re.compile(r"\bmethods:"), 1.0),
-    ],
-    "jsm": [
-        (re.compile(r"journal of sports medicine"), 3.0),
-        (re.compile(r"\bjsm\b"), 1.0),
-    ],
-    "elsevier": [
-        (re.compile(r"elsevier"), 3.0),
-        (re.compile(r"sciencedirect"), 2.0),
-        (re.compile(r"article info"), 1.0),
-    ],
-}
+# format detection (v10.R:599-675): per-class weighted regex rules over the
+# page-1 publisher blob + layout hints, first-max-wins in the reference's
+# list order.  Class vocabulary matches the reference exactly
+# (golden: v10_ALTAIR.R:3770 'generic_academic').
+FORMAT_CLASS_ORDER = [
+    "nature_communications", "rsc", "elsevier", "mdpi", "generic_academic",
+]
 DEFAULT_FORMAT = "generic_academic"
+# (class, points, pattern) applied to publisher_text — v10.R:623-656 verbatim
+_FMT_PUB_RULES: list[tuple[str, float, re.Pattern]] = [
+    ("mdpi", 5.0, re.compile(
+        r"mdpi|biomolecules|nanomaterials|materials|sustainability|applied sciences")),
+    ("mdpi", 3.0, re.compile(r"licensee mdpi|basel, switzerland")),
+    ("mdpi", 2.0, re.compile(
+        r"academic editor:|received:.*revised:.*accepted:.*published:")),
+    ("nature_communications", 3.0, re.compile(
+        r"nature.*communications|doi.*nature|nature\.com")),
+    ("rsc", 3.0, re.compile(
+        r"royal society|environmental science|rsc\.li|rsc publishing")),
+    ("elsevier", 5.0, re.compile(
+        r"elsevier|sciencedirect|computational.*structural.*biotechnology")),
+    ("elsevier", 3.0, re.compile(r"journal homepage.*www\.elsevier\.com")),
+    ("elsevier", 2.0, re.compile(r"review article|research article|article info")),
+]
+# applied to ALL page-1 text (v10.R:655-657)
+_FMT_ALLTEXT_RULE = ("elsevier", 2.0, re.compile(r"article\s+info|abstract.*keywords"))
+
+# banded-path selection flags (v10.R:1363-1366): the reference's per-format
+# abstract/band extraction triggers on these regexes over page-1 text,
+# independently of detect_document_format's class
+BAND_FLAG_RES: list[tuple[str, re.Pattern]] = [
+    ("nature", re.compile(r"nature.*nanotechnology|nature.*communications")),
+    ("jac", re.compile(r"journal.*antimicrobial.*chemotherapy")),
+    ("jsm", re.compile(r"jsm nanotechnology|scimed.*central")),
+    ("elsevier", re.compile(
+        r"elsevier|sciencedirect|computational.*structural.*biotechnology")),
+]
 
 # MDPI-style front-matter / boilerplate strip (v10.R:1661-1685)
 BOILERPLATE_PATTERNS = [
@@ -121,8 +128,30 @@ def _maybe_boilerplate(text: str) -> bool:
         BOILERPLATE_RE.search(text)
     )
 
-# boundary scan markers (v10.R:1691-1720 intro; :1722-1776, 1866-1878 end)
+# boundary scan markers.
+# Intro: the reference's weighted intro score (v10.R:1697-1709) — components
+# below; threshold >= 3, argmax desc(score) then row_id, fallback
+# min(15, nrow) (:1716-1718).
+INTRO_MDPI_RE = re.compile(r"^Abstract:\s+\w+")          # weight 10 (x is_mdpi)
+INTRO_GENERAL_RE = re.compile(r"introduction|^1\.\s+introduction")  # weight 5, on lower
+INTRO_NUMBERED_RE = re.compile(r"^1\.\s+[A-Z]")          # weight 3
+INTRO_STARTS_PROPERLY_RE = re.compile(r"^[A-Z][a-z]")    # weight 1 (+1 substantial)
+INTRO_SCORE_THRESHOLD = 3
+INTRO_FALLBACK_ROWS = 15
+# legacy anchored intro pattern — kept for the v7-era first-match detector
 INTRO_RE = re.compile(r"^(1[\.\)]?\s*)?introduction\b", re.IGNORECASE)
+# End, primary: the reference's conservative end-score (v10.R:1866-1878):
+# an exact References/Acknowledgments header, short, late (page >= 6), no
+# doi/url — all four must hold (the score is a product).
+END_HEADER_RE = re.compile(r"^\s*References\s*$|^\s*REFERENCES\s*$")
+END_ACK_RE = re.compile(r"^\s*Acknowledgments?\s*$")
+END_NOT_DOI_RE = re.compile(r"doi|www\.|http")
+END_SHORT_CHARS = 50
+END_LATE_PAGE = 6
+# End, fallback (repo extension, simplified from the reference's end-matter
+# marker scans v10.R:1743-1772 / 2160-2171): first end-matter heading after
+# the start — keeps short documents (< 6 pages, where the conservative rule
+# can never fire) trimmed.
 END_RE = re.compile(
     r"^(references|bibliography|acknowledg(e)?ments?|author contributions?"
     r"|funding|conflicts? of interest|data availability|supplementary material)",
@@ -606,18 +635,58 @@ def lookahead_end_scan(body: list[dict], start: int, end: int) -> int:
 
 
 def detect_document_format(records: list[dict]) -> str:
-    """Weighted-regex argmax over page-1 abandon + plain-text blobs
-    (v10.R:599-675; scoring table :623-656, argmax :672)."""
+    """Reference-faithful format detector (v10.R:599-675).
+
+    publisher_text = page-1 abandon + plain-text blob (lowercased,
+    v10.R:612-620); all_text = every page-1 block (:601); each rule adds its
+    points once if its regex hits; layout hints from the first page-1 region
+    with y < 600 and > 30 chars (:658-672); generic_academic starts at 1 and
+    the winner is the FIRST maximum in the reference's list order
+    (R which.max, :672) — so a class that merely ties generic at 1 via a
+    layout hint wins, exactly as the reference behaves.
+    """
+    p1 = [r for r in records if r["page"] <= 1 and r["element_type"] != "media"]
+    all_text = " ".join(r["text"] for r in p1).lower()
+    publisher_text = " ".join(
+        r["text"] for r in p1 if r["element_type"] in ("abandon", "plain text")
+    ).lower()
+    scores = {c: 0.0 for c in FORMAT_CLASS_ORDER}
+    scores["generic_academic"] = 1.0
+    for cls, pts, pat in _FMT_PUB_RULES:
+        if pat.search(publisher_text):
+            scores[cls] += pts
+    cls, pts, pat = _FMT_ALLTEXT_RULE
+    if pat.search(all_text):
+        scores[cls] += pts
+    title_regions = sorted(
+        (r for r in p1 if r["y"] < 600 and len(r["text"]) > 30),
+        key=lambda r: (r["y"], r["offset"]),
+    )
+    if title_regions:
+        title_y = title_regions[0]["y"]
+        if title_y < 300:
+            scores["nature_communications"] += 1.0
+        if 200 < title_y < 400:
+            scores["rsc"] += 1.0
+    best = FORMAT_CLASS_ORDER[0]
+    for c in FORMAT_CLASS_ORDER[1:]:
+        if scores[c] > scores[best]:
+            best = c
+    return best
+
+
+def detect_band_format(records: list[dict]) -> str | None:
+    """Banded-path selector (v10.R:1363-1366): first matching flag regex
+    over the page-1 text blob picks the per-format band/abstract path
+    (nature/jac/jsm/elsevier); None -> generic scorer only."""
     blob = " ".join(
         r["text"] for r in records
-        if r["page"] <= 1 and r["element_type"] in ("abandon", "plain text")
+        if r["page"] <= 1 and r["element_type"] != "media"
     ).lower()
-    best, best_score = DEFAULT_FORMAT, 0.0
-    for fmt, rules in FORMAT_RULES.items():
-        score = sum(wt for pat, wt in rules if pat.search(blob))
-        if score > best_score:
-            best, best_score = fmt, score
-    return best if best_score >= 2.0 else DEFAULT_FORMAT
+    for name, pat in BAND_FLAG_RES:
+        if pat.search(blob):
+            return name
+    return None
 
 
 # ---------------------------------------------------------------------------
@@ -685,6 +754,42 @@ def extract_authors(ordered: list[dict], title_row: int) -> str:
     return best["text"] if best is not None else ""
 
 
+# author canonicalization (v10.R:3552-3575 split rules; :769-770 strip)
+_AUTHOR_SUPERSCRIPT_RE = re.compile("[°*†‡§¶#¹²³⁴⁵⁶⁷⁸⁹⁰'\"?]")
+_AUTHOR_AFFIL_DIGIT_RE = re.compile(r"\s*\b\d+(,\d+)*\b")
+_AUTHOR_DROP_RE = re.compile(r"^(Here|The|Authors)")
+
+
+def clean_author_list(authors: str) -> str:
+    """Raw author line -> canonical ``"A; B; C"`` form.
+
+    The reference's author post-processing (v10.R:3552-3575): split on
+    ``;`` or newlines, trim, drop empties and lines starting Here/The/
+    Authors; if that leaves a single comma-bearing element, split on
+    commas; per name, strip superscript/affiliation marks
+    (v10.R:769-770's character class) and trailing affiliation digits,
+    collapse whitespace.  Returns "" when nothing name-like (> 3 chars)
+    survives — cf. golden "Lauren L. Prister; Shaohui Yin; Laty A. Cahoon"
+    (v10_ALTAIR.R:3746).
+    """
+    if not authors:
+        return ""
+    parts = [p.strip() for p in re.split(r";|\n", authors)]
+    parts = [p for p in parts if p and not _AUTHOR_DROP_RE.match(p)]
+    if len(parts) == 1 and "," in parts[0]:
+        parts = [p.strip() for p in parts[0].split(",") if p.strip()]
+    cleaned = []
+    for p in parts:
+        p = _AUTHOR_SUPERSCRIPT_RE.sub("", p)
+        p = _AUTHOR_AFFIL_DIGIT_RE.sub("", p)
+        p = _WS_RE.sub(" ", p).strip()
+        if p:
+            cleaned.append(p)
+    if not any(len(p) > 3 for p in cleaned):
+        return ""
+    return "; ".join(cleaned)
+
+
 def extract_abstract(ordered: list[dict], title_row: int) -> tuple[str, int]:
     """Abstract pick (v10.R:1281-1302, 1340-1531; simple path :1974-2004).
 
@@ -729,34 +834,67 @@ def strip_boilerplate(ordered: list[dict]) -> list[dict]:
     return out
 
 
-def scan_boundaries(clean: list[dict], abstract_row: int) -> tuple[int, int]:
-    """Conditional-window boundary extraction (v10.R:1691-1776, 2007-2038).
+def intro_score(text: str, is_mdpi: bool = False) -> int:
+    """The reference's weighted intro score for one row (v10.R:1697-1709):
+    has_mdpi_intro*10 + has_general_intro*5 + has_numbered_start*3 +
+    is_substantial*1 + starts_properly*1."""
+    return (
+        (10 if (is_mdpi and INTRO_MDPI_RE.match(text)) else 0)
+        + (5 if INTRO_GENERAL_RE.search(text.lower()) else 0)
+        + (3 if INTRO_NUMBERED_RE.match(text) else 0)
+        + (1 if len(text) > 100 else 0)
+        + (1 if INTRO_STARTS_PROPERLY_RE.match(text) else 0)
+    )
 
-    start = first row matching the intro pattern (fallback: first body row
-    after the abstract); end = first end-matter marker after start
-    (fallback: one past the last row).  Returns (start_row_id, end_row_id)
-    with the slice semantics rows [start, end) — cf. golden boundaries
-    start=15 end=88 (v10_ALTAIR.R:3764-3769).
+
+def scan_boundaries(clean: list[dict], abstract_row: int = -1,
+                    is_mdpi: bool = False) -> tuple[int, int]:
+    """Boundary extraction with the reference's weighted scoring.
+
+    start: argmax of :func:`intro_score` over rows scoring >= 3, ordered
+    desc(intro_score) then row_id (v10.R:1697-1714); fallback = the
+    min(15, nrow)-th text row (:1716-1718) — NOT the first intro-word match,
+    so an abstract that merely *mentions* "introduction" loses to the real
+    numbered heading.  end: first row passing the conservative end-score
+    (exact References/Acknowledgments header x short x page>=6 x no-doi —
+    v10.R:1866-1878); fallback: first end-matter heading after start (repo
+    extension for short docs, simplified from v10.R:1743-1772); else one
+    past the last row.  Returns (start_row_id, end_row_id), slice semantics
+    [start, end) — cf. golden boundaries start=15 end=88
+    (v10_ALTAIR.R:3764-3769).  ``abstract_row`` is accepted for signature
+    stability but no longer drives the fallback.
     """
+    del abstract_row  # superseded by the reference's min(15, nrow) fallback
     body = [r for r in clean if r["element_type"] in BODY_TYPES]
     if not body:
         return (0, 0)
-    start = None
+    best_key, start = None, None
     for r in body:
-        if INTRO_RE.match(r["text"]):
-            start = r["row_id"]
-            break
+        s = intro_score(r["text"], is_mdpi)
+        if s >= INTRO_SCORE_THRESHOLD:
+            key = (-s, r["row_id"])
+            if best_key is None or key < best_key:
+                best_key, start = key, r["row_id"]
     if start is None:
-        if abstract_row >= 0:
-            after = [r for r in body if r["row_id"] > abstract_row]
-            start = after[0]["row_id"] if after else body[0]["row_id"]
-        else:
-            start = body[0]["row_id"]
+        start = body[min(INTRO_FALLBACK_ROWS, len(body)) - 1]["row_id"]
     end = None
-    for r in body:
-        if r["row_id"] > start and END_RE.match(r["text"]):
+    for r in body:  # primary: reference conservative end-score
+        if r["row_id"] <= start:
+            continue
+        t = r["text"]
+        if (
+            (END_HEADER_RE.match(t) or END_ACK_RE.match(t))
+            and len(t.strip()) < END_SHORT_CHARS
+            and r["page"] >= END_LATE_PAGE
+            and not END_NOT_DOI_RE.search(t.lower())
+        ):
             end = r["row_id"]
             break
+    if end is None:  # fallback: end-matter heading scan
+        for r in body:
+            if r["row_id"] > start and END_RE.match(r["text"]):
+                end = r["row_id"]
+                break
     if end is None:
         end = body[-1]["row_id"] + 1
     return (start, end)
@@ -839,7 +977,14 @@ def extract_from_records(doc_id: str, records: list[dict],
     kept = filter_regions(live)
     ordered = reading_order(kept)
     doc_format = detect_document_format(ordered)
-    assign_bands(ordered, doc_format)
+    # banded paths trigger on the reference's flag regexes (v10.R:1363-1366),
+    # independent of the 5-class detector
+    band_format = detect_band_format(ordered)
+    assign_bands(ordered, band_format)
+    # is_mdpi per v10.R:1600-1601: detector class OR 'mdpi' anywhere in text
+    is_mdpi = doc_format == "mdpi" or any(
+        "mdpi" in (r["text"] or "").lower() for r in kept
+    )
     title, title_row = extract_title(ordered)
     authors = extract_authors(ordered, title_row)
     clean = strip_boilerplate(ordered)
@@ -851,14 +996,14 @@ def extract_from_records(doc_id: str, records: list[dict],
                 title_row2 = r["row_id"]
                 break
     # per-format banded abstract first (P7/J2), generic scorer as fallback
-    abstract, abstract_row = extract_abstract_banded(clean, doc_format)
+    abstract, abstract_row = extract_abstract_banded(clean, band_format)
     if abstract_row < 0:
         abstract, abstract_row = extract_abstract(clean, title_row2)
-    start, end = scan_boundaries(clean, abstract_row)
+    start, end = scan_boundaries(clean, abstract_row, is_mdpi=is_mdpi)
     body_rows = [r for r in clean if r["element_type"] in BODY_TYPES]
     end = lookahead_end_scan(body_rows, start, end)
     main_rows = [r for r in body_rows if start <= r["row_id"] < end]
-    if doc_format == "mdpi":
+    if is_mdpi:
         main_rows = mdpi_xzone_filter(main_rows)
     main_raw = " ".join(r["text"] for r in main_rows)
     main_text = clean_text(dedupe_sentences(main_raw), cleaning_method)
@@ -888,7 +1033,7 @@ def extract_from_records(doc_id: str, records: list[dict],
         "doc_id": doc_id,
         "spans": spans,
         "title": clean_text(title, cleaning_method),
-        "authors": clean_text(authors, cleaning_method),
+        "authors": clean_author_list(clean_text(authors, cleaning_method)),
         "abstract": clean_text(abstract, cleaning_method),
         "main_text": main_text,
         "boundary_start": start,
@@ -898,6 +1043,141 @@ def extract_from_records(doc_id: str, records: list[dict],
         "total_text_regions": n_text_regions,
         "parse_failures": int(parse_failures),
     }
+
+
+# ---------------------------------------------------------------------------
+# Simple universal extractor — the reference's SECOND extraction path.
+# The reference ships two extractors and compares them on the same document
+# (v8.R:3017-3033; process_document v10.R:678-743 vs process_document_simple
+# v10.R:745-811 -> extract_content_simple_universal v10.R:1959-2068).
+# Semantics: single arrange(page, y, x) reading order (no column detection,
+# no banding, no element-class filtering), candidate picks by length/name
+# heuristics, intro-heading start with a row-25 fallback, NO end trim.
+# Document-specific content regexes in the reference's candidate filters
+# (e.g. "Selection.*Silver") are generalized to their structural parts.
+# ---------------------------------------------------------------------------
+
+SIMPLE_MIN_CHARS = 5                      # v10.R:1964
+SIMPLE_TITLE_EXCLUDE_RE = re.compile(r"journal|doi|university|department")
+SIMPLE_AUTHOR_EXCLUDE_RE = re.compile(r"Department|University|Abstract")
+SIMPLE_ABSTRACT_EXCLUDE_RE = re.compile(r"Department|University|Institute")
+SIMPLE_INTRO_RE = re.compile(r"^(\d+[\.\)]?\s*)?Introduction\s*$")  # :2008
+SIMPLE_INTRO_FALLBACK = 25                # v10.R:2038
+
+
+def extract_simple_from_records(doc_id: str, records: list[dict],
+                                cleaning_method: str = "hybrid") -> dict:
+    """The simple/universal extraction path over parsed region records.
+
+    Returns the same record shape as :func:`extract_from_records` so the
+    two paths are directly comparable (the reference's cross-extractor
+    differential).  ``document_format`` is the literal 'auto_detected'
+    (v10.R:799).
+    """
+    parse_failures = sum(r["parse_failure"] for r in records)
+    live = [r for r in records if not r["parse_failure"]]
+    if any(r["element_type"] == "media" for r in live):
+        live = reanchor_media(live)
+    rows = [
+        r for r in live
+        if r["element_type"] == "media"
+        or len((r["text"] or "").strip()) > SIMPLE_MIN_CHARS
+    ]
+    rows.sort(key=lambda r: (r["page"], r["y"], r["x"], r["offset"]))
+    for i, r in enumerate(rows):
+        r = dict(r)
+        rows[i] = r
+        r["row_id"] = i
+    text_rows = [r for r in rows if r["element_type"] != "media"]
+
+    title = ""
+    for r in text_rows:
+        t = r["text"]
+        if (r["page"] <= 1 and 20 < len(t) < 300
+                and not SIMPLE_TITLE_EXCLUDE_RE.search(t.lower())):
+            title = t
+            break
+    authors = ""
+    for r in text_rows:
+        t = r["text"]
+        if (r["page"] <= 1 and len(NAME_RE.findall(t)) >= 3 and len(t) > 50
+                and not SIMPLE_AUTHOR_EXCLUDE_RE.search(t)):
+            authors = t
+            break
+    abstract, best_len = "", 0
+    for r in text_rows:
+        t = r["text"]
+        if (r["page"] <= 1 and len(t) > 150 and t != title
+                and not SIMPLE_ABSTRACT_EXCLUDE_RE.search(t)
+                and len(t) > best_len):
+            abstract, best_len = t, len(t)
+
+    start = None
+    for r in text_rows:
+        if SIMPLE_INTRO_RE.match(r["text"]):
+            start = r["row_id"]
+            break
+    if start is None and text_rows:
+        start = text_rows[min(SIMPLE_INTRO_FALLBACK, len(text_rows)) - 1]["row_id"]
+    if start is None:
+        start = 0
+    end = (text_rows[-1]["row_id"] + 1) if text_rows else 0  # no end trim
+
+    main_raw = " ".join(
+        r["text"] for r in text_rows if start <= r["row_id"] < end
+    )
+    main_text = clean_text(dedupe_sentences(main_raw), cleaning_method)
+
+    spans = []
+    order = 0
+    for r in rows:
+        if r["element_type"] == "media":
+            spans.append({"kind": "media", "text": "", "media_ref": r["media_ref"],
+                          "order": order})
+        else:
+            spans.append({
+                "kind": "title" if r["element_type"] == "title" else "text",
+                "text": clean_text(r["text"], cleaning_method),
+                "media_ref": None,
+                "order": order,
+            })
+        order += 1
+    pages = [r["page"] for r in text_rows]
+    return {
+        "doc_id": doc_id,
+        "spans": spans,
+        "title": clean_text(title, cleaning_method),
+        "authors": clean_author_list(clean_text(authors, cleaning_method)),
+        "abstract": clean_text(abstract, cleaning_method),
+        "main_text": main_text,
+        "boundary_start": start,
+        "boundary_end": end,
+        "document_format": "auto_detected",
+        "total_pages": max(pages) if pages else 0,
+        "total_text_regions": len(text_rows),
+        "parse_failures": int(parse_failures),
+    }
+
+
+def extract_simple_document(doc_id: str, spans: Iterable[dict],
+                            cleaning_method: str = "hybrid") -> dict:
+    """spans-in -> simple-path extraction (dual-extractor differential)."""
+    return extract_simple_from_records(doc_id, spans_to_regions(spans),
+                                       cleaning_method)
+
+
+def extract_simple_frame(pdf: pd.DataFrame,
+                         cleaning_method: str = "hybrid") -> pd.DataFrame:
+    """Simple-path analog of :func:`extract_docs_frame`."""
+    results = [
+        extract_simple_document(
+            row.doc_id, row.spans if row.spans is not None else [], cleaning_method
+        )
+        for row in pdf.itertuples(index=False)
+    ]
+    if not results:
+        return pd.DataFrame(columns=EXTRACT_RESULT_COLUMNS)
+    return pd.DataFrame(results, columns=EXTRACT_RESULT_COLUMNS)
 
 
 def extract_from_regions(doc_id: str, regions: pd.DataFrame,

@@ -200,18 +200,15 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    # filter on the RAW similarity, round only for output — matching the
+    # oracle SQL's WHERE-on-raw / SELECT-rounded shape (a value in
+    # [threshold-5e-7, threshold) must fail on both engines)
+    raw = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
     return (
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(raw >= threshold)
+        .withColumn("jaccard", F.round(raw, 6))
         .select("doc_a", "doc_b", "jaccard")
     )
 
@@ -271,7 +268,8 @@ def simhash_sql(bits: int = 16, table: str = "documents") -> str:
 # ---------------------------------------------------------------------------
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(pairs: DataFrame, max_iter: int = 20,
+                         checkpoint_every: int = 3) -> DataFrame:
     """(doc_a, doc_b) near-dup pairs -> (doc_id, cluster_id) with
     cluster_id = min doc id in the component (the canonical keeper).
 
@@ -279,7 +277,12 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     smallest label among itself and its neighbors; converges in at most
     the component diameter (dup clusters are shallow).  Per round: one
     join + one aggregate — all shuffles keyed on doc ids.  Early-exits
-    when a round changes nothing.  For web-scale graphs swap in the
+    when a round changes nothing; **raises** if ``max_iter`` rounds pass
+    with labels still moving (max_iter is a safety valve, not a silent
+    truncation — a wrong cluster_id would diverge from the exact oracle).
+    Lineage is bounded: each round unpersists the superseded label frame
+    and ``localCheckpoint``s every ``checkpoint_every`` rounds so the plan
+    never grows 20 joins deep.  For web-scale graphs swap in the
     large-star/small-star algorithm; min-label is optimal for the tiny,
     dense components dedup produces.
     """
@@ -294,7 +297,10 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
     )
-    for _ in range(max_iter):
+    prev = None
+    prev_is_ckpt = False  # a localCheckpoint's blocks ARE its lineage — never unpersist
+    changed = 0
+    for it in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
@@ -310,11 +316,30 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                 (F.col("nmin") < F.col("cluster_id")).alias("_changed"),
             )
         )
-        updated = updated.cache()
-        changed = updated.filter(F.col("_changed")).limit(1).count()
+        is_ckpt = (it + 1) % checkpoint_every == 0
+        if is_ckpt:
+            # truncate lineage: without this the plan is `it` joins deep and
+            # re-evaluation (or executor loss) replays the whole chain
+            updated = updated.localCheckpoint(eager=False)
+        else:
+            updated = updated.cache()
+        # one aggregation action per round (drives the cache/checkpoint fill)
+        changed = updated.agg(
+            F.sum(F.col("_changed").cast("int")).alias("n")
+        ).collect()[0]["n"] or 0  # bounded-sample ok: single-row scalar aggregate
+        if prev is not None and not prev_is_ckpt:
+            prev.unpersist()
+        prev, prev_is_ckpt = updated, is_ckpt
         labels = updated.drop("_changed")
         if changed == 0:
             break
+    edges.unpersist()
+    if changed:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — component diameter exceeds "
+            "max_iter; raise max_iter or use a large-star/small-star pass"
+        )
     return labels
 
 
@@ -346,10 +371,116 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.95,
             lambda acc, v: acc + v,
         )
     )
+    raw = dot / (norm("va") * norm("vb"))  # filter raw, round for output
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(dot / (norm("va") * norm("vb")), 6))
-        .filter(F.col("cosine") >= threshold)
+        .filter(raw >= threshold)
+        .withColumn("cosine", F.round(raw, 6))
         .select("id_a", "id_b", "cosine")
     )
+
+
+def embedding_near_dups_bucketed(emb: DataFrame, threshold: float = 0.95,
+                                 bits: int = 3, bands: int = 2, seed: int = 42,
+                                 dim: int = 64, id_col: str = "vec_id",
+                                 vec_col: str = "embedding") -> DataFrame:
+    """Cosine near-duplicate pairs via sign-LSH bucketing — the 100 TB path.
+
+    Candidate generation is the same banded shape as MinHash-LSH: per band
+    an independent hyperplane set buckets every vector scan-side (pure
+    column expressions, :func:`..similarity.lsh_bucket_expr`), the self-join
+    shuffles only (band, bucket, id) rows and touches same-bucket pairs
+    only (~n^2 / 2^bits per band instead of n^2), then candidates are
+    verified with the exact cosine (filter on RAW, round for output).
+    Recall rises with ``bands`` and falls with ``bits``; at the real-dedup
+    operating point (cosine >= 0.95, i.e. angle <= 18deg) a bit agrees with
+    probability ~0.9, so 2 bands x 3 bits give ~86% recall and each extra
+    band multiplies the miss rate by ~0.27.  Fully SQL-expressible —
+    :func:`embedding_near_dups_bucketed_sql` is the exact DuckDB oracle.
+    """
+    from .similarity import hyperplanes, lsh_bucket_expr
+
+    band_cols = [
+        lsh_bucket_expr(hyperplanes(dim, bits, seed + 1000 * i), vec_col)
+        .alias(f"band{i}")
+        for i in range(bands)
+    ]
+    sig = emb.select(F.col(id_col).alias("doc"), *band_cols)
+    bands_arr = F.array(*[
+        F.struct(F.lit(i).alias("band"), F.col(f"band{i}").alias("bucket"))
+        for i in range(bands)
+    ])
+    exploded = sig.select("doc", F.explode(bands_arr).alias("bk")).select(
+        "doc", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    raw = dot / (norm("va") * norm("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(raw >= threshold)
+        .withColumn("cosine", F.round(raw, 6))
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_near_dups_bucketed_sql(threshold: float = 0.95, bits: int = 3,
+                                     bands: int = 2, seed: int = 42,
+                                     dim: int = 64,
+                                     table: str = "embeddings") -> str:
+    """DuckDB oracle for :func:`embedding_near_dups_bucketed` (identical
+    literal hyperplanes, identical banded candidate join, WHERE on the raw
+    cosine / rounded in the SELECT)."""
+    from .similarity import hyperplanes, lsh_bucket_sql
+
+    band_exprs = ",\n           ".join(
+        f"{lsh_bucket_sql(hyperplanes(dim, bits, seed + 1000 * i), 'e')} AS band{i}"
+        for i in range(bands)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {i} AS band, band{i} AS bucket FROM sig"
+        for i in range(bands)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM {table}),
+    sig AS (SELECT vec_id,
+           {band_exprs}
+            FROM v),
+    bk AS (
+      {band_rows}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bk a JOIN bk b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b, round(cos, 6) AS cosine FROM (
+      SELECT id_a, id_b,
+             list_dot_product(va.e, vb.e)
+               / (sqrt(list_dot_product(va.e, va.e))
+                  * sqrt(list_dot_product(vb.e, vb.e))) AS cos
+      FROM cand
+      JOIN v va ON va.vec_id = cand.id_a
+      JOIN v vb ON vb.vec_id = cand.id_b) t
+    WHERE cos >= {threshold}
+    """

@@ -95,6 +95,43 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def media_from_documents(docs: DataFrame, limit: int = 96) -> DataFrame:
+    """Deterministic media table derived from the documents table: content
+    is the UTF-8 encoding of the text column, media_type cycles by doc_id.
+
+    This makes the multimodal plumbing oracle-checkable end to end —
+    ``n_bytes`` == octet_length, ``content_digest`` == md5(text), the type
+    routing and decode_ok flags are pure functions of doc_id — while the
+    binary column, Arrow batching, and UDF signature stay identical to a
+    real media table (only the bytes happen to be text)."""
+    t = F.col("doc_id") % 3
+    return docs.filter(F.col("doc_id") < limit).select(
+        F.concat(F.lit("media://"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.when(t == 0, "image").when(t == 1, "audio").otherwise("video")
+        .alias("media_type"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.when(t == 0, F.lit(640)).cast("int").alias("width"),
+        F.when(t == 0, F.lit(480)).cast("int").alias("height"),
+        F.when(t != 0, (F.col("doc_id") % 30).cast("int") * 1000)
+        .cast("int").alias("duration_ms"),
+    )
+
+
+def media_features_sql(limit: int = 96, table: str = "documents") -> str:
+    """DuckDB oracle for extract_media_features(media_from_documents(...))
+    minus the (stubbed, non-SQL) feature column."""
+    return f"""
+    SELECT 'media://' || doc_id AS media_ref,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_digest,
+           TRUE AS decode_ok
+    FROM {table} WHERE doc_id < {limit}
+    """
+
+
 def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic fake media table for tests/bench."""
     rng = np.random.default_rng(seed)

@@ -79,17 +79,98 @@ def with_lsh_bucket(emb: DataFrame, planes: np.ndarray,
     return emb.withColumn("bucket", bucket_of(F.col(vec_col)))
 
 
+def lsh_bucket_expr(planes: np.ndarray, vec_col: str = "embedding"):
+    """Sign-LSH bucket as a PURE column expression: bit b = 1 iff
+    dot(v, plane_b) > 0, packed little-endian.
+
+    JVM-side (whole-stage codegen) and exactly reproducible in DuckDB via
+    ``list_dot_product`` with the same literal planes — this is the
+    oracle-checkable form used by the q28/q40 query paths.  For wide
+    signatures (bits >~ 16) the pandas-UDF path (:func:`with_lsh_bucket`,
+    one BLAS matmul per Arrow batch) wins; for the few-bit bucketing a
+    partition-pruned probe needs, the expression form costs ``bits`` fused
+    dot products per row and keeps the whole plan SQL-expressible."""
+    bucket = F.lit(0)
+    for b, plane in enumerate(planes):
+        lit = F.array(*[F.lit(float(x)) for x in plane])
+        bucket = bucket + F.when(
+            _dot(F.col(vec_col), lit) > 0, F.lit(1 << b)
+        ).otherwise(F.lit(0))
+    return bucket
+
+
+def _plane_sql_literal(plane: np.ndarray) -> str:
+    """One hyperplane as a DuckDB DOUBLE[] literal (repr round-trips f64)."""
+    return "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+
+
+def lsh_bucket_sql(planes: np.ndarray, vec_expr: str = "e") -> str:
+    """DuckDB expression computing the same bucket as :func:`lsh_bucket_expr`
+    over a DOUBLE[] column/expression ``vec_expr``."""
+    terms = [
+        f"(CASE WHEN list_dot_product({vec_expr}, {_plane_sql_literal(p)}) > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b, p in enumerate(planes)
+    ]
+    return " + ".join(terms)
+
+
+def ann_topk_expr(emb: DataFrame, query_vec: list[float], k: int = 10,
+                  bits: int = 4, seed: int = 42, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k with the expression-form bucket (oracle-checkable q28 path).
+
+    Same semantics as :func:`ann_topk`; the bucket assignment is a column
+    expression instead of a pandas UDF, so the whole plan (bucket -> probe
+    filter -> exact rank) is SQL-expressible.  The query's own bucket is
+    computed driver-side with the identical float64 arithmetic."""
+    dim = len(query_vec)
+    planes = hyperplanes(dim, bits, seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    q_bucket = int(((planes @ q > 0) * (1 << np.arange(bits))).sum())
+    bucketed = emb.withColumn("bucket", lsh_bucket_expr(planes, vec_col))
+    return cosine_topk(
+        bucketed.filter(F.col("bucket") == q_bucket), query_vec, k, id_col, vec_col
+    )
+
+
+def ann_topk_sql(planes: np.ndarray, k: int = 10, query_id: int = 0,
+                 table: str = "embeddings") -> str:
+    """DuckDB oracle for :func:`ann_topk_expr` (query vector = row
+    ``query_id``'s embedding, same literal planes)."""
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM {table}),
+    q AS (SELECT e AS qe, {lsh_bucket_sql(planes, 'e')} AS qbucket
+          FROM v WHERE vec_id = {query_id}),
+    b AS (SELECT vec_id, e, {lsh_bucket_sql(planes, 'e')} AS bucket FROM v)
+    SELECT vec_id,
+           round(list_dot_product(e, qe)
+                 / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))),
+                 6) AS cosine
+    FROM b, q
+    WHERE b.bucket = q.qbucket
+    ORDER BY cosine DESC, vec_id
+    LIMIT {k}
+    """
+
+
 def ivf_centroids(emb: DataFrame, n_lists: int = 16, seed: int = 42,
-                  vec_col: str = "embedding", sample: int = 2048) -> np.ndarray:
+                  vec_col: str = "embedding", sample: int = 2048,
+                  id_col: str = "vec_id") -> np.ndarray:
     """Deterministic IVF coarse quantizer: k-means (fixed-seed init, few
     Lloyd iterations) over a seeded sample of the corpus.
 
     Runs on the driver over a bounded sample — the standard way to train a
-    coarse quantizer; assignment of the full corpus stays distributed."""
+    coarse quantizer; assignment of the full corpus stays distributed.
+    The sample is ordered by a hash of the (small) id column — NOT of the
+    vector itself — so the scan never serializes vectors to strings; the
+    orderBy+limit compiles to TakeOrdered (per-partition top-k, no full
+    sort)."""
     rows = (
-        emb.select(vec_col)
-        .orderBy(F.xxhash64(F.col(vec_col).cast("string")))  # seeded-stable sample
+        emb.select(vec_col, id_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))  # seeded-stable sample
         .limit(sample)
+        .select(vec_col)
         .collect()  # bounded-sample ok: quantizer training set, <= `sample` rows
     )
     mat = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
@@ -131,7 +212,7 @@ def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     """IVF ANN: train a coarse quantizer, probe the n_probe nearest lists,
     exact-rank inside them.  Recall rises with n_probe (n_probe == n_lists
     degenerates to exact brute force)."""
-    cents = ivf_centroids(emb, n_lists, seed, vec_col)
+    cents = ivf_centroids(emb, n_lists, seed, vec_col, id_col=id_col)
     q = np.asarray(query_vec, dtype=np.float64)
     order = (((cents - q[None, :]) ** 2).sum(axis=1)).argsort()[:n_probe]
     probe_lists = [int(x) for x in order]

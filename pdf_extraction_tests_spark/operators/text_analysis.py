@@ -127,8 +127,7 @@ def token_counts_sql(table: str = "documents") -> str:
 def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """48-bit content fingerprint of the whitespace-normalized lowercase
     text (rolling-hash stand-in; md5-derived for the cross-engine oracle)."""
-    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
     fp = F.expr(
-        "cast(conv(substr(md5(lower(regexp_replace(text, '\\\\s+', ' '))), 1, 12), 16, 10) as bigint)"
+        f"cast(conv(substr(md5(lower(regexp_replace({text_col}, '\\\\s+', ' '))), 1, 12), 16, 10) as bigint)"
     )
     return docs.withColumn("fingerprint", fp)

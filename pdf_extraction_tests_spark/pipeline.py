@@ -65,6 +65,49 @@ def with_part_key(docs: DataFrame, num_parts: int = DEFAULT_NUM_PARTS) -> DataFr
     )
 
 
+def _parse_size(s: str) -> int:
+    """Parse a Spark size conf string ('134217728', '1m', '128MB')."""
+    s = s.strip().lower().removesuffix("b")
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}.get(s[-1:], 1)
+    return int(float(s.rstrip("kmg"))) * mult
+
+
+def estimate_scan_partitions(docs: DataFrame) -> int:
+    """Scan-partition estimate WITHOUT ``df.rdd`` (which forces a full
+    plan-to-RDD translation — a needless driver tax at scale).
+
+    File-based sources: ``ceil(total_bytes / maxPartitionBytes)`` over the
+    scan's input files (local paths only; sizes via one driver-side stat
+    pass, capped at 4096 files — beyond that the scan is certainly not
+    under-partitioned).  This deliberately ignores small-file bin-packing
+    and openCostInBytes, so it UNDERestimates — which only makes the
+    caller's under-partitioned check repartition when it needn't: the safe
+    direction.  Non-file sources (createDataFrame, views) fall back to
+    ``df.rdd.getNumPartitions()``.
+    """
+    try:
+        files = docs.inputFiles()
+    except Exception:
+        files = []
+    if not files:
+        return docs.rdd.getNumPartitions()
+    if len(files) > 4096:
+        return len(files)
+    import os
+
+    total = 0
+    for f in files:
+        p = f.removeprefix("file:")
+        if not os.path.exists(p):  # non-local FS: punt to the RDD probe
+            return docs.rdd.getNumPartitions()
+        total += os.path.getsize(p)
+    max_bytes = _parse_size(
+        docs.sparkSession.conf.get("spark.sql.files.maxPartitionBytes",
+                                   "134217728")
+    )
+    return -(-total // max(max_bytes, 1))  # ceil
+
+
 def _spans_to_records(spans) -> list[dict]:
     """Normalize an Arrow-materialized spans array to list-of-dicts."""
     if spans is None:
@@ -96,6 +139,31 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def extract_direct(docs: DataFrame) -> DataFrame:
     """docs(doc_id, spans, part_key) -> extracted, one Arrow stage."""
     return docs.mapInPandas(_extract_batches, schema=EXTRACTED_WITH_PART)
+
+
+def _extract_simple_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        norm = pdf.assign(spans=pdf["spans"].map(_spans_to_records))
+        out = ec.extract_simple_frame(norm[["doc_id", "spans"]])
+        out["part_key"] = pdf["part_key"].to_numpy()
+        yield out
+
+
+def extract_docs_simple(docs: DataFrame,
+                        num_parts: int = DEFAULT_NUM_PARTS) -> DataFrame:
+    """SIMPLE-path extraction — the reference's second extractor
+    (process_document_simple, v10.R:745-811) distributed the same way as
+    the smart path.  Used for the cross-extractor differential
+    (v8.R:3017-3033); a QA relation typically run on samples, so it takes
+    the direct mapInPandas route without the oversized-doc chunking."""
+    from .shipping import ship_package
+
+    ship_package(docs.sparkSession)
+    if "part_key" not in docs.columns:
+        docs = with_part_key(docs, num_parts)
+    return docs.mapInPandas(_extract_simple_batches, schema=EXTRACTED_WITH_PART)
 
 
 # ---------------------------------------------------------------------------
@@ -255,7 +323,7 @@ def extract_docs(
         docs = with_part_key(docs, num_parts)
     if repartition is None:
         parallelism = docs.sparkSession.sparkContext.defaultParallelism
-        repartition = docs.rdd.getNumPartitions() < 2 * parallelism
+        repartition = estimate_scan_partitions(docs) < 2 * parallelism
     if repartition:
         # hash-distribute on the fine-grained part_key (cardinality
         # num_parts >> partition count, so buckets balance); partition count
@@ -281,6 +349,33 @@ def extract_docs(
     return small_out.unionByName(big_out)
 
 
+def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """The COMMITTED view of ``{out_dir}/extracted``.
+
+    Only rows whose (run_id, attempt_id, part_key) has a ``done``
+    checkpoint row are visible.  Data is written BEFORE its checkpoint
+    rows, so a run that dies in between leaves an orphan attempt partition;
+    this join makes orphans invisible and a resume that re-processes the
+    same parts under a new attempt_id duplicate-free.  The committed set is
+    tiny (one row per run x part), so the join is a broadcast semi-join —
+    no shuffle of the data table.
+    """
+    data = read_table(spark, f"{out_dir}/extracted")
+    if data is None:
+        return None
+    ckpt = read_table(spark, f"{out_dir}/checkpoint", schema=CHECKPOINT)
+    if ckpt is None:
+        return data.limit(0)
+    committed = (
+        ckpt.filter(F.col("status") == "done")
+        .select("run_id", "attempt_id", "part_key")
+        .distinct()
+    )
+    return data.join(
+        F.broadcast(committed), ["run_id", "attempt_id", "part_key"], "left_semi"
+    )
+
+
 def run_pipeline(
     spark: SparkSession,
     docs: DataFrame,
@@ -292,10 +387,18 @@ def run_pipeline(
 ) -> dict:
     """End-to-end job with checkpoint/lineage and resume-from-partition.
 
-    Writes ``{out_dir}/extracted`` (partitioned by part_key) and appends to
-    ``{out_dir}/checkpoint``.  Returns run metrics.
+    Writes ``{out_dir}/extracted`` hive-partitioned by (run_id, attempt_id)
+    and appends per-part metric rows to ``{out_dir}/checkpoint``.  The
+    write protocol is idempotent under crash+resume: data lands in a fresh
+    attempt partition first, checkpoint rows commit it second, and
+    :func:`read_extracted` only exposes committed attempts — so a run that
+    dies between the two steps re-processes under a new attempt_id without
+    ever double-exposing rows, and per-part metrics are computed from a
+    partition-PRUNED scan of just this attempt's output (never a re-read of
+    the whole table).  Returns run metrics.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
+    attempt_id = uuid.uuid4().hex[:12]
     docs = with_part_key(docs, num_parts)
 
     ckpt_path = f"{out_dir}/checkpoint"
@@ -313,31 +416,36 @@ def run_pipeline(
                 docs = docs.join(F.broadcast(done), "part_key", "left_anti")
 
     t0 = time.time()
-    extracted = extract_docs(docs, num_parts, oversize_chars).withColumn(
-        "run_id", F.lit(run_id)  # row-level lineage: which run produced it
+    extracted = (
+        extract_docs(docs, num_parts, oversize_chars)
+        .withColumn("run_id", F.lit(run_id))  # row-level lineage
+        .withColumn("attempt_id", F.lit(attempt_id))
     )
-    # part_key stays as a COLUMN (lineage/resume join key), not a physical
-    # partition dir: with 512 keys x N tasks, partitionBy would spray tiny
-    # files; predicate pushdown on the column covers the rare key-scoped read
-    write_table(extracted, f"{out_dir}/extracted", mode="append")
+    # (run_id, attempt_id) are constant for the whole write, so partitionBy
+    # creates exactly one directory and each task writes one file into it —
+    # no tiny-file spray.  part_key stays a COLUMN (lineage/resume join
+    # key): with 512 keys x N tasks it WOULD spray as a partition dir.
+    write_table(extracted, f"{out_dir}/extracted", mode="append",
+                partition_by=["run_id", "attempt_id"])
     elapsed = time.time() - t0
 
-    # lineage: recompute per-partition metrics from what was just written —
-    # one cheap columnar aggregation over the output, no second extraction.
-    # Filter on the row-level run_id so rows appended by OTHER runs sharing
-    # this output dir are never attributed to this run's checkpoint rows.
-    out_df = read_table(spark, f"{out_dir}/extracted")
-    this_run = out_df.filter(F.col("run_id") == run_id)
-    if done_parts:  # resumed: completed partitions were not re-processed
-        this_run = this_run.filter(~F.col("part_key").isin(list(done_parts)))
+    # lineage: per-partition metrics from what was just written — a
+    # partition-pruned, column-pruned scan of ONLY this attempt's directory
+    # (at 100 TB the alternative — re-scanning the whole output table — is a
+    # second full pass).
+    this_attempt = (
+        read_table(spark, f"{out_dir}/extracted")
+        .filter((F.col("run_id") == run_id) & (F.col("attempt_id") == attempt_id))
+    )
     metrics = (
-        this_run.groupBy("part_key")
+        this_attempt.groupBy("part_key")
         .agg(
             F.count("*").alias("docs"),
             F.sum(F.size("spans")).alias("spans"),
             F.sum("parse_failures").alias("parse_failures"),
         )
         .withColumn("run_id", F.lit(run_id))
+        .withColumn("attempt_id", F.lit(attempt_id))
         .withColumn("status", F.lit("done"))
         .withColumn("ts", F.current_timestamp())
         .select([f.name for f in CHECKPOINT.fields])

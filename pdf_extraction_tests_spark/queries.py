@@ -155,14 +155,17 @@ def q03(spark, sf_dir):
     """,
 )
 def q04(spark, sf_dir):
-    """left_semi join (EXISTS)."""
+    """left_semi join (EXISTS) with the correlated condition inside the
+    join predicate — one shuffle per side (the two-pass
+    join+distinct+join-back shape costs a second shuffle of orders)."""
     o = load(spark, sf_dir, "orders")
-    li = load(spark, sf_dir, "lineitem")
-    sel = li.join(o, li.l_orderkey == o.o_orderkey).filter(
-        F.col("l_shipdate") > F.col("o_orderdate")
-    ).select("l_orderkey").distinct()
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     return (
-        o.join(sel, o.o_orderkey == sel.l_orderkey, "left_semi")
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n"))
     )
@@ -734,17 +737,28 @@ def q27(spark, sf_dir):
     return cosine_topk(emb, [float(x) for x in qvec], k=10)
 
 
-@query("q28_ann_lsh_topk", None)  # pandas-UDF bucketing: rows-only check
+from .operators import similarity as SIM  # noqa: E402
+
+_ANN_BITS, _ANN_SEED, _EMB_DIM = 4, 42, 64
+
+
+@query(
+    "q28_ann_lsh_topk",
+    SIM.ann_topk_sql(SIM.hyperplanes(_EMB_DIM, _ANN_BITS, _ANN_SEED), k=10),
+)
 def q28(spark, sf_dir):
-    """ANN: sign-LSH bucketed top-k (single-probe).  The bucket assignment
-    is a vectorized pandas UDF (one BLAS matmul per Arrow batch) — not
-    SQL-expressible, so no DuckDB oracle; recall vs q27 is asserted in
-    tests/test_operators.py."""
-    from .operators.similarity import ann_topk
+    """ANN: sign-LSH bucketed top-k (single-probe), expression-form bucket
+    — per-bit sign(v . plane_b) as zip_with/aggregate with literal planes,
+    so the whole plan (bucket -> probe filter -> exact rank) has an exact
+    DuckDB oracle.  The pandas-UDF bucket (one BLAS matmul per Arrow
+    batch, operators.similarity.with_lsh_bucket) remains the wide-bits
+    production kernel; recall vs q27 is asserted in tests/test_operators.py."""
+    from .operators.similarity import ann_topk_expr
 
     emb = load(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return ann_topk(emb, [float(x) for x in qvec], k=10, bits=4)
+    return ann_topk_expr(emb, [float(x) for x in qvec], k=10,
+                         bits=_ANN_BITS, seed=_ANN_SEED)
 
 
 @query("q29_language_guess", TA.language_guess_sql())
@@ -791,14 +805,22 @@ def q32(spark, sf_dir):
     )
 
 
-@query("q33_media_features", None)  # binary decode stub: rows-only check
+from .operators.multimodal import media_features_sql as _media_sql  # noqa: E402
+
+
+@query("q33_media_features", _media_sql(limit=96))
 def q33(spark, sf_dir):
     """Multimodal plumbing: opaque binary media -> per-item features via
-    batched mapInPandas (decode kernel stubbed — no codecs in the image;
-    schema/batching/partitioning are real)."""
-    from .operators.multimodal import extract_media_features, synthetic_media
+    batched mapInPandas.  The media table derives deterministically from
+    documents (content = UTF-8 bytes of text), so n_bytes / content_digest
+    / media_type / decode_ok are hash-checked against DuckDB; only the
+    stubbed ``feature`` vector (no codecs in the image) is dropped from the
+    oracle surface.  Schema/batching/partitioning are the real binary
+    pipeline."""
+    from .operators.multimodal import extract_media_features, media_from_documents
 
-    return extract_media_features(synthetic_media(spark, n=96)).drop("feature")
+    media = media_from_documents(load(spark, sf_dir, "documents"), limit=96)
+    return extract_media_features(media).drop("feature")
 
 
 # ---------------------------------------------------------------------------
@@ -981,6 +1003,52 @@ def q39(spark, sf_dir):
 
 
 @query(
+    "q40_embedding_dedup_bucketed",
+    D.embedding_near_dups_bucketed_sql(threshold=0.4, bits=3, bands=2,
+                                       seed=42, dim=_EMB_DIM),
+)
+def q40(spark, sf_dir):
+    """Bucketed pairwise embedding near-dup — the 100 TB replacement for
+    q26's brute-force crossJoin: sign-LSH bands bucket every vector
+    scan-side, the self-join touches same-bucket pairs only, exact cosine
+    verifies candidates.  Threshold 0.4 matches q26 (synthetic random
+    embeddings); recall vs the exact q26 pairs is pinned in
+    tests/test_operators.py."""
+    return D.embedding_near_dups_bucketed(
+        load(spark, sf_dir, "embeddings"), threshold=0.4, bits=3, bands=2,
+        seed=42, dim=_EMB_DIM,
+    )
+
+
+from .functions.cleaning import authors_canonical, authors_canonical_sql  # noqa: E402
+
+_Q41_RAW_SQL = ("'Alice¹ Example 1, Bob† Sample 2,3' || "
+                "CASE WHEN doc_id % 2 = 0 THEN ', Carol Test' ELSE '' END")
+
+
+@query(
+    "q41_author_canonicalize",
+    f"""
+    SELECT doc_id, {authors_canonical_sql(_Q41_RAW_SQL)} AS authors
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def q41(spark, sf_dir):
+    """Author-cleanup string pipeline (v10.R:3552-3575 split rules,
+    :769-770 superscript/affiliation strip) as pure column expressions over
+    a deterministic doc_id-derived raw author line: split on commas, strip
+    marks/digits, drop empties, canonical '; ' join — golden shape
+    'Lauren L. Prister; Shaohui Yin; Laty A. Cahoon' (v10_ALTAIR.R:3746);
+    kernel twin pinned in tests/test_extract_core.py::TestAuthorPipeline."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    raw = F.concat(
+        F.lit("Alice¹ Example 1, Bob† Sample 2,3"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(", Carol Test")).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", authors_canonical(raw).alias("authors"))
+
+
+@query(
     "q38_cube",
     """
     SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
@@ -1001,6 +1069,144 @@ def q38(spark, sf_dir):
             F.coalesce("l_linestatus", F.lit("(all)")).alias("l_linestatus"),
             "sum_qty",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data curation operators (corpus statistics / mixing / hygiene)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q42_heavy_hitter_ngrams",
+    f"""
+    SELECT shingle, df FROM (
+      SELECT shingle, count(*) AS df
+      FROM (
+        SELECT DISTINCT doc_id, array_to_string(arr[i:i+{_SHINGLE_N - 1}], ' ') AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+              WHERE len(string_split(text, ' ')) >= {_SHINGLE_N}) t,
+             LATERAL (SELECT unnest(generate_series(1, len(arr) - {_SHINGLE_N - 1})) AS i) u
+      ) s GROUP BY shingle) d
+    ORDER BY df DESC, shingle LIMIT 20
+    """,
+)
+def q42(spark, sf_dir):
+    """Corpus heavy hitters: top-20 word trigrams by document frequency
+    (boilerplate/contamination radar).  Scan-side shingling (the q22
+    machinery), one count shuffle, TakeOrdered — at 100 TB swap the exact
+    count for a count-min sketch over the same shingle stream."""
+    sh = D.with_shingles(load(spark, sf_dir, "documents"), _SHINGLE_N)
+    return (
+        sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("shingle"))
+        .limit(20)
+    )
+
+
+@query(
+    "q43_contamination_screen",
+    f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, array_to_string(arr[i:i+{_SHINGLE_N - 1}], ' ') AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+            WHERE len(string_split(text, ' ')) >= {_SHINGLE_N}) t,
+           LATERAL (SELECT unnest(generate_series(1, len(arr) - {_SHINGLE_N - 1})) AS i) u),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10)
+    SELECT s.doc_id, count(DISTINCT s.shingle) AS n_hits
+    FROM sh s JOIN bench b ON s.shingle = b.shingle
+    WHERE s.doc_id >= 10
+    GROUP BY s.doc_id
+    """,
+)
+def q43(spark, sf_dir):
+    """Benchmark-contamination screen: n-gram overlap between the training
+    corpus and a holdout set (docs 0-9 stand in for an eval benchmark).
+    The holdout shingle set is broadcast — at 100 TB the corpus side stays
+    a single scan with a broadcast semi-join, no corpus shuffle."""
+    sh = D.with_shingles(load(spark, sf_dir, "documents"), _SHINGLE_N)
+    bench = (
+        sh.filter(F.col("doc_id") < 10).select("shingle").distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") >= 10)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_hits"))
+    )
+
+
+@query(
+    "q44_stratified_sample",
+    """
+    SELECT source, count(*) AS n_sampled
+    FROM (
+      SELECT source,
+             ('0x' || substr(md5('s:' || doc_id), 1, 12))::BIGINT % 100 AS bucket
+      FROM documents) t
+    WHERE bucket < CASE WHEN source IN ('src0', 'src1', 'src2') THEN 50 ELSE 20 END
+    GROUP BY source
+    """,
+)
+def q44(spark, sf_dir):
+    """Deterministic hash-stratified sampling — the training-mix primitive:
+    per-stratum keep-rates via a seeded content hash (reproducible on any
+    cluster size, no RNG state).  Pure scan-side predicate: at 100 TB this
+    is a filter pushed into the scan, zero shuffle before the final count."""
+    d = load(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.expr("cast(conv(substr(md5(concat('s:', doc_id)), 1, 12), 16, 10) as bigint)"),
+        F.lit(100),
+    )
+    rate = F.when(F.col("source").isin("src0", "src1", "src2"), 50).otherwise(20)
+    return (
+        d.filter(bucket < rate)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+
+
+@query(
+    "q45_token_budget_head",
+    """
+    SELECT doc_id, cum_tokens FROM (
+      SELECT doc_id,
+             sum(len(regexp_split_to_array(trim(text), '\\s+')))
+               OVER (ORDER BY quality DESC, doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM (
+        SELECT doc_id, text,
+          (CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 0.25 ELSE 0.0 END)
+        + (CASE WHEN CAST(len(list_filter(string_split(text,' '),
+                  w -> lower(w) IN ('the','a','of','and','to'))) AS DOUBLE)
+                / greatest(len(string_split(text,' ')), 1) >= 0.01 THEN 0.25 ELSE 0.0 END)
+        + (CASE WHEN CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
+                / greatest(length(text), 1) >= 0.8 THEN 0.25 ELSE 0.0 END)
+        + (CASE WHEN CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE)
+                / greatest(len(string_split(text,' ')), 1) BETWEEN 3 AND 12
+           THEN 0.25 ELSE 0.0 END) AS quality
+        FROM documents) q) c
+    WHERE cum_tokens <= 20000
+    """,
+)
+def q45(spark, sf_dir):
+    """Token-budget head selection: rank docs by quality (desc,
+    deterministic doc_id tiebreak), take the prefix whose cumulative
+    whitespace-token count fits a 20k budget — the 'best data first' mixing
+    step.  One global-ordered running sum; at 100 TB replace the single
+    ORDER BY with range-partitioned quality buckets + per-bucket budgets
+    (same semantics, no global sort)."""
+    from .operators.text_analysis import with_quality_score
+
+    d = with_quality_score(load(spark, sf_dir, "documents"))
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    w = (
+        W.orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        d.select("doc_id", F.sum(toks).over(w).alias("cum_tokens"))
+        .filter(F.col("cum_tokens") <= 20000)
     )
 
 

@@ -126,6 +126,12 @@ LAYOUT = T.StructType(
 CHECKPOINT = T.StructType(
     [
         T.StructField("run_id", T.StringType(), False),
+        # which physical write attempt produced the rows this checkpoint row
+        # commits: data lands under extracted/run_id=X/attempt_id=Y BEFORE
+        # the checkpoint append, so a crash between the two leaves an orphan
+        # attempt that read_extracted() (which joins on attempt_id) never
+        # exposes — the resume duplicate-append window is closed.
+        T.StructField("attempt_id", T.StringType(), False),
         T.StructField("part_key", T.IntegerType(), False),
         T.StructField("docs", T.LongType(), True),
         T.StructField("spans", T.LongType(), True),

@@ -18,7 +18,7 @@ def get_spark(app: str = "pdf_extraction_tests_spark", master: str | None = None
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
-    n_shuffle = shuffle_partitions or int(cpus) if cpus.isdigit() else 32
+    n_shuffle = shuffle_partitions or (int(cpus) if cpus.isdigit() else 32)
     b = (
         SparkSession.builder.master(master)
         .appName(app)

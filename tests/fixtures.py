@@ -22,12 +22,16 @@ ABS1 = "This synthetic paper demonstrates deterministic extraction of ordered sp
 BODY1A = "The first body paragraph describes the experimental setup in detail."
 BODY1B = "The second body paragraph reports results [1] and discusses p H ranges."
 
+# geometry note: the title sits at y=420 (>= 400) so neither reference
+# layout hint fires (title_y < 300 -> nature_communications+1,
+# 200 < title_y < 400 -> rsc+1, v10.R:658-672) and the detector's
+# generic_academic baseline of 1 wins — the typical unmarked-paper case.
 GENERIC_DOC = {
     "doc_id": "fix_generic",
     "spans": [
-        region(1, 200, 150, 2000, 90, "title", "Deterministic Extraction Of Ordered Spans", 0),
-        region(1, 200, 300, 1800, 60, "plain text", "Alice Example, Bob Sample 1,2", 1),
-        region(1, 200, 420, 2000, 200, "plain text", f"Abstract {ABS1}", 2),
+        region(1, 200, 420, 2000, 90, "title", "Deterministic Extraction Of Ordered Spans", 0),
+        region(1, 200, 480, 1800, 60, "plain text", "Alice Example, Bob Sample 1,2", 1),
+        region(1, 200, 540, 2000, 200, "plain text", f"Abstract {ABS1}", 2),
         region(1, 200, 700, 2000, 50, "title", "1. Introduction", 3),
         region(1, 200, 800, 2000, 180, "plain text", BODY1A, 4),
         span("media", "", "img://fix/0", 5),
@@ -39,7 +43,8 @@ GENERIC_DOC = {
 }
 GENERIC_GOLDEN = {
     "title": "Deterministic Extraction Of Ordered Spans",
-    "authors": "Alice Example, Bob Sample 1,2",
+    # canonical "A; B; C" author form (clean_author_list, v10.R:3552-3575)
+    "authors": "Alice Example; Bob Sample",
     "abstract": ABS1,
     # main text: rows [start=3(intro title), end=6(References)) minus media,
     # citation [1] stripped, "p H" -> not matched (pH rule needs p\s*H token) —
@@ -150,7 +155,7 @@ NATURE_DOC = {
     "doc_id": "fix_nature",
     "spans": [
         region(1, 200, 40, 1200, 30, "abandon",
-               "nature research | springer nature synthetic edition", 0),
+               "nature communications | springer nature synthetic edition", 0),
         region(1, 200, 250, 2000, 90, "title", "A Nature Banded Synthetic Article", 1),
         region(1, 200, 470, 1800, 60, "plain text", "Alice Example, Bob Sample 1,2", 2),
         # y=600 in abstract band [550, 850); area 2000*220 > 30000 => boxed
@@ -161,12 +166,15 @@ NATURE_DOC = {
 }
 
 # --- fixture 7: JAC structured abstract (v10.R:340-386, 1439-1475) ------------
+# JAC is a FLAG-selected band path (v10.R:1364), not a detector class —
+# the 5-class detector labels this doc generic_academic (title y=450 fires
+# no layout hint) while the structured-abstract extraction still runs.
 JAC_DOC = {
     "doc_id": "fix_jac",
     "spans": [
         region(1, 120, 40, 1200, 30, "abandon",
                "Journal of Antimicrobial Chemotherapy synthetic issue", 0),
-        region(1, 200, 350, 2000, 90, "title", "A JAC Structured Abstract Article", 1),
+        region(1, 200, 450, 2000, 90, "title", "A JAC Structured Abstract Article", 1),
         region(1, 200, 700, 1800, 60, "plain text", "Alice Example, Bob Sample 1,2", 2),
         region(1, 200, 950, 2000, 160, "plain text", "Objectives: test the band rule.", 3),
         region(1, 200, 1150, 2000, 160, "plain text", "Methods: synthetic regions.", 4),

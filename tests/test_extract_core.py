@@ -109,7 +109,24 @@ class TestKmeansFallback:
         assert ec.kmeans_1d_boundary([500, 510, 520, 530, 540], 2400) is None
 
 
+def _fmt_doc(pub_texts, title_y=450, title_text="A Sufficiently Long Synthetic Title Line"):
+    """Minimal record list for detector tests: abandon rows carrying the
+    publisher text + one title row controlling the layout hint."""
+    recs = [
+        {"page": 1, "x": 100, "y": 40 + i * 10, "w": 800, "h": 9,
+         "text": t, "element_type": "abandon", "media_ref": None,
+         "offset": i, "parse_failure": 0}
+        for i, t in enumerate(pub_texts)
+    ]
+    recs.append({"page": 1, "x": 200, "y": title_y, "w": 2000, "h": 90,
+                 "text": title_text, "element_type": "title",
+                 "media_ref": None, "offset": len(recs), "parse_failure": 0})
+    return recs
+
+
 class TestFormatDetection:
+    """One test per reference detector rule (v10.R:623-672)."""
+
     def test_mdpi_detected(self):
         recs = ec.spans_to_regions(fx.MDPI_DOC["spans"])
         assert ec.detect_document_format(ec.filter_regions(recs)) == "mdpi"
@@ -117,6 +134,63 @@ class TestFormatDetection:
     def test_generic_default(self):
         recs = ec.spans_to_regions(fx.GENERIC_DOC["spans"])
         assert ec.detect_document_format(ec.filter_regions(recs)) == "generic_academic"
+
+    def test_mdpi_journal_names(self):  # v10.R:623-625 (+5)
+        assert ec.detect_document_format(
+            _fmt_doc(["published in nanomaterials, an open journal"])) == "mdpi"
+
+    def test_mdpi_licensee_basel(self):  # v10.R:626-628 (+3)
+        assert ec.detect_document_format(
+            _fmt_doc(["licensee mdpi, basel, switzerland"])) == "mdpi"
+
+    def test_mdpi_editor_dateline(self):  # v10.R:629-631 (+2)
+        assert ec.detect_document_format(
+            _fmt_doc(["academic editor: r example",
+                      "received: 1 jan revised: 2 jan accepted: 3 jan published: 4 jan"])
+        ) == "mdpi"
+
+    def test_nature_doi(self):  # v10.R:634-636 (+3)
+        assert ec.detect_document_format(
+            _fmt_doc(["article doi 10.1038/doi for nature synthetic"])
+        ) == "nature_communications"
+
+    def test_rsc(self):  # v10.R:639-641 (+3)
+        assert ec.detect_document_format(
+            _fmt_doc(["published by the royal society of chemistry"])) == "rsc"
+
+    def test_elsevier_homepage(self):  # v10.R:644-651 (+5, +3)
+        assert ec.detect_document_format(
+            _fmt_doc(["journal homepage.www.elsevier.com synthetic"])) == "elsevier"
+
+    def test_elsevier_alltext_rule(self):
+        # v10.R:655-657: 'abstract.*keywords' over ALL page-1 text (+2)
+        assert ec.detect_document_format(
+            _fmt_doc(["abstract of the work, keywords: synthetic"])) == "elsevier"
+
+    def test_layout_hint_nature_first_max_wins(self):
+        # v10.R:658-668 + which.max(:672): title_y < 300 gives nature +1,
+        # TYING generic_academic's baseline 1 — the first max in list order
+        # (nature_communications) wins, reference quirk preserved
+        assert ec.detect_document_format(
+            _fmt_doc(["no publisher markers at all"], title_y=250)
+        ) == "nature_communications"
+
+    def test_layout_hint_rsc_mid_band(self):
+        # 200 < title_y < 400 gives rsc +1; rsc precedes generic in order
+        assert ec.detect_document_format(
+            _fmt_doc(["no publisher markers at all"], title_y=350)) == "rsc"
+
+    def test_band_flags_independent_of_class(self):
+        # v10.R:1363-1366: the JAC banded path triggers by flag even though
+        # the 5-class detector has no jac class.  The detector labels the doc
+        # nature_communications: its page-1 journal header (y=40, > 30 chars)
+        # is the first "title region" so the title_y < 300 hint fires — the
+        # reference's own quirk (title_regions has no element-type filter,
+        # v10.R:659-661).
+        recs = ec.spans_to_regions(fx.JAC_DOC["spans"])
+        kept = ec.filter_regions(recs)
+        assert ec.detect_band_format(kept) == "jac"
+        assert ec.detect_document_format(kept) == "nature_communications"
 
 
 class TestCleaning:
@@ -181,13 +255,16 @@ class TestEndToEnd:
 class TestBandedFormats:
     def test_nature_boxed_abstract(self):
         res = ec.extract_document(fx.NATURE_DOC["doc_id"], fx.NATURE_DOC["spans"])
-        assert res["document_format"] == "nature"
+        assert res["document_format"] == "nature_communications"
         assert res["abstract"] == fx.NATURE_ABS
         assert res["title"] == "A Nature Banded Synthetic Article"
 
     def test_jac_structured_abstract(self):
         res = ec.extract_document(fx.JAC_DOC["doc_id"], fx.JAC_DOC["spans"])
-        assert res["document_format"] == "jac"
+        # jac is a band-path flag, not a detector class (v10.R:1364); the
+        # class label comes from the layout-hint quirk (see
+        # TestFormatDetection.test_band_flags_independent_of_class)
+        assert res["document_format"] == "nature_communications"
         assert res["abstract"] == fx.JAC_EXPECTED_ABSTRACT
 
     def test_elsevier_right_column_abstract(self):
@@ -236,6 +313,149 @@ class TestBandedFormats:
         kept = ec.detect_page_layout_legacy(page, 0.3)
         texts = [r["text"] for r in kept]
         assert "tiny" not in texts and "hdr" in texts
+
+
+class TestBoundaryScoring:
+    """Reference intro/end scoring (v10.R:1697-1718, 1866-1878)."""
+
+    def test_intro_score_weights(self):
+        # general intro word (5) + numbered start (3) = 8 on the heading
+        assert ec.intro_score("1. Introduction") == 8
+        # an abstract that merely MENTIONS 'introduction': 5 + substantial +
+        # starts_properly = 7 — loses to the real heading (the round-1 miss)
+        noisy = "This abstract gives an introduction to the method " + "x" * 60
+        assert ec.intro_score(noisy) == 7
+        assert ec.intro_score("Abstract: Something", is_mdpi=True) >= 10
+        assert ec.intro_score("Abstract: Something", is_mdpi=False) < 10
+
+    def test_abstract_mentioning_introduction_loses_to_heading(self):
+        rows = []
+        texts = [
+            ("plain text", "An abstract which provides a thorough introduction "
+             "to the topic and is certainly longer than one hundred characters "
+             "of body text in total here."),
+            ("title", "1. Introduction"),
+            ("plain text", "Body paragraph."),
+        ]
+        for i, (et, t) in enumerate(texts):
+            rows.append({"page": 1, "x": 200, "y": 100 + i * 100, "w": 2000,
+                         "h": 90, "text": t, "element_type": et,
+                         "media_ref": None, "offset": i, "parse_failure": 0,
+                         "row_id": i})
+        start, _ = ec.scan_boundaries(rows)
+        assert start == 1  # heading (score 8) beats noisy abstract (7)
+
+    def test_fallback_min_15(self):
+        rows = [
+            {"page": 1, "x": 0, "y": i * 10, "w": 10, "h": 5,
+             "text": f"row {i} zz", "element_type": "plain text",
+             "media_ref": None, "offset": i, "parse_failure": 0, "row_id": i}
+            for i in range(30)
+        ]
+        start, _ = ec.scan_boundaries(rows)
+        assert start == 14  # min(15, nrow)-th text row, 0-based (v10.R:1716)
+
+    def test_conservative_end_requires_late_page(self):
+        def row(i, text, page):
+            return {"page": page, "x": 0, "y": i * 10, "w": 10, "h": 5,
+                    "text": text, "element_type": "plain text",
+                    "media_ref": None, "offset": i, "parse_failure": 0,
+                    "row_id": i}
+
+        base = [row(0, "1. Introduction", 1), row(1, "Body text here.", 2)]
+        late = base + [row(2, "References", 7), row(3, "tail", 7)]
+        early = base + [row(2, "References", 3), row(3, "tail", 3)]
+        assert ec.scan_boundaries(late)[1] == 2     # end-score fires (page>=6)
+        assert ec.scan_boundaries(early)[1] == 2    # fallback END_RE still trims
+
+    def test_end_score_rejects_doi_line(self):
+        def row(i, text, page):
+            return {"page": page, "x": 0, "y": i * 10, "w": 10, "h": 5,
+                    "text": text, "element_type": "plain text",
+                    "media_ref": None, "offset": i, "parse_failure": 0,
+                    "row_id": i}
+
+        rows = [row(0, "1. Introduction", 1),
+                row(1, "References", 7)]
+        # exact header passes the conservative end-score
+        assert ec.scan_boundaries(rows)[1] == 1
+        # a header-like line carrying a url fails the conservative rule
+        # (is_not_doi, v10.R:1874) — it still trims via the fallback heading
+        # scan, but only because the repo keeps that extension for short docs
+        rows2 = [row(0, "1. Introduction", 1),
+                 row(1, "References www.example.org", 7)]
+        t = "References www.example.org"
+        assert not (ec.END_HEADER_RE.match(t) and
+                    not ec.END_NOT_DOI_RE.search(t.lower()))
+        assert ec.scan_boundaries(rows2)[1] == 1  # fallback END_RE trims
+
+
+class TestAuthorPipeline:
+    def test_golden_semicolon_form(self):
+        # golden shape: v10_ALTAIR.R:3746
+        assert ec.clean_author_list(
+            "Lauren L. Prister; Shaohui Yin; Laty A. Cahoon"
+        ) == "Lauren L. Prister; Shaohui Yin; Laty A. Cahoon"
+
+    def test_comma_split_with_affiliation_digits(self):
+        assert ec.clean_author_list(
+            "Alice Example 1, Bob Sample 2,3, Carol Test 1"
+        ) == "Alice Example; Bob Sample; Carol Test"
+
+    def test_superscript_strip(self):
+        assert ec.clean_author_list("Alice Example*; Bob† Sample§") == \
+            "Alice Example; Bob Sample"
+
+    def test_artifact_lines_dropped(self):
+        assert ec.clean_author_list(
+            "Here are the authors; Alice Example; The list continues; Bob Sample"
+        ) == "Alice Example; Bob Sample"
+
+    def test_empty_and_junk(self):
+        assert ec.clean_author_list("") == ""
+        assert ec.clean_author_list("1, 2, 3") == ""
+
+
+class TestDualExtractor:
+    """The reference ships TWO extraction paths and compares them on the
+    same document (v8.R:3017-3033; process_document v10.R:678-743 vs
+    process_document_simple v10.R:745-811)."""
+
+    def test_simple_path_runs_all_fixtures(self):
+        for d in fx.ALL_FIXTURES:
+            res = ec.extract_simple_document(d["doc_id"], d["spans"])
+            assert res["document_format"] == "auto_detected"  # v10.R:799
+            assert res["doc_id"] == d["doc_id"]
+
+    def test_same_doc_comparison_generic(self):
+        smart = ec.extract_document(fx.GENERIC_DOC["doc_id"], fx.GENERIC_DOC["spans"])
+        simple = ec.extract_simple_document(fx.GENERIC_DOC["doc_id"],
+                                            fx.GENERIC_DOC["spans"])
+        # both find the same title on this clean doc
+        assert simple["title"] == smart["title"]
+        # simple path does NOT trim end matter (v10.R:2047: slice start..n),
+        # so its main text includes the references tail
+        assert "Example A" in simple["main_text"]
+        assert "Example A" not in smart["main_text"]
+
+    def test_simple_no_column_detection(self):
+        # two-column page: simple path reads straight down in (y, x) order,
+        # interleaving the columns — the documented disagreement case
+        simple = ec.extract_simple_document(fx.TWO_COL_DOC["doc_id"],
+                                            fx.TWO_COL_DOC["spans"])
+        texts = [s["text"] for s in simple["spans"]]
+        # (y, x) order interleaves the columns row-wise: L1, R1, L2, R2
+        assert texts[1].startswith("Right column first")
+        # smart path keeps columns separate: L1, L2, R1, R2
+        smart = ec.extract_document(fx.TWO_COL_DOC["doc_id"], fx.TWO_COL_DOC["spans"])
+        assert [s["text"] for s in smart["spans"]][1].startswith("Left column second")
+
+    def test_simple_frame_batch(self):
+        pdf = pd.DataFrame(
+            [{"doc_id": d["doc_id"], "spans": d["spans"]} for d in fx.ALL_FIXTURES]
+        )
+        out = ec.extract_simple_frame(pdf)
+        assert list(out["doc_id"]) == [d["doc_id"] for d in fx.ALL_FIXTURES]
 
 
 class TestDeterminism:

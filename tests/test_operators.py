@@ -81,6 +81,56 @@ class TestDedup:
         assert ham(rows[1], rows[2]) < ham(rows[1], rows[3])
 
 
+class TestBucketedEmbeddingDedup:
+    def test_recall_and_precision_vs_exact(self, spark, emb):
+        """q40's bucketed pairs vs q26's exact O(n^2) pairs: every bucketed
+        pair must be a true pair (exact verify => precision 1.0), and the
+        banded buckets must recover a meaningful share of them."""
+        exact = {(r.id_a, r.id_b)
+                 for r in D.embedding_near_dups(emb, threshold=0.4).collect()}
+        bucketed = {(r.id_a, r.id_b)
+                    for r in D.embedding_near_dups_bucketed(
+                        emb, threshold=0.4, bits=3, bands=2, dim=64).collect()}
+        assert bucketed <= exact  # exact cosine verify => no false positives
+        assert exact  # sanity: the synthetic corpus has near-dup pairs
+        recall = len(bucketed) / len(exact)
+        assert recall >= 0.2, f"recall {recall:.2f}"  # 2 bands x 3 bits, thr 0.4
+
+    def test_more_bands_raise_recall(self, spark, emb):
+        exact = {(r.id_a, r.id_b)
+                 for r in D.embedding_near_dups(emb, threshold=0.4).collect()}
+        few = {(r.id_a, r.id_b)
+               for r in D.embedding_near_dups_bucketed(
+                   emb, threshold=0.4, bits=3, bands=1, dim=64).collect()}
+        many = {(r.id_a, r.id_b)
+                for r in D.embedding_near_dups_bucketed(
+                    emb, threshold=0.4, bits=3, bands=4, dim=64).collect()}
+        assert len(many) >= len(few)
+        assert len(many & exact) >= len(few & exact)
+
+
+class TestConnectedComponentsHardening:
+    def test_long_chain_within_iters_converges(self, spark):
+        # a path graph of diameter 6: label must propagate end to end
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"doc_a": [1, 2, 3, 4, 5, 6],
+                          "doc_b": [2, 3, 4, 5, 6, 7]})
+        )
+        rows = {r.doc_id: r.cluster_id
+                for r in D.connected_components(pairs, max_iter=20).collect()}
+        assert set(rows.values()) == {1}
+
+    def test_nonconvergence_raises_not_truncates(self, spark):
+        # diameter exceeds max_iter: must RAISE, never silently emit wrong
+        # cluster ids (round-1 advice)
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"doc_a": list(range(1, 9)),
+                          "doc_b": list(range(2, 10))})
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            D.connected_components(pairs, max_iter=2)
+
+
 class TestSimilarity:
     def test_bruteforce_top1_is_self(self, spark, emb):
         qvec = emb.filter(F.col("vec_id") == 0).head()[1]
@@ -114,6 +164,22 @@ class TestSimilarity:
         full = [(r.vec_id, r.cosine)
                 for r in S.ivf_topk(emb, qvec, k=5, n_lists=4, n_probe=4).collect()]
         assert full == exact
+
+    def test_expr_bucket_matches_udf_bucket(self, spark, emb):
+        """The oracle-checkable expression bucket (q28 path) and the
+        BLAS pandas-UDF bucket (wide-bits production path) must agree."""
+        planes = S.hyperplanes(64, 4)
+        udf = {r.vec_id: r.bucket for r in S.with_lsh_bucket(emb, planes).collect()}
+        expr = {r.vec_id: r.bucket
+                for r in emb.select(
+                    "vec_id", S.lsh_bucket_expr(planes).alias("bucket")).collect()}
+        assert udf == expr
+
+    def test_ann_expr_equals_ann_udf(self, spark, emb):
+        qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()[1]]
+        a = [(r.vec_id, r.cosine) for r in S.ann_topk(emb, qvec, k=10, bits=4).collect()]
+        b = [(r.vec_id, r.cosine) for r in S.ann_topk_expr(emb, qvec, k=10, bits=4).collect()]
+        assert a == b
 
     def test_bucket_is_deterministic(self, spark, emb):
         planes = S.hyperplanes(64, 6)

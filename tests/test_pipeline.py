@@ -132,6 +132,34 @@ class TestCheckpointResume:
         assert m1["docs"] == 3
         assert m2["docs"] == 3  # not 6
 
+    def test_crash_between_data_and_checkpoint_invisible(self, spark, tmp_path):
+        """Duplicate-append window (round-1 advice): a run that dies AFTER
+        the data write but BEFORE the checkpoint append must not double-
+        expose rows when resumed — the orphan attempt partition stays
+        invisible to read_extracted and to metrics."""
+        from pyspark.sql import functions as F
+
+        from pdf_extraction_tests_spark.tables import write_table
+
+        docs = fx.ALL_FIXTURES[:3]
+        df = _docs_df(spark, docs)
+        out = str(tmp_path / "crash")
+        # simulate the dead run: data written under an attempt, no checkpoint
+        orphan = (
+            pl.extract_docs(pl.with_part_key(df, 4), 4)
+            .withColumn("run_id", F.lit("rC"))
+            .withColumn("attempt_id", F.lit("dead_attempt"))
+        )
+        write_table(orphan, f"{out}/extracted", mode="append",
+                    partition_by=["run_id", "attempt_id"])
+        # resume with the same run_id: no checkpoint rows -> everything
+        # re-processes under a fresh attempt_id
+        m = pl.run_pipeline(spark, df, out, run_id="rC", num_parts=4)
+        assert m["docs"] == 3  # metrics count this attempt only, not 6
+        committed = pl.read_extracted(spark, out)
+        assert committed.count() == 3  # orphan rows invisible
+        assert committed.select("doc_id").distinct().count() == 3
+
     def test_lineage_rows_written(self, spark, tmp_path):
         docs = fx.ALL_FIXTURES
         out = str(tmp_path / "out2")
