@@ -33,15 +33,38 @@ SPDF_MAGIC = b"SPDF\n"
 
 
 def parse_pdf_bytes(content: bytes) -> list[dict]:
-    """PRODUCTION STUB: rasterize + layout-detect + OCR real PDF bytes.
+    """REAL decode for digitally-born PDFs; OCR stack still stubbed.
 
-    Replace with the real decode stack (poppler render -> XY-cut/model
-    layout -> OCR) inside the same mapInPandas stage; everything downstream
-    (schema, batching, extraction) is unchanged.
+    Uses the pure-Python minimal PDF decoder (:mod:`.pdf_min`): plain or
+    FlateDecode content streams, standard text operators, simple one-byte
+    fonts — one span per BT..ET text block with geometry recovered from the
+    text matrix, plus media placeholders for image-XObject draws.  PDFs
+    outside that profile (scanned/image-only, encrypted, CID text, object-
+    stream page trees) raise ``NotImplementedError``: that remainder is the
+    rasterize -> layout-model -> OCR stack (v10.R:26, 39-44, 131-152) which
+    needs poppler/tesseract, not present in this image — replace THIS
+    fallback in production; schema, batching, and extraction are unchanged.
     """
-    raise NotImplementedError(
-        "real PDF decode requires poppler/OCR, not present in this image"
-    )
+    from .pdf_min import UnsupportedPdfError, extract_pdf_text
+
+    try:
+        blocks = extract_pdf_text(bytes(content))
+    except UnsupportedPdfError as e:
+        raise NotImplementedError(
+            f"PDF outside the minimal text profile ({e}); the raster/OCR "
+            "stack is not present in this image"
+        ) from e
+    spans: list[dict] = []
+    for i, b in enumerate(blocks):
+        if b["kind"] == "media":
+            spans.append({"kind": "media", "text": "", "media_ref": b["ref"],
+                          "offset": i})
+        else:
+            payload = (f'{b["page"]},{b["x"]},{b["y"]},{b["w"]},{b["h"]},'
+                       f'{b["etype"]}|{b["text"]}')
+            spans.append({"kind": "region", "text": payload,
+                          "media_ref": None, "offset": i})
+    return spans
 
 
 def parse_spdf_bytes(content: bytes) -> list[dict]:

@@ -1,0 +1,370 @@
+"""Minimal pure-Python PDF text decoder (no external libs; stdlib zlib).
+
+Replaces the round-1 ``parse_pdf_bytes`` NotImplementedError stub for the
+decodable subset of real PDFs: files whose page content streams are plain
+or FlateDecode-compressed and whose text is drawn with the standard text
+operators (BT/ET, Tf, Td/TD/Tm/T*, Tj/TJ/'/") using simple single-byte
+fonts.  This is the digitally-born-PDF case; the reference's full stack
+(rasterize -> DocLayout-YOLO -> tesseract,
+Document_Processor_DocLayout_YOLO_Code_v10.R:26, 39-44, 131-152) is only
+*required* for scanned/image PDFs, which still raise
+:class:`UnsupportedPdfError` here and surface as parse-failure spans.
+
+What it extracts, per page:
+* one text block per BT..ET group — position from the text matrix
+  (PDF bottom-left origin converted to the engine's top-left y), width/
+  height estimated from font size and shown glyph count, element_type
+  'title' for display-size text (>= 14pt) else 'plain text';
+* one media placeholder per image-XObject ``Do`` invocation
+  (``media_ref='pdf:xobj:<name>'``) at its reading position.
+
+Out of scope (raise UnsupportedPdfError -> fault-isolated upstream):
+encryption, cross-reference/object streams holding the page tree
+(``/ObjStm``), CID/Type0 2-byte text, and non-Flate filters.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+
+class UnsupportedPdfError(Exception):
+    """PDF feature outside the minimal decoder's scope."""
+
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.DOTALL)
+_STREAM_RE = re.compile(rb"^(.*?)stream\r?\n(.*)$", re.DOTALL)
+_PAGE_RE = re.compile(rb"/Type\s*/Page\b(?!s)")
+_CONTENTS_REF_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
+_CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[(.*?)\]", re.DOTALL)
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+_MEDIABOX_RE = re.compile(
+    rb"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]"
+)
+
+# content-stream tokens: strings, hex strings, arrays, numbers, names, ops
+_TOKEN_RE = re.compile(
+    rb"\((?:\\.|[^\\()])*\)"      # literal string (no nested unescaped parens)
+    rb"|<[0-9A-Fa-f\s]*>"          # hex string
+    rb"|\[|\]"
+    rb"|/[^\s/\[\]()<>{}]*"        # name
+    rb"|[-+]?\d*\.?\d+"            # number
+    rb"|[A-Za-z'\"*]+",            # operator
+)
+
+_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _decode_literal(tok: bytes) -> str:
+    """PDF literal string ``(...)`` -> text (simple-font byte semantics)."""
+    body = tok[1:-1]
+    out = bytearray()
+    i = 0
+    while i < len(body):
+        c = body[i:i + 1]
+        if c == b"\\" and i + 1 < len(body):
+            nxt = body[i + 1:i + 2]
+            if nxt in _ESCAPES:
+                out += _ESCAPES[nxt]
+                i += 2
+                continue
+            if nxt.isdigit():  # octal escape, 1-3 digits
+                j = i + 1
+                while j < min(i + 4, len(body)) and body[j:j + 1].isdigit():
+                    j += 1
+                out.append(int(body[i + 1:j], 8) & 0xFF)
+                i = j
+                continue
+            i += 2  # unknown escape: drop the backslash
+            continue
+        out += c
+        i += 1
+    return out.decode("latin-1")
+
+
+def _decode_hex(tok: bytes) -> str:
+    h = re.sub(rb"\s", b"", tok[1:-1])
+    if len(h) % 2:
+        h += b"0"
+    return bytes.fromhex(h.decode("ascii")).decode("latin-1")
+
+
+def _objects(data: bytes) -> dict[int, bytes]:
+    return {int(m.group(1)): m.group(3) for m in _OBJ_RE.finditer(data)}
+
+
+def _stream_of(obj_body: bytes) -> bytes | None:
+    m = _STREAM_RE.match(obj_body)
+    if not m:
+        return None
+    head, rest = m.group(1), m.group(2)
+    end = rest.rfind(b"endstream")
+    raw = rest[:end if end >= 0 else len(rest)].rstrip(b"\r\n")
+    if b"/Filter" in head:
+        if b"/FlateDecode" not in head:
+            raise UnsupportedPdfError("non-Flate stream filter")
+        try:
+            return zlib.decompress(raw)
+        except zlib.error as e:  # corrupt stream: isolate, don't kill the doc
+            raise UnsupportedPdfError(f"flate error: {e}") from e
+    return raw
+
+
+def _page_streams(data: bytes) -> list[tuple[bytes, float]]:
+    """[(content_stream, page_height), ...] in page order."""
+    objs = _objects(data)
+    pages: list[tuple[int, bytes]] = []  # (obj_num, page dict body)
+    for num, body in sorted(objs.items()):
+        head = body.split(b"stream", 1)[0]
+        if _PAGE_RE.search(head):
+            pages.append((num, head))
+    if not pages:
+        if b"/ObjStm" in data:
+            raise UnsupportedPdfError("page tree inside object streams")
+        raise UnsupportedPdfError("no /Page objects found")
+    out: list[tuple[bytes, float]] = []
+    for _, head in pages:
+        mb = _MEDIABOX_RE.search(head) or _MEDIABOX_RE.search(data)
+        height = float(mb.group(4)) if mb else 792.0
+        content_nums: list[int] = []
+        arr = _CONTENTS_ARR_RE.search(head)
+        if arr:
+            content_nums = [int(g) for g in _REF_RE.findall(arr.group(1))]
+        else:
+            ref = _CONTENTS_REF_RE.search(head)
+            if ref:
+                content_nums = [int(ref.group(1))]
+        parts = []
+        for n in content_nums:
+            if n in objs:
+                s = _stream_of(objs[n])
+                if s is not None:
+                    parts.append(s)
+        out.append((b"\n".join(parts), height))
+    return out
+
+
+def _extract_page_blocks(content: bytes, height: float, page: int) -> list[dict]:
+    """One page's content stream -> block dicts (text blocks + media)."""
+    blocks: list[dict] = []
+    font_size = 12.0
+    # text state inside BT..ET
+    in_text = False
+    tx = ty = 0.0
+    line_x = line_y = 0.0
+    leading = 0.0
+    cur_text: list[str] = []
+    cur_x = cur_y = 0.0
+    cur_size = 12.0
+    started = False
+    stack: list[bytes] = []
+
+    def flush() -> None:
+        nonlocal cur_text, started
+        text = "".join(cur_text).strip()
+        if text:
+            w = max(int(len(text) * cur_size * 0.5), 1)
+            h = max(int(round(cur_size)), 1)
+            y_top = max(int(round(height - cur_y)) - h, 0)
+            etype = "title" if cur_size >= 14 else "plain text"
+            blocks.append({
+                "kind": "text_block", "page": page, "x": int(round(cur_x)),
+                "y": y_top, "w": w, "h": h, "etype": etype, "text": text,
+            })
+        cur_text = []
+        started = False
+
+    def show(s: str) -> None:
+        nonlocal started, cur_x, cur_y, cur_size
+        if not started:
+            cur_x, cur_y, cur_size = tx, ty, font_size
+            started = True
+        cur_text.append(s)
+
+    for tok in _TOKEN_RE.finditer(content):
+        t = tok.group(0)
+        c0 = t[:1]
+        if c0 == b"(":
+            stack.append(t)
+        elif c0 == b"<":
+            stack.append(t)
+        elif c0 in b"[]" or c0 == b"/" or c0.isdigit() or c0 in b"-+." or (
+            len(t) > 1 and t[:1] in b"-+" ):
+            stack.append(t)
+        else:  # operator
+            op = t
+            if op == b"BT":
+                in_text = True
+                tx = ty = line_x = line_y = 0.0
+            elif op == b"ET":
+                flush()
+                in_text = False
+            elif op == b"Tf":
+                if stack and re.fullmatch(rb"[-+]?\d*\.?\d+", stack[-1]):
+                    font_size = float(stack[-1])
+            elif op in (b"Td", b"TD"):
+                if len(stack) >= 2:
+                    dx, dy = float(stack[-2]), float(stack[-1])
+                    line_x += dx
+                    line_y += dy
+                    tx, ty = line_x, line_y
+                    if op == b"TD":
+                        leading = -dy
+                    # a big jump starts a new visual block
+                    if started and abs(dy) > max(leading, font_size) * 1.8:
+                        flush()
+            elif op == b"Tm":
+                if len(stack) >= 6:
+                    line_x, line_y = float(stack[-2]), float(stack[-1])
+                    tx, ty = line_x, line_y
+                    if started:
+                        flush()
+            elif op == b"TL":
+                if stack:
+                    leading = float(stack[-1])
+            elif op == b"T*":
+                line_y -= leading if leading else font_size * 1.2
+                tx, ty = line_x, line_y
+            elif op == b"Tj":
+                if in_text and stack and stack[-1][:1] in b"(<":
+                    s = stack[-1]
+                    show(_decode_literal(s) if s[:1] == b"(" else _decode_hex(s))
+            elif op in (b"'", b'"'):
+                line_y -= leading if leading else font_size * 1.2
+                tx, ty = line_x, line_y
+                if in_text and stack and stack[-1][:1] in b"(<":
+                    s = stack[-1]
+                    show(" " + (_decode_literal(s) if s[:1] == b"(" else _decode_hex(s)))
+            elif op == b"TJ":
+                if in_text:
+                    parts = []
+                    for s in stack:
+                        if s[:1] == b"(":
+                            parts.append(_decode_literal(s))
+                        elif s[:1] == b"<":
+                            parts.append(_decode_hex(s))
+                    if parts:
+                        show("".join(parts))
+            elif op == b"Do":
+                if stack and stack[-1][:1] == b"/":
+                    name = stack[-1][1:].decode("latin-1", "replace")
+                    blocks.append({
+                        "kind": "media", "page": page,
+                        "ref": f"pdf:xobj:{name}",
+                    })
+            stack = []
+            continue
+        # keep stack bounded between operators (TJ arrays can be long)
+        if len(stack) > 512:
+            stack = stack[-512:]
+    return blocks
+
+
+def extract_pdf_text(data: bytes) -> list[dict]:
+    """PDF bytes -> block dicts across pages.
+
+    Raises :class:`UnsupportedPdfError` for encrypted PDFs and features
+    outside the minimal profile; the caller maps that to a parse-failure
+    span (fault isolation, v10.R:37, 188-190).
+    """
+    if not data.startswith(b"%PDF-"):
+        raise UnsupportedPdfError("missing %PDF header")
+    if b"/Encrypt" in data:
+        raise UnsupportedPdfError("encrypted PDF")
+    blocks: list[dict] = []
+    for i, (content, h) in enumerate(_page_streams(data)):
+        blocks.extend(_extract_page_blocks(content, h, i + 1))
+    return blocks
+
+
+# ---------------------------------------------------------------------------
+# Deterministic minimal-PDF WRITER (tests/fixtures): text + image XObjects,
+# FlateDecode content streams — valid per ISO 32000 minimal profile.
+# ---------------------------------------------------------------------------
+
+
+def write_minimal_pdf(pages: list[list[tuple]], compress: bool = True,
+                      page_height: float = 792.0) -> bytes:
+    """Build a valid one-font PDF.
+
+    ``pages`` is a list of pages; each page a list of items:
+    ``("text", x, y_top, size, text)`` or ``("image", name)``.
+    y is given TOP-left (engine convention) and converted to PDF user space.
+    """
+    objs: list[bytes] = []
+
+    def esc(s: str) -> bytes:
+        return (s.replace("\\", r"\\").replace("(", r"\(")
+                 .replace(")", r"\)")).encode("latin-1", "replace")
+
+    # layout: 1 catalog, 2 pages-root, 3 font, then per page: page obj,
+    # then all content streams, then image xobjects (one shared)
+    page_ids = [4 + i for i in range(len(pages))]
+    content_ids = [4 + len(pages) + i for i in range(len(pages))]
+    xobj_id = 4 + 2 * len(pages)
+
+    body = {}
+    body[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    kids = b" ".join(b"%d 0 R" % p for p in page_ids)
+    body[2] = (b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>"
+               % len(pages))
+    body[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    needs_xobj = any(it[0] == "image" for pg in pages for it in pg)
+    for i, pg in enumerate(pages):
+        res = b"/Font << /F1 3 0 R >>"
+        if needs_xobj:
+            res += b" /XObject << /Im0 %d 0 R >>" % xobj_id
+        body[page_ids[i]] = (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 %d] "
+            b"/Resources << %s >> /Contents %d 0 R >>"
+            % (int(page_height), res, content_ids[i])
+        )
+        ops = [b"BT"]
+        for item in pg:
+            if item[0] == "text":
+                _, x, y_top, size, text = item
+                y_pdf = page_height - y_top - size
+                ops.append(b"/F1 %g Tf" % size)
+                ops.append(b"1 0 0 1 %g %g Tm" % (x, y_pdf))
+                ops.append(b"(" + esc(text) + b") Tj")
+            else:
+                ops.append(b"ET /%s Do BT" % item[1].encode())
+        ops.append(b"ET")
+        stream = b"\n".join(ops)
+        if compress:
+            z = zlib.compress(stream)
+            body[content_ids[i]] = (
+                b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(z)
+                + z + b"\nendstream"
+            )
+        else:
+            body[content_ids[i]] = (
+                b"<< /Length %d >>\nstream\n" % len(stream)
+                + stream + b"\nendstream"
+            )
+    if needs_xobj:
+        img = bytes([0, 0, 0, 255] * 4)
+        body[xobj_id] = (
+            b"<< /Type /XObject /Subtype /Image /Width 2 /Height 2 "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length %d >>"
+            b"\nstream\n" % len(img) + img + b"\nendstream"
+        )
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num in sorted(body):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + body[num] + b"\nendobj\n"
+    xref_at = len(out)
+    maxn = max(body)
+    out += b"xref\n0 %d\n" % (maxn + 1)
+    out += b"0000000000 65535 f \n"
+    for n in range(1, maxn + 1):
+        out += (b"%010d 00000 n \n" % offsets.get(n, 0))
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (maxn + 1, xref_at))
+    return bytes(out)

@@ -120,6 +120,29 @@ class TestConnectedComponentsHardening:
                 for r in D.connected_components(pairs, max_iter=20).collect()}
         assert set(rows.values()) == {1}
 
+    def test_star_equals_minlabel_on_lsh_pairs(self, spark, docs):
+        """Web-scale large-star/small-star CC == min-label CC on the real
+        LSH candidate graph (and on a long chain, where star converges in
+        O(log^2 n) rounds instead of diameter rounds)."""
+        sig = D.minhash_signatures(docs, 6, 3)
+        pairs = D.lsh_candidate_pairs(sig, 3, 2).cache()
+        a = {(r.doc_id, r.cluster_id)
+             for r in D.connected_components(pairs).collect()}
+        b = {(r.doc_id, r.cluster_id)
+             for r in D.connected_components_star(pairs).collect()}
+        assert a == b and a
+
+    def test_star_handles_long_chain_in_few_rounds(self, spark):
+        # diameter-30 path: min-label would need 30 rounds; star needs ~log^2
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"doc_a": list(range(1, 31)),
+                          "doc_b": list(range(2, 32))})
+        )
+        rows = {r.doc_id: r.cluster_id
+                for r in D.connected_components_star(pairs, max_iter=10).collect()}
+        assert set(rows.values()) == {1}
+        assert len(rows) == 31
+
     def test_nonconvergence_raises_not_truncates(self, spark):
         # diameter exceeds max_iter: must RAISE, never silently emit wrong
         # cluster ids (round-1 advice)

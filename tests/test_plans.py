@@ -57,6 +57,31 @@ def test_band_join_is_broadcast(q):
     assert count_exchanges(plan) <= 1  # only the final groupBy shuffle
 
 
+def test_contamination_screen_broadcasts_holdout(spark):
+    """q43: the (small) holdout shingle set must broadcast — the corpus
+    side stays a single scan with no corpus-wide shuffle before the
+    per-doc aggregation."""
+    plan = formatted_plan(queries()["q43_contamination_screen"](spark, SF))
+    assert has_broadcast_join(plan)
+
+
+def test_stratified_sample_filter_is_scan_side(spark):
+    """q44: the keep-rate predicate is a pure scan-side filter — no
+    exchange before the final per-source count."""
+    plan = formatted_plan(queries()["q44_stratified_sample"](spark, SF))
+    assert count_exchanges(plan) <= 1, plan  # only the groupBy('source')
+
+
+def test_bucketed_embedding_dedup_no_cartesian(spark):
+    """q40 must NOT contain a cartesian/nested-loop join over the corpus:
+    candidates come from the banded equi-join on (band, bucket)."""
+    plan = formatted_plan(
+        queries()["q40_embedding_dedup_bucketed"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan, plan
+
+
 def test_extraction_single_shuffle(spark):
     """The happy-path extraction plan: exactly one exchange (the salted
     part_key repartition) between scan and the Arrow stage."""

@@ -7,9 +7,26 @@ import pytest
 from pdf_extraction_tests_spark.pipeline import extract_docs
 from pdf_extraction_tests_spark.sources.binary_docs import (
     bytes_to_spans,
+    parse_pdf_bytes,
     read_binary_docs,
     write_spdf,
 )
+from pdf_extraction_tests_spark.sources.pdf_min import (
+    UnsupportedPdfError,
+    extract_pdf_text,
+    write_minimal_pdf,
+)
+
+REAL_PDF_PAGES = [
+    [("text", 72, 100, 18, "A Real Decoded Pdf Title Line"),
+     ("text", 72, 200, 11, "Alice Example, Bob Sample 1,2"),
+     ("text", 72, 300, 11, "Abstract " + "genuine pdf body text " * 12),
+     ("image", "Im0"),
+     ("text", 72, 560, 14, "1. Introduction"),
+     ("text", 72, 620, 11, "Body paragraph decoded from true pdf bytes.")],
+    [("text", 72, 100, 11, "Second page body paragraph from the pdf."),
+     ("text", 72, 300, 14, "References")],
+]
 
 
 @pytest.fixture(scope="module")
@@ -30,6 +47,7 @@ def doc_dir(tmp_path_factory):
         "<footer>junk footer</footer>"
     )
     (d / "c.pdf").write_bytes(b"%PDF-1.4 fake binary content")
+    (d / "d.pdf").write_bytes(write_minimal_pdf(REAL_PDF_PAGES))
     return str(d)
 
 
@@ -37,16 +55,57 @@ def test_binary_source_roundtrip(spark, doc_dir):
     docs = read_binary_docs(spark, doc_dir)
     out = {r.doc_id.split("/")[-1]: r
            for r in extract_docs(docs, num_parts=4).collect()}
-    assert set(out) == {"a.spdf", "b.html", "c.pdf"}
+    assert set(out) == {"a.spdf", "b.html", "c.pdf", "d.pdf"}
     a = out["a.spdf"]
     assert a.title == "A Binary Sourced Title Document"
     assert [s.kind for s in a.spans] == ["title", "text", "title", "media", "text"]
     b = out["b.html"]
     assert b.title == "Html Sourced Heading"
-    # unsupported binary (real PDF): parse-failure isolated, not a crash
+    # truncated/garbage PDF: parse-failure isolated, not a crash
     c = out["c.pdf"]
     assert c.parse_failures == 1
     assert c.spans == []
+    # REAL pdf bytes: decoded end to end (title, media anchor, both pages)
+    d = out["d.pdf"]
+    assert d.parse_failures == 0
+    assert d.title == "A Real Decoded Pdf Title Line"
+    assert d.total_pages == 2
+    assert any(s.kind == "media" and s.media_ref == "pdf:xobj:Im0"
+               for s in d.spans)
+
+
+class TestMinimalPdfDecoder:
+    def test_roundtrip_compressed_and_plain(self):
+        for compress in (True, False):
+            data = write_minimal_pdf(REAL_PDF_PAGES, compress=compress)
+            blocks = extract_pdf_text(data)
+            texts = [b["text"] for b in blocks if b["kind"] == "text_block"]
+            assert texts[0] == "A Real Decoded Pdf Title Line"
+            assert any(b["kind"] == "media" for b in blocks)
+            # geometry round-trips through the top-left conversion
+            title = blocks[0]
+            assert (title["page"], title["x"], title["y"]) == (1, 72, 100)
+            assert title["etype"] == "title"  # display-size text
+
+    def test_string_escapes(self):
+        data = write_minimal_pdf(
+            [[("text", 10, 10, 11, r"parens () and backslash \ inside")]])
+        blocks = extract_pdf_text(data)
+        assert blocks[0]["text"] == r"parens () and backslash \ inside"
+
+    def test_unsupported_raises(self):
+        with pytest.raises(UnsupportedPdfError):
+            extract_pdf_text(b"not a pdf")
+        with pytest.raises(UnsupportedPdfError):
+            extract_pdf_text(b"%PDF-1.7\n/Encrypt 5 0 R\n")
+        with pytest.raises(NotImplementedError):
+            parse_pdf_bytes(b"%PDF-1.5\nno pages here")
+
+    def test_corrupt_flate_is_isolated(self):
+        good = write_minimal_pdf([[("text", 10, 10, 11, "hello world ok")]])
+        corrupt = good.replace(b"stream\n", b"stream\n\x00\x00", 1)
+        with pytest.raises((UnsupportedPdfError, NotImplementedError)):
+            extract_pdf_text(corrupt)
 
 
 def test_glob_filter(spark, doc_dir):
