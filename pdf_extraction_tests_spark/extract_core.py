@@ -834,6 +834,60 @@ def strip_boilerplate(ordered: list[dict]) -> list[dict]:
     return out
 
 
+# Elsevier-specific boundary rules (v10.R:2342-2481; the reference marks
+# its own Elsevier path "STILL NOT WORKING" at v10.R:3732 — these are its
+# stated semantics with the broken parts omitted)
+ELSEVIER_INFO_RE = re.compile(r"article info|keywords")
+ELSEVIER_INTRO_RE = re.compile(r"^1\.\s+Introduction|^Introduction$")
+ELSEVIER_END_RE = re.compile(
+    r"^References\s*$|^Acknowledgments?|^Author\s+statement"
+    r"|^CRediT\s+authorship|^Declaration\s+of\s+Competing"
+    r"|^Compliance\s+with\s+ethics"
+)
+ELSEVIER_LEAK_RE = re.compile(r"^keywords:|^article info|^abbreviations",
+                              re.IGNORECASE)
+
+
+def scan_boundaries_elsevier(clean: list[dict]) -> tuple[int, int]:
+    """Elsevier boundary scan (v10.R:2414-2447).
+
+    start: first anchored Introduction heading outside the article-info
+    box; fallback = the 3rd substantial (>100 chars) non-info page-1 row
+    (v10.R:2425-2433).  end: first of the extended end-marker set
+    (References/Acknowledgments/Author statement/CRediT/Declaration of
+    Competing/Compliance with ethics, v10.R:2436-2441) — no page
+    constraint, marker row excluded ([start, end) slice).
+    """
+    body = [r for r in clean if r["element_type"] in BODY_TYPES]
+    if not body:
+        return (0, 0)
+    start = None
+    for r in body:
+        if ELSEVIER_INFO_RE.search(r["text"].lower()):
+            continue
+        if ELSEVIER_INTRO_RE.match(r["text"]):
+            start = r["row_id"]
+            break
+    if start is None:
+        substantial = [
+            r for r in body
+            if r["page"] <= 1 and len(r["text"]) > 100
+            and not ELSEVIER_INFO_RE.search(r["text"].lower())
+        ]
+        if len(substantial) >= 3:
+            start = substantial[2]["row_id"]
+        else:
+            start = body[min(10, len(body)) - 1]["row_id"]  # v10.R:2458 slice(10:..)
+    end = None
+    for r in body:
+        if r["row_id"] > start and ELSEVIER_END_RE.match(r["text"]):
+            end = r["row_id"]
+            break
+    if end is None:
+        end = body[-1]["row_id"] + 1
+    return (start, end)
+
+
 def intro_score(text: str, is_mdpi: bool = False) -> int:
     """The reference's weighted intro score for one row (v10.R:1697-1709):
     has_mdpi_intro*10 + has_general_intro*5 + has_numbered_start*3 +
@@ -999,10 +1053,16 @@ def extract_from_records(doc_id: str, records: list[dict],
     abstract, abstract_row = extract_abstract_banded(clean, band_format)
     if abstract_row < 0:
         abstract, abstract_row = extract_abstract(clean, title_row2)
-    start, end = scan_boundaries(clean, abstract_row, is_mdpi=is_mdpi)
+    if band_format == "elsevier":
+        start, end = scan_boundaries_elsevier(clean)
+    else:
+        start, end = scan_boundaries(clean, abstract_row, is_mdpi=is_mdpi)
     body_rows = [r for r in clean if r["element_type"] in BODY_TYPES]
     end = lookahead_end_scan(body_rows, start, end)
     main_rows = [r for r in body_rows if start <= r["row_id"] < end]
+    if band_format == "elsevier":
+        # drop article-info rows that leaked into the slice (v10.R:2452-2455)
+        main_rows = [r for r in main_rows if not ELSEVIER_LEAK_RE.match(r["text"])]
     if is_mdpi:
         main_rows = mdpi_xzone_filter(main_rows)
     main_raw = " ".join(r["text"] for r in main_rows)

@@ -271,6 +271,31 @@ class TestBandedFormats:
         res = ec.extract_document(fx.ELSEVIER_DOC["doc_id"], fx.ELSEVIER_DOC["spans"])
         assert res["document_format"] == "elsevier"
         assert res["abstract"] == fx.ELSEVIER_EXPECTED_ABSTRACT
+        # elsevier boundary variant: anchored intro, article-info excluded
+        assert "Article history" not in res["main_text"]
+        assert res["main_text"].startswith("1. Introduction")
+
+    def test_elsevier_boundary_scan_rules(self):
+        def row(i, text, page=1, y=None):
+            return {"page": page, "x": 0, "y": y if y is not None else i * 100,
+                    "w": 10, "h": 5, "text": text,
+                    "element_type": "plain text", "media_ref": None,
+                    "offset": i, "parse_failure": 0, "row_id": i}
+
+        rows = [
+            row(0, "Article info and keywords box"),
+            row(1, "Introduction"),        # anchored heading
+            row(2, "Body content here."),
+            row(3, "CRediT authorship contribution statement"),
+            row(4, "tail"),
+        ]
+        start, end = ec.scan_boundaries_elsevier(rows)
+        assert (start, end) == (1, 3)  # extended end-marker set (v10.R:2436)
+        # a row mentioning keywords cannot be the intro anchor
+        rows2 = [row(0, "Introduction to keywords usage"),
+                 row(1, "1. Introduction"),
+                 row(2, "Body.")]
+        assert ec.scan_boundaries_elsevier(rows2)[0] == 1
 
     def test_band_assignment(self):
         recs = ec.reading_order(
