@@ -83,6 +83,8 @@ _FMT_PUB_RULES: list[tuple[str, float, re.Pattern]] = [
 # applied to ALL page-1 text (v10.R:655-657)
 _FMT_ALLTEXT_RULE = ("elsevier", 2.0, re.compile(r"article\s+info|abstract.*keywords"))
 
+_MDPI_ANY_RE = re.compile(r"mdpi", re.IGNORECASE)
+
 # banded-path selection flags (v10.R:1363-1366): the reference's per-format
 # abstract/band extraction triggers on these regexes over page-1 text,
 # independently of detect_document_format's class
@@ -122,8 +124,8 @@ _BOILER_TOKENS = ("@", "doi.org", "creative", "licensee", "copyright",
                   "published", "revised", "citation", "open access", "*")
 
 
-def _maybe_boilerplate(text: str) -> bool:
-    low = text.lower()
+def _maybe_boilerplate(text: str, low: str | None = None) -> bool:
+    low = text.lower() if low is None else low
     return any(tok in low for tok in _BOILER_TOKENS) and bool(
         BOILERPLATE_RE.search(text)
     )
@@ -133,7 +135,13 @@ def _maybe_boilerplate(text: str) -> bool:
 # below; threshold >= 3, argmax desc(score) then row_id, fallback
 # min(15, nrow) (:1716-1718).
 INTRO_MDPI_RE = re.compile(r"^Abstract:\s+\w+")          # weight 10 (x is_mdpi)
-INTRO_GENERAL_RE = re.compile(r"introduction|^1\.\s+introduction")  # weight 5, on lower
+# weight 5; the reference pattern "introduction|^1\.\s+introduction" over
+# text_lower reduces to a plain substring test: the anchored branch implies
+# the unanchored one.  A substring scan on the pre-lowered row (computed
+# once and shared by every predicate) is ~5x faster than re.search and
+# ~10x faster than re.IGNORECASE on the raw string (case folding disables
+# re's fast literal scan) — this predicate runs on EVERY body row.
+INTRO_GENERAL_TOKEN = "introduction"
 INTRO_NUMBERED_RE = re.compile(r"^1\.\s+[A-Z]")          # weight 3
 INTRO_STARTS_PROPERLY_RE = re.compile(r"^[A-Z][a-z]")    # weight 1 (+1 substantial)
 INTRO_SCORE_THRESHOLD = 3
@@ -646,10 +654,11 @@ def detect_document_format(records: list[dict]) -> str:
     layout hint wins, exactly as the reference behaves.
     """
     p1 = [r for r in records if r["page"] <= 1 and r["element_type"] != "media"]
-    all_text = " ".join(r["text"] for r in p1).lower()
+    all_text = " ".join(r.get("_tl") or (r["text"] or "").lower() for r in p1)
     publisher_text = " ".join(
-        r["text"] for r in p1 if r["element_type"] in ("abandon", "plain text")
-    ).lower()
+        r.get("_tl") or (r["text"] or "").lower()
+        for r in p1 if r["element_type"] in ("abandon", "plain text")
+    )
     scores = {c: 0.0 for c in FORMAT_CLASS_ORDER}
     scores["generic_academic"] = 1.0
     for cls, pts, pat in _FMT_PUB_RULES:
@@ -680,9 +689,9 @@ def detect_band_format(records: list[dict]) -> str | None:
     over the page-1 text blob picks the per-format band/abstract path
     (nature/jac/jsm/elsevier); None -> generic scorer only."""
     blob = " ".join(
-        r["text"] for r in records
+        r.get("_tl") or (r["text"] or "").lower() for r in records
         if r["page"] <= 1 and r["element_type"] != "media"
-    ).lower()
+    )
     for name, pat in BAND_FLAG_RES:
         if pat.search(blob):
             return name
@@ -827,7 +836,8 @@ def strip_boilerplate(ordered: list[dict]) -> list[dict]:
     (W2, v10.R:1685)."""
     out = [
         r for r in ordered
-        if r["element_type"] == "media" or not _maybe_boilerplate(r["text"])
+        if r["element_type"] == "media"
+        or not _maybe_boilerplate(r["text"], r.get("_tl"))
     ]
     for i, r in enumerate(out):
         r["row_id"] = i
@@ -888,13 +898,15 @@ def scan_boundaries_elsevier(clean: list[dict]) -> tuple[int, int]:
     return (start, end)
 
 
-def intro_score(text: str, is_mdpi: bool = False) -> int:
+def intro_score(text: str, is_mdpi: bool = False, low: str | None = None) -> int:
     """The reference's weighted intro score for one row (v10.R:1697-1709):
     has_mdpi_intro*10 + has_general_intro*5 + has_numbered_start*3 +
-    is_substantial*1 + starts_properly*1."""
+    is_substantial*1 + starts_properly*1.  ``low`` is the row's pre-lowered
+    text (computed once per record in extract_from_records)."""
+    low = text.lower() if low is None else low
     return (
         (10 if (is_mdpi and INTRO_MDPI_RE.match(text)) else 0)
-        + (5 if INTRO_GENERAL_RE.search(text.lower()) else 0)
+        + (5 if INTRO_GENERAL_TOKEN in low else 0)
         + (3 if INTRO_NUMBERED_RE.match(text) else 0)
         + (1 if len(text) > 100 else 0)
         + (1 if INTRO_STARTS_PROPERLY_RE.match(text) else 0)
@@ -924,7 +936,7 @@ def scan_boundaries(clean: list[dict], abstract_row: int = -1,
         return (0, 0)
     best_key, start = None, None
     for r in body:
-        s = intro_score(r["text"], is_mdpi)
+        s = intro_score(r["text"], is_mdpi, r.get("_tl"))
         if s >= INTRO_SCORE_THRESHOLD:
             key = (-s, r["row_id"])
             if best_key is None or key < best_key:
@@ -1030,15 +1042,18 @@ def extract_from_records(doc_id: str, records: list[dict],
         live = reanchor_media(live)
     kept = filter_regions(live)
     ordered = reading_order(kept)
+    # ONE lowered copy per record, shared by every case-insensitive
+    # predicate downstream (boilerplate gate, is_mdpi scan, intro score) —
+    # re-lowering per predicate measurably halved kernel throughput
+    for r in ordered:
+        r["_tl"] = (r["text"] or "").lower()
     doc_format = detect_document_format(ordered)
     # banded paths trigger on the reference's flag regexes (v10.R:1363-1366),
     # independent of the 5-class detector
     band_format = detect_band_format(ordered)
     assign_bands(ordered, band_format)
     # is_mdpi per v10.R:1600-1601: detector class OR 'mdpi' anywhere in text
-    is_mdpi = doc_format == "mdpi" or any(
-        "mdpi" in (r["text"] or "").lower() for r in kept
-    )
+    is_mdpi = doc_format == "mdpi" or any("mdpi" in r["_tl"] for r in ordered)
     title, title_row = extract_title(ordered)
     authors = extract_authors(ordered, title_row)
     clean = strip_boilerplate(ordered)

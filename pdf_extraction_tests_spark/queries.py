@@ -1171,9 +1171,9 @@ def q44(spark, sf_dir):
     """
     SELECT doc_id, cum_tokens FROM (
       SELECT doc_id,
-             sum(len(regexp_split_to_array(trim(text), '\\s+')))
+             CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))
                OVER (ORDER BY quality DESC, doc_id
-                     ROWS UNBOUNDED PRECEDING) AS cum_tokens
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
       FROM (
         SELECT doc_id, text,
           (CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 0.25 ELSE 0.0 END)
@@ -1207,6 +1207,36 @@ def q45(spark, sf_dir):
     return (
         d.select("doc_id", F.sum(toks).over(w).alias("cum_tokens"))
         .filter(F.col("cum_tokens") <= 20000)
+    )
+
+
+@query(
+    "q46_langid_eval",
+    f"""
+    WITH guessed AS ({TA.language_guess_sql()})
+    SELECT d.lang,
+           count(*) AS n_docs,
+           -- CAST: DuckDB sum(int) yields HUGEINT (pandas float64); Spark
+           -- yields int64 — the driver hash needs identical types
+           CAST(sum(CASE WHEN g.lang_guess = d.lang THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct
+    FROM documents d JOIN guessed g ON d.doc_id = g.doc_id
+    GROUP BY d.lang
+    """,
+)
+def q46(spark, sf_dir):
+    """Classifier evaluation against labels: per-language agreement of the
+    marker-word language-ID (q29) with the corpus's lang column — the
+    eval-harness join every heuristic filter needs before it gates a
+    training mix.  On this synthetic corpus the non-en labels are metadata
+    only (the text bodies are English-vocabulary shuffles), so agreement is
+    high for en and ~0 elsewhere — the query's value is exactly that
+    visibility."""
+    d = load(spark, sf_dir, "documents")
+    g = TA.with_language_guess(d).select("doc_id", "lang_guess", "lang")
+    return g.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("lang_guess") == F.col("lang")).cast("int")).alias("n_correct"),
     )
 
 

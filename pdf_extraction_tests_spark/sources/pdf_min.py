@@ -97,21 +97,34 @@ def _objects(data: bytes) -> dict[int, bytes]:
     return {int(m.group(1)): m.group(3) for m in _OBJ_RE.finditer(data)}
 
 
+def _strip_one_eol(b: bytes) -> bytes:
+    """Remove the single EOL the spec places before 'endstream' — never
+    more: stream DATA may itself end in 0x0A/0x0D bytes (a compressed
+    stream whose last byte is '\\n' must not be truncated)."""
+    if b.endswith(b"\r\n"):
+        return b[:-2]
+    if b.endswith(b"\n") or b.endswith(b"\r"):
+        return b[:-1]
+    return b
+
+
 def _stream_of(obj_body: bytes) -> bytes | None:
     m = _STREAM_RE.match(obj_body)
     if not m:
         return None
     head, rest = m.group(1), m.group(2)
     end = rest.rfind(b"endstream")
-    raw = rest[:end if end >= 0 else len(rest)].rstrip(b"\r\n")
+    raw = rest[:end if end >= 0 else len(rest)]
     if b"/Filter" in head:
         if b"/FlateDecode" not in head:
             raise UnsupportedPdfError("non-Flate stream filter")
         try:
-            return zlib.decompress(raw)
+            # decompressobj stops at the deflate end marker and ignores the
+            # trailing pre-endstream EOL, whatever byte the data ends with
+            return zlib.decompressobj().decompress(raw)
         except zlib.error as e:  # corrupt stream: isolate, don't kill the doc
             raise UnsupportedPdfError(f"flate error: {e}") from e
-    return raw
+    return _strip_one_eol(raw)
 
 
 def _page_streams(data: bytes) -> list[tuple[bytes, float]]:

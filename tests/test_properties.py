@@ -102,3 +102,66 @@ def test_media_refs_preserved(spans):
     in_refs = [s["media_ref"] for s in spans if s["kind"] == "media"]
     out_refs = [s["media_ref"] for s in res["spans"] if s["kind"] == "media"]
     assert sorted(out_refs) == sorted(in_refs)
+
+
+@settings(max_examples=30, deadline=None)
+@given(span_lists())
+def test_simple_extractor_same_invariants(spans):
+    """The dual (simple) path honors the same structural contract."""
+    res = ec.extract_simple_document("p", spans)
+    orders = [s["order"] for s in res["spans"]]
+    assert orders == list(range(len(orders)))
+    assert res == ec.extract_simple_document("p", spans)  # deterministic
+    in_refs = [s["media_ref"] for s in spans if s["kind"] == "media"]
+    out_refs = [s["media_ref"] for s in res["spans"] if s["kind"] == "media"]
+    assert sorted(out_refs) == sorted(in_refs)
+
+
+@settings(max_examples=50, deadline=None)
+@given(_text)
+def test_author_canonicalization_idempotent(s):
+    once = ec.clean_author_list(s)
+    assert ec.clean_author_list(once) == once
+
+
+_pdf_text = st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0xFF,
+                           blacklist_characters="\x7f"),
+    min_size=1, max_size=60,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(st.integers(0, 500), st.integers(0, 700),
+                      st.sampled_from([9, 11, 14, 18]), _pdf_text),
+            min_size=1, max_size=6,
+        ),
+        min_size=1, max_size=3,
+    ),
+    st.booleans(),
+)
+def test_pdf_writer_decoder_roundtrip(pages, compress):
+    """Any text placed by the writer comes back from the decoder with its
+    page/x/y/size intact (strings with parens/backslashes included)."""
+    from pdf_extraction_tests_spark.sources.pdf_min import (
+        extract_pdf_text,
+        write_minimal_pdf,
+    )
+
+    spec = [[("text", x, y, size, text) for x, y, size, text in pg]
+            for pg in pages]
+    data = write_minimal_pdf(spec, compress=compress)
+    blocks = [b for b in extract_pdf_text(data) if b["kind"] == "text_block"]
+    want = []
+    for pno, pg in enumerate(pages, 1):
+        for x, y, size, text in pg:
+            stripped = text.strip()
+            if stripped:  # decoder drops whitespace-only shows
+                want.append((pno, x, y, stripped))
+    got = [(b["page"], b["x"], b["y"], b["text"]) for b in blocks]
+    # each written item must appear; consecutive same-position shows may
+    # merge, so compare as multisets of (page, x, y) prefixes
+    assert sorted(got) == sorted(want)
