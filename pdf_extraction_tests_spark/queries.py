@@ -1211,6 +1211,82 @@ def q45(spark, sf_dir):
 
 
 @query(
+    "q47_repetition_stats",
+    """
+    SELECT doc_id, n_sentences, n_distinct,
+           round(1.0 - CAST(n_distinct AS DOUBLE) / n_sentences, 6) AS dup_fraction
+    FROM (
+      SELECT doc_id,
+             len(string_split(text, '. ')) AS n_sentences,
+             len(list_distinct(string_split(text, '. '))) AS n_distinct
+      FROM documents) t
+    WHERE n_sentences > 0
+    """,
+)
+def q47(spark, sf_dir):
+    """Repetition statistics (Gopher-style duplicate-fraction filter): per
+    doc, the fraction of repeated sentences — the standard pre-training
+    signal for boilerplate/spam.  Pure scan-side expressions (split +
+    array_distinct), zero shuffle."""
+    d = load(spark, sf_dir, "documents")
+    sents = F.split("text", r"\. ")
+    n = F.size(sents)
+    nd = F.size(F.array_distinct(sents))
+    return (
+        d.select(
+            "doc_id",
+            n.alias("n_sentences"),
+            nd.alias("n_distinct"),
+            F.round(1.0 - nd.cast("double") / n, 6).alias("dup_fraction"),
+        )
+        .filter(F.col("n_sentences") > 0)
+    )
+
+
+_PII_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+
+
+@query(
+    "q48_pii_scrub",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{_PII_EMAIL_RE}')) AS n_emails,
+           regexp_replace(t, '{_PII_EMAIL_RE}', '<EMAIL>', 'g') AS redacted
+    FROM (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 7 = 0
+                          THEN ' contact author' || doc_id || '@example.org now'
+                          ELSE '' END AS t
+      FROM documents WHERE doc_id < 200) s
+    """,
+)
+def q48(spark, sf_dir):
+    """PII scrub (training-data hygiene): detect + redact email addresses
+    as native column expressions (RE2-compatible pattern, exact DuckDB
+    oracle).  PII is planted deterministically on every 7th doc so the
+    redaction path is actually exercised.  At 100 TB this is a scan-side
+    map — no shuffle, no UDF."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" contact author"), F.col("doc_id").cast("string"),
+                     F.lit("@example.org now")),
+        ).otherwise(F.lit("")),
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.expr(
+            f"regexp_extract_all(text || CASE WHEN doc_id % 7 = 0 "
+            f"THEN ' contact author' || doc_id || '@example.org now' "
+            f"ELSE '' END, '{_PII_EMAIL_RE}', 0)"
+        )).alias("n_emails"),
+        F.regexp_replace(t, _PII_EMAIL_RE, "<EMAIL>").alias("redacted"),
+    )
+
+
+@query(
     "q46_langid_eval",
     f"""
     WITH guessed AS ({TA.language_guess_sql()})
