@@ -14,9 +14,8 @@ Scaling evidence (north rule: >=0.8 throughput efficiency between N and 4N
 executors; sandbox stand-in is local[N] vs local[4N] — default 2 vs 8, see
 ``run_scaling`` for why): included in every bench record by forking child
 processes that time the identical extraction job on the same materialized
-corpus, interleaved rounds, best-per-level, adaptive round count.
-``--no-scaling`` skips it; ``--scale-run MASTER`` is the child mode
-(internal).
+corpus, fixed interleaved rounds, best-per-level.  ``--no-scaling`` skips
+it; ``--scale-run MASTER`` is the child mode (internal).
 """
 
 from __future__ import annotations
@@ -175,18 +174,17 @@ def run_scaling() -> dict:
     control-normalized efficiency is reported so a contended-host round is
     readable as such.  Override the pair with BENCH_SCALE_N.
 
-    Rounds are interleaved (A,B,A,B) with best-per-level, and ADAPTIVE: at
-    least BENCH_SCALE_ROUNDS (2), then stop as soon as raw efficiency
-    clears BENCH_SCALE_TARGET (0.85, margin over the 0.8 north rule), up to
-    BENCH_SCALE_MAX_ROUNDS (4) — more rounds only tighten a best-of
-    estimate, so stopping early never inflates the number.
+    Rounds are interleaved (A,B,A,B) with best-per-level and a FIXED count
+    (BENCH_SCALE_ROUNDS, default 3).  Deliberately NOT adaptive: stopping
+    "as soon as the efficiency clears the bar" is optional stopping — it
+    conditions on a favorable noise draw (extra rounds can tighten the
+    slow level's best and LOWER the ratio), so the round count must be
+    chosen independently of the value measured.
     """
     n = int(os.environ.get("BENCH_SCALE_N", "2"))
-    min_rounds = int(os.environ.get("BENCH_SCALE_ROUNDS", "2"))
-    max_rounds = int(os.environ.get("BENCH_SCALE_MAX_ROUNDS", "4"))
-    target = float(os.environ.get("BENCH_SCALE_TARGET", "0.85"))
+    rounds = int(os.environ.get("BENCH_SCALE_ROUNDS", "3"))
     best: dict[int, float] = {}
-    runs: dict[str, list[float]] = {f"local[{n}]": [], f"local[{4 * n}]": []}
+    runs: dict[str, list[dict]] = {f"local[{n}]": [], f"local[{4 * n}]": []}
     docs = 0
 
     def _eff() -> float:
@@ -209,7 +207,7 @@ def run_scaling() -> dict:
             f"scale child local[{cores}] produced no result twice ({last_err})"
         )
 
-    for rnd in range(max_rounds):
+    for _rnd in range(rounds):
         for cores in (n, 4 * n):
             rec = _child(cores)
             docs = rec["docs"]
@@ -217,8 +215,6 @@ def run_scaling() -> dict:
                 {"sec": rec["sec"], "steal_pct": rec.get("steal_pct", 0.0)}
             )
             best[cores] = min(best.get(cores, 1e18), rec["sec"])
-        if rnd + 1 >= min_rounds and _eff() >= target:
-            break
     out = {
         f"local[{c}]": {"sec": s, "docs_per_sec": round(docs / s, 2)}
         for c, s in best.items()

@@ -83,8 +83,6 @@ _FMT_PUB_RULES: list[tuple[str, float, re.Pattern]] = [
 # applied to ALL page-1 text (v10.R:655-657)
 _FMT_ALLTEXT_RULE = ("elsevier", 2.0, re.compile(r"article\s+info|abstract.*keywords"))
 
-_MDPI_ANY_RE = re.compile(r"mdpi", re.IGNORECASE)
-
 # banded-path selection flags (v10.R:1363-1366): the reference's per-format
 # abstract/band extraction triggers on these regexes over page-1 text,
 # independently of detect_document_format's class
@@ -146,8 +144,6 @@ INTRO_NUMBERED_RE = re.compile(r"^1\.\s+[A-Z]")          # weight 3
 INTRO_STARTS_PROPERLY_RE = re.compile(r"^[A-Z][a-z]")    # weight 1 (+1 substantial)
 INTRO_SCORE_THRESHOLD = 3
 INTRO_FALLBACK_ROWS = 15
-# legacy anchored intro pattern — kept for the v7-era first-match detector
-INTRO_RE = re.compile(r"^(1[\.\)]?\s*)?introduction\b", re.IGNORECASE)
 # End, primary: the reference's conservative end-score (v10.R:1866-1878):
 # an exact References/Acknowledgments header, short, late (page >= 6), no
 # doi/url — all four must hold (the score is a product).
@@ -766,27 +762,38 @@ def extract_authors(ordered: list[dict], title_row: int) -> str:
 # author canonicalization (v10.R:3552-3575 split rules; :769-770 strip)
 _AUTHOR_SUPERSCRIPT_RE = re.compile("[°*†‡§¶#¹²³⁴⁵⁶⁷⁸⁹⁰'\"?]")
 _AUTHOR_AFFIL_DIGIT_RE = re.compile(r"\s*\b\d+(,\d+)*\b")
-_AUTHOR_DROP_RE = re.compile(r"^(Here|The|Authors)")
+# LLM-artifact lines to drop.  TIGHTENED from the reference's bare prefix
+# match `^(Here|The|Authors)` (v10.R:3560), which silently deletes real
+# names like "Theodore Roosevelt" or "Theresa May" — the artifacts it
+# targets are phrases ("Here are the authors", "The authors are"), so the
+# drop requires the phrase shape; it also runs AFTER the comma split so a
+# comma-separated line starting with such a name cannot vanish wholesale.
+_AUTHOR_DROP_RE = re.compile(
+    r"^(Here\s+(are|is)\b|The\s+(authors?|list|following)\b"
+    r"|Authors?\b\s*($|:|are\b))"
+)
 
 
 def clean_author_list(authors: str) -> str:
     """Raw author line -> canonical ``"A; B; C"`` form.
 
     The reference's author post-processing (v10.R:3552-3575): split on
-    ``;`` or newlines, trim, drop empties and lines starting Here/The/
-    Authors; if that leaves a single comma-bearing element, split on
-    commas; per name, strip superscript/affiliation marks
-    (v10.R:769-770's character class) and trailing affiliation digits,
-    collapse whitespace.  Returns "" when nothing name-like (> 3 chars)
-    survives — cf. golden "Lauren L. Prister; Shaohui Yin; Laty A. Cahoon"
-    (v10_ALTAIR.R:3746).
+    ``;`` or newlines, trim, drop empty and LLM-artifact lines (see
+    _AUTHOR_DROP_RE — tightened from the reference's bare Here/The/Authors
+    prefix, and applied after the comma split); if a single comma-bearing
+    element remains, split on commas; per name, strip superscript/
+    affiliation marks (v10.R:769-770's character class) and affiliation
+    digits, collapse whitespace.  Returns "" when nothing name-like
+    (> 3 chars) survives — cf. golden
+    "Lauren L. Prister; Shaohui Yin; Laty A. Cahoon" (v10_ALTAIR.R:3746).
     """
     if not authors:
         return ""
     parts = [p.strip() for p in re.split(r";|\n", authors)]
-    parts = [p for p in parts if p and not _AUTHOR_DROP_RE.match(p)]
+    parts = [p for p in parts if p]
     if len(parts) == 1 and "," in parts[0]:
         parts = [p.strip() for p in parts[0].split(",") if p.strip()]
+    parts = [p for p in parts if not _AUTHOR_DROP_RE.match(p)]
     cleaned = []
     for p in parts:
         p = _AUTHOR_SUPERSCRIPT_RE.sub("", p)

@@ -387,11 +387,11 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 25,
     still changing after ``max_iter`` rounds.  Equivalence against the
     min-label implementation is pinned in tests/test_operators.py.
     """
+    # nodes is consumed exactly once (the final left join) — no cache
     nodes = (
         pairs.selectExpr("doc_a AS doc_id")
         .unionByName(pairs.selectExpr("doc_b AS doc_id"))
         .distinct()
-        .cache()
     )
     edges = (
         pairs.selectExpr("doc_a AS src", "doc_b AS dst")
@@ -432,7 +432,14 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 25,
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iter} rounds"
         )
-    labels = edges.groupBy("src").agg(F.min("dst").alias("cluster_id"))
+    # materialize the (small) label map eagerly, then release the last
+    # round's pinned blocks — otherwise every call leaks one cached edge
+    # frame for the session lifetime
+    labels = (
+        edges.groupBy("src").agg(F.min("dst").alias("cluster_id"))
+        .localCheckpoint()  # eager
+    )
+    edges.unpersist()
     out = (
         nodes.join(labels, nodes.doc_id == labels.src, "left")
         .select(

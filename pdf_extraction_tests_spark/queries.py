@@ -1244,6 +1244,11 @@ def q47(spark, sf_dir):
 
 
 _PII_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+# the planted-PII expression, ONE definition valid in both SQL dialects
+# (|| concat, CASE) so the Spark plan and the DuckDB oracle cannot drift
+_Q48_PLANTED_SQL = ("text || CASE WHEN doc_id % 7 = 0 "
+                    "THEN ' contact author' || doc_id || '@example.org now' "
+                    "ELSE '' END")
 
 
 @query(
@@ -1253,10 +1258,7 @@ _PII_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
            len(regexp_extract_all(t, '{_PII_EMAIL_RE}')) AS n_emails,
            regexp_replace(t, '{_PII_EMAIL_RE}', '<EMAIL>', 'g') AS redacted
     FROM (
-      SELECT doc_id,
-             text || CASE WHEN doc_id % 7 = 0
-                          THEN ' contact author' || doc_id || '@example.org now'
-                          ELSE '' END AS t
+      SELECT doc_id, {_Q48_PLANTED_SQL} AS t
       FROM documents WHERE doc_id < 200) s
     """,
 )
@@ -1267,20 +1269,11 @@ def q48(spark, sf_dir):
     redaction path is actually exercised.  At 100 TB this is a scan-side
     map — no shuffle, no UDF."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    t = F.concat(
-        F.col("text"),
-        F.when(
-            F.col("doc_id") % 7 == 0,
-            F.concat(F.lit(" contact author"), F.col("doc_id").cast("string"),
-                     F.lit("@example.org now")),
-        ).otherwise(F.lit("")),
-    )
+    t = F.expr(_Q48_PLANTED_SQL)  # identical expression text on both engines
     return d.select(
         "doc_id",
         F.size(F.expr(
-            f"regexp_extract_all(text || CASE WHEN doc_id % 7 = 0 "
-            f"THEN ' contact author' || doc_id || '@example.org now' "
-            f"ELSE '' END, '{_PII_EMAIL_RE}', 0)"
+            f"regexp_extract_all({_Q48_PLANTED_SQL}, '{_PII_EMAIL_RE}', 0)"
         )).alias("n_emails"),
         F.regexp_replace(t, _PII_EMAIL_RE, "<EMAIL>").alias("redacted"),
     )

@@ -33,7 +33,8 @@ class UnsupportedPdfError(Exception):
     """PDF feature outside the minimal decoder's scope."""
 
 
-_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.DOTALL)
+_OBJ_HEADER_RE = re.compile(rb"(?:^|[\r\n>\s])(\d+)\s+(\d+)\s+obj\b")
+_KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.DOTALL)
 _STREAM_RE = re.compile(rb"^(.*?)stream\r?\n(.*)$", re.DOTALL)
 _PAGE_RE = re.compile(rb"/Type\s*/Page\b(?!s)")
 _CONTENTS_REF_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
@@ -94,7 +95,24 @@ def _decode_hex(tok: bytes) -> str:
 
 
 def _objects(data: bytes) -> dict[int, bytes]:
-    return {int(m.group(1)): m.group(3) for m in _OBJ_RE.finditer(data)}
+    """Object bodies keyed by object number.
+
+    Bodies are bounded by the NEXT object header (with the trailing
+    'endobj' trimmed), NOT by a non-greedy scan to the first 'endobj' —
+    binary stream data may legitimately contain the bytes 'endobj', and
+    truncating there would corrupt the stream (and `_stream_of`'s
+    rfind('endstream') then resolves the real terminator even if the data
+    contains a fake one)."""
+    headers = list(_OBJ_HEADER_RE.finditer(data))
+    out: dict[int, bytes] = {}
+    for i, m in enumerate(headers):
+        end = headers[i + 1].start() if i + 1 < len(headers) else len(data)
+        body = data[m.end():end]
+        tail = body.rfind(b"endobj")
+        if tail >= 0:
+            body = body[:tail]
+        out[int(m.group(1))] = body
+    return out
 
 
 def _strip_one_eol(b: bytes) -> bytes:
@@ -128,13 +146,27 @@ def _stream_of(obj_body: bytes) -> bytes | None:
 
 
 def _page_streams(data: bytes) -> list[tuple[bytes, float]]:
-    """[(content_stream, page_height), ...] in page order."""
+    """[(content_stream, page_height), ...] in page order.
+
+    Page ORDER comes from the page tree's /Kids array (the authoritative
+    source — object numbers need not be in page order: incremental updates
+    and some generators emit them shuffled); object-number order is only
+    the fallback when no /Kids array is present."""
     objs = _objects(data)
-    pages: list[tuple[int, bytes]] = []  # (obj_num, page dict body)
-    for num, body in sorted(objs.items()):
+    page_dicts: dict[int, bytes] = {}
+    for num, body in objs.items():
         head = body.split(b"stream", 1)[0]
         if _PAGE_RE.search(head):
-            pages.append((num, head))
+            page_dicts[num] = head
+    pages: list[tuple[int, bytes]] = []  # (obj_num, page dict body)
+    for m in _KIDS_RE.finditer(data):
+        for ref in _REF_RE.findall(m.group(1)):
+            n = int(ref)
+            if n in page_dicts and all(p[0] != n for p in pages):
+                pages.append((n, page_dicts[n]))
+    for num in sorted(page_dicts):  # fallback / kids not listing every page
+        if all(p[0] != num for p in pages):
+            pages.append((num, page_dicts[num]))
     if not pages:
         if b"/ObjStm" in data:
             raise UnsupportedPdfError("page tree inside object streams")

@@ -85,12 +85,16 @@ def _assemble(key, batches: Iterable[pd.DataFrame], state) -> Iterator[pd.DataFr
     done = False
     for pdf in batches:
         for row in pdf.itertuples(index=False):
+            # Arrow->pandas renders a NULL int32 as float NaN (not None) —
+            # int(NaN) would raise and kill the whole streaming query, so
+            # null offsets are fault-isolated to 0 via pd.isna
+            off = row.offset
             spans.append(
                 {
                     "kind": row.kind,
                     "text": row.text,
                     "media_ref": row.media_ref,
-                    "offset": int(row.offset) if row.offset is not None else 0,
+                    "offset": 0 if off is None or pd.isna(off) else int(off),
                 }
             )
             done = done or bool(row.is_last)

@@ -101,6 +101,21 @@ class TestMinimalPdfDecoder:
         with pytest.raises(NotImplementedError):
             parse_pdf_bytes(b"%PDF-1.5\nno pages here")
 
+    def test_page_order_follows_kids_not_object_numbers(self):
+        """Page ORDER must come from the page tree's /Kids array — object
+        numbers need not be in page order (incremental updates)."""
+        data = write_minimal_pdf(
+            [[("text", 10, 10, 11, "first page body text")],
+             [("text", 10, 10, 11, "second page body text")]])
+        assert b"/Kids [4 0 R 5 0 R]" in data
+        # reverse the Kids array only: the document's page order is now
+        # (obj5, obj4) while object-number order still says (obj4, obj5)
+        swapped = data.replace(b"/Kids [4 0 R 5 0 R]", b"/Kids [5 0 R 4 0 R]")
+        blocks = extract_pdf_text(swapped)
+        by_page = {b["page"]: b["text"] for b in blocks}
+        assert by_page[1] == "second page body text"  # Kids order wins
+        assert by_page[2] == "first page body text"
+
     def test_corrupt_flate_is_isolated(self):
         good = write_minimal_pdf([[("text", 10, 10, 11, "hello world ok")]])
         corrupt = good.replace(b"stream\n", b"stream\n\x00\x00", 1)
