@@ -184,7 +184,12 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     self-join — bounding the quadratic blowup; at web scale this filter is
     what keeps the shuffle linear-ish in corpus size.
     """
-    sh = with_shingles(docs, n, text_col, id_col).cache()
+    # NO cache: this function returns a lazy frame, so a cache here could
+    # only be released by the caller (round-2 leak: one pinned shingle frame
+    # per call, session lifetime).  The shingle expansion is recomputed per
+    # consumer — pure scan-side column work; at 100 TB materialize shingles
+    # once to a table and run sizes/df/self-join from that instead.
+    sh = with_shingles(docs, n, text_col, id_col)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     rare = sh.join(
         sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df),
@@ -340,6 +345,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 20,
             f"({changed} labels still changing) — component diameter exceeds "
             "max_iter; raise max_iter or use a large-star/small-star pass"
         )
+    # hand the caller an eagerly-materialized copy and release the last
+    # round's explicit cache — otherwise every call pins one label frame for
+    # the session lifetime (localCheckpoint blocks are freed by the context
+    # cleaner when the returned frame is garbage collected)
+    labels = labels.localCheckpoint(eager=True)
+    if prev is not None and not prev_is_ckpt:
+        prev.unpersist()
     return labels
 
 

@@ -105,7 +105,10 @@ def media_from_documents(docs: DataFrame, limit: int = 96) -> DataFrame:
     binary column, Arrow batching, and UDF signature stay identical to a
     real media table (only the bytes happen to be text)."""
     t = F.col("doc_id") % 3
-    return docs.filter(F.col("doc_id") < limit).select(
+    # text IS NOT NULL: a NULL text would yield decode_ok=False / n_bytes=0 /
+    # digest=NULL from the feature kernel, which the (octet_length/md5-based)
+    # oracle can't mirror — filter the same rows out on BOTH engines instead
+    return docs.filter(F.col("doc_id") < limit).filter(F.col("text").isNotNull()).select(
         F.concat(F.lit("media://"), F.col("doc_id").cast("string")).alias("media_ref"),
         F.when(t == 0, "image").when(t == 1, "audio").otherwise("video")
         .alias("media_type"),
@@ -128,7 +131,7 @@ def media_features_sql(limit: int = 96, table: str = "documents") -> str:
            octet_length(encode(text)) AS n_bytes,
            md5(text) AS content_digest,
            TRUE AS decode_ok
-    FROM {table} WHERE doc_id < {limit}
+    FROM {table} WHERE doc_id < {limit} AND text IS NOT NULL
     """
 
 

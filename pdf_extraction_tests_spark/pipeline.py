@@ -397,8 +397,12 @@ def run_pipeline(
     partition-PRUNED scan of just this attempt's output (never a re-read of
     the whole table).  Returns run metrics.
     """
-    run_id = run_id or uuid.uuid4().hex[:12]
-    attempt_id = uuid.uuid4().hex[:12]
+    # letter prefix: these become hive partition directory values, and an
+    # all-digit hex id (~0.4% of uuid4 prefixes) would make Spark's
+    # partition-column type inference read the column back as LongType,
+    # silently changing read_extracted's schema and the commit semi-join
+    run_id = run_id or "r" + uuid.uuid4().hex[:11]
+    attempt_id = "a" + uuid.uuid4().hex[:11]
     docs = with_part_key(docs, num_parts)
 
     ckpt_path = f"{out_dir}/checkpoint"

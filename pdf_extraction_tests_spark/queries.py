@@ -1270,11 +1270,14 @@ def q48(spark, sf_dir):
     map — no shuffle, no UDF."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     t = F.expr(_Q48_PLANTED_SQL)  # identical expression text on both engines
+    # n_emails via the COLUMN API (F.lit pattern), not an F.expr string:
+    # Spark's SQL string-literal unescaper drops the backslash in '\.'
+    # (unrecognized escape), silently turning the dot into a wildcard while
+    # the redacted column and the DuckDB oracle use the literal dot
     return d.select(
         "doc_id",
-        F.size(F.expr(
-            f"regexp_extract_all({_Q48_PLANTED_SQL}, '{_PII_EMAIL_RE}', 0)"
-        )).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(_PII_EMAIL_RE), F.lit(0)))
+        .alias("n_emails"),
         F.regexp_replace(t, _PII_EMAIL_RE, "<EMAIL>").alias("redacted"),
     )
 

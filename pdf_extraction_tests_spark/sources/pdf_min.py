@@ -94,19 +94,44 @@ def _decode_hex(tok: bytes) -> str:
     return bytes.fromhex(h.decode("ascii")).decode("latin-1")
 
 
+_STREAM_KW_RE = re.compile(rb"stream\r?\n")
+# a LITERAL /Length only (indirect '/Length 5 0 R' must not match)
+_LENGTH_LIT_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+
+
 def _objects(data: bytes) -> dict[int, bytes]:
     """Object bodies keyed by object number.
 
-    Bodies are bounded by the NEXT object header (with the trailing
+    Bodies are bounded by the NEXT accepted object header (with the trailing
     'endobj' trimmed), NOT by a non-greedy scan to the first 'endobj' —
     binary stream data may legitimately contain the bytes 'endobj', and
     truncating there would corrupt the stream (and `_stream_of`'s
     rfind('endstream') then resolves the real terminator even if the data
-    contains a fake one)."""
-    headers = list(_OBJ_HEADER_RE.finditer(data))
+    contains a fake one).
+
+    Phantom headers: compressed/image stream data can also contain bytes
+    that LOOK like 'N M obj'.  A candidate header starting inside the
+    previous accepted object's stream extent is skipped — the extent is
+    exact when the dict carries a literal /Length, else bounded by the
+    first 'endstream' after the stream keyword (round-2 review)."""
+    accepted: list[re.Match] = []
+    guard = 0
+    for m in _OBJ_HEADER_RE.finditer(data):
+        if m.start() < guard:
+            continue  # inside an accepted object's stream data: phantom
+        accepted.append(m)
+        e_obj = data.find(b"endobj", m.end())
+        s_kw = _STREAM_KW_RE.search(data, m.end())
+        if s_kw is not None and (e_obj == -1 or s_kw.start() < e_obj):
+            ln = _LENGTH_LIT_RE.search(data, m.end(), s_kw.start())
+            if ln is not None:
+                guard = s_kw.end() + int(ln.group(1))
+            else:
+                es = data.find(b"endstream", s_kw.end())
+                guard = es + len(b"endstream") if es != -1 else s_kw.end()
     out: dict[int, bytes] = {}
-    for i, m in enumerate(headers):
-        end = headers[i + 1].start() if i + 1 < len(headers) else len(data)
+    for i, m in enumerate(accepted):
+        end = accepted[i + 1].start() if i + 1 < len(accepted) else len(data)
         body = data[m.end():end]
         tail = body.rfind(b"endobj")
         if tail >= 0:
@@ -303,9 +328,21 @@ def _extract_page_blocks(content: bytes, height: float, page: int) -> list[dict]
                     })
             stack = []
             continue
-        # keep stack bounded between operators (TJ arrays can be long)
+        # keep stack bounded between operators WITHOUT dropping text: real
+        # justified-text PDFs emit TJ arrays with thousands of interleaved
+        # (string, kern-number) operands — compaction keeps every string/hex
+        # token (relative order preserved, which is all TJ consumes) and only
+        # the last 8 non-string tokens (Tm needs at most 6 operands).
+        # Truncating strings here was silent text loss (round-2 review).
         if len(stack) > 512:
-            stack = stack[-512:]
+            # drop all but the last 8 NON-string tokens, in place — overall
+            # order (and the identity of stack[-1]) is preserved
+            keep_from = [i for i, s in enumerate(stack) if s[:1] not in b"(<"][-8:]
+            keep = set(keep_from)
+            stack = [
+                s for i, s in enumerate(stack)
+                if s[:1] in b"(<" or i in keep
+            ]
     return blocks
 
 
