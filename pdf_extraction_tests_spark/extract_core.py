@@ -1289,3 +1289,57 @@ def extract_docs_frame(pdf: pd.DataFrame, cleaning_method: str = "hybrid") -> pd
     if not results:
         return pd.DataFrame(columns=EXTRACT_RESULT_COLUMNS)
     return pd.DataFrame(results, columns=EXTRACT_RESULT_COLUMNS)
+
+
+# ---------------------------------------------------------------------------
+# Dual-extractor differential — BOTH paths in one pass (v8.R:3017-3033)
+# ---------------------------------------------------------------------------
+
+DUAL_RESULT_COLUMNS = [
+    "doc_id", "title_match", "n_spans_smart", "n_spans_simple",
+    "main_len_ratio",
+]
+
+
+def extract_dual_document(doc_id: str, spans: Iterable[dict],
+                          cleaning_method: str = "hybrid") -> dict:
+    """Run the smart AND simple extractors over ONE parse of the document
+    and emit the agreement record the reference's cross-extractor check
+    compares (v8.R:3017-3033: both paths on the same PDF, then diff).
+
+    Single-pass by construction: the spans are parsed to region records
+    once (the expensive step — for PDF/HTML documents this is the byte
+    decode), then each extractor gets its own shallow-copied records
+    (both kernels mutate rows in place: ``_tl`` memo, row renumbering).
+    Distributed, this replaces two full pipelines + an equi-join with one
+    mapInPandas stage — no shuffle at all.
+    """
+    recs = spans_to_regions(spans)
+    smart = extract_from_records(doc_id, [dict(r) for r in recs],
+                                 cleaning_method)
+    simple = extract_simple_from_records(doc_id, [dict(r) for r in recs],
+                                         cleaning_method)
+    return {
+        "doc_id": doc_id,
+        "title_match": smart["title"] == simple["title"],
+        "n_spans_smart": len(smart["spans"]),
+        "n_spans_simple": len(simple["spans"]),
+        "main_len_ratio": round(
+            len(smart["main_text"]) / max(len(simple["main_text"]), 1), 4
+        ),
+    }
+
+
+def extract_dual_frame(pdf: pd.DataFrame,
+                       cleaning_method: str = "hybrid") -> pd.DataFrame:
+    """Dual-path analog of :func:`extract_docs_frame`."""
+    results = [
+        extract_dual_document(
+            row.doc_id, row.spans if row.spans is not None else [],
+            cleaning_method,
+        )
+        for row in pdf.itertuples(index=False)
+    ]
+    if not results:
+        return pd.DataFrame(columns=DUAL_RESULT_COLUMNS)
+    return pd.DataFrame(results, columns=DUAL_RESULT_COLUMNS)

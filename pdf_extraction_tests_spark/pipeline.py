@@ -151,6 +151,41 @@ def _extract_simple_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
         yield out
 
 
+DUAL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("title_match", T.BooleanType(), True),
+        T.StructField("n_spans_smart", T.IntegerType(), True),
+        T.StructField("n_spans_simple", T.IntegerType(), True),
+        T.StructField("main_len_ratio", T.DoubleType(), True),
+    ]
+)
+
+
+def _extract_dual_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        norm = pdf.assign(spans=pdf["spans"].map(_spans_to_records))
+        yield ec.extract_dual_frame(norm[["doc_id", "spans"]])
+
+
+def extract_docs_dual(docs: DataFrame,
+                      num_parts: int = DEFAULT_NUM_PARTS) -> DataFrame:
+    """Cross-extractor differential in ONE pass (v8.R:3017-3033): the smart
+    and simple kernels run over the same parsed regions inside one
+    mapInPandas stage — one corpus scan, zero joins/shuffles.  The round-2
+    form (two full pipelines + equi-join) parsed every document twice and
+    shuffled both outputs; at 100 TB the single-pass form is the only
+    sensible shape for a per-doc differential."""
+    from .shipping import ship_package
+
+    ship_package(docs.sparkSession)
+    if "part_key" not in docs.columns:
+        docs = with_part_key(docs, num_parts)
+    return docs.mapInPandas(_extract_dual_batches, schema=DUAL_SCHEMA)
+
+
 def extract_docs_simple(docs: DataFrame,
                         num_parts: int = DEFAULT_NUM_PARTS) -> DataFrame:
     """SIMPLE-path extraction — the reference's second extractor

@@ -1193,19 +1193,49 @@ def q45(spark, sf_dir):
     """Token-budget head selection: rank docs by quality (desc,
     deterministic doc_id tiebreak), take the prefix whose cumulative
     whitespace-token count fits a 20k budget — the 'best data first' mixing
-    step.  One global-ordered running sum; at 100 TB replace the single
-    ORDER BY with range-partitioned quality buckets + per-bucket budgets
-    (same semantics, no global sort)."""
+    step.
+
+    Distributed two-level prefix sum (NO global-ordered window over the
+    corpus — the round-2 form funneled every row through one task):
+
+    1. bucket = (quality, floor(doc_id/64)): the sub-bucket is monotone in
+       the doc_id tiebreak, so (quality DESC, sub ASC, doc_id ASC) is the
+       SAME total order as (quality DESC, doc_id ASC);
+    2. per-bucket token totals (one hash aggregate);
+    3. exclusive bucket offsets via an ordered window over the TOTALS frame
+       only — rows = n_quality_bands x n_subbuckets, i.e. corpus_size/64,
+       the classic small sequential pass of a parallel prefix sum;
+    4. broadcast offsets back; per-bucket PARTITIONED running sum + offset.
+
+    At 100 TB: widen the sub-bucket (doc_id/1e6) so step 3 stays tiny;
+    every corpus-sized stage is scan + hash-partitioned window."""
     from .operators.text_analysis import with_quality_score
 
     d = with_quality_score(load(spark, sf_dir, "documents"))
-    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
-    w = (
-        W.orderBy(F.desc("quality"), F.asc("doc_id"))
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    scored = d.select(
+        "doc_id", "quality", toks.alias("_toks"),
+        F.floor(F.col("doc_id") / 64).alias("_sub"),
+    )
+    totals = scored.groupBy("quality", "_sub").agg(F.sum("_toks").alias("_bt"))
+    off_w = (
+        W.orderBy(F.desc("quality"), F.asc("_sub"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "quality", "_sub",
+        F.coalesce(F.sum("_bt").over(off_w), F.lit(0).cast("long")).alias("_off"),
+    )
+    run_w = (
+        W.partitionBy("quality", "_sub").orderBy(F.asc("doc_id"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return (
-        d.select("doc_id", F.sum(toks).over(w).alias("cum_tokens"))
+        scored.join(F.broadcast(offsets), ["quality", "_sub"])
+        .select(
+            "doc_id",
+            (F.col("_off") + F.sum("_toks").over(run_w)).alias("cum_tokens"),
+        )
         .filter(F.col("cum_tokens") <= 20000)
     )
 

@@ -240,3 +240,33 @@ class TestLayoutTable:
         assert any(r.element_type == "media" for r in by_doc["fix_generic"])
         # BROKEN: the malformed span appears as a parse_failure row
         assert sum(r.parse_failure for r in by_doc["fix_broken"]) == 1
+
+
+class TestDualExtractorStage:
+    def test_dual_equals_joined_pipelines(self, spark, synthetic_docs):
+        """The single-pass dual stage must produce exactly the agreement
+        rows the two-pipeline + join form would (same kernels, one parse)."""
+        docs = [
+            {"doc_id": r.doc_id, "spans": r.spans}
+            for r in synthetic_docs.itertuples(index=False)
+        ][:30]
+        df = _docs_df(spark, docs)
+        dual = {
+            r.doc_id: (r.title_match, r.n_spans_smart, r.n_spans_simple,
+                       r.main_len_ratio)
+            for r in pl.extract_docs_dual(df, num_parts=4).collect()
+        }
+        smart = {r.doc_id: r for r in pl.extract_docs(df, num_parts=4).collect()}
+        simple = {
+            r.doc_id: r for r in pl.extract_docs_simple(df, num_parts=4).collect()
+        }
+        assert set(dual) == set(smart) == set(simple)
+        for doc_id, got in dual.items():
+            sm, si = smart[doc_id], simple[doc_id]
+            want = (
+                sm.title == si.title,
+                len(sm.spans),
+                len(si.spans),
+                round(len(sm.main_text) / max(len(si.main_text), 1), 4),
+            )
+            assert got == want, doc_id

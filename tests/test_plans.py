@@ -109,3 +109,17 @@ def test_extraction_scan_prunes_to_needed_columns(spark):
     docs = corpus_spark(spark, SF)
     cols = read_schema_columns(formatted_plan(docs))
     assert set(cols) == {"doc_id", "text"}  # not lang/source/n_chars
+
+
+def test_token_budget_head_no_global_corpus_window(spark):
+    """q45: the running sum must NOT be a global-ordered window over the
+    corpus (single-task sort).  Corpus-sized window work is partitioned on
+    (quality, _sub); the only single-partition exchange feeds the tiny
+    bucket-totals window (input = one row per bucket, i.e. an aggregate)."""
+    plan = formatted_plan(queries()["q45_token_budget_head"](spark, SF))
+    # the per-row running sum is a PARTITIONED window
+    assert "partitionBy=[quality" in plan.replace(" ", "") or \
+        "hashpartitioning(quality" in plan, plan
+    # at most one SinglePartition exchange, and the offsets side broadcasts
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    assert has_broadcast_join(plan), plan
