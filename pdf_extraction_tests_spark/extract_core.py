@@ -168,6 +168,21 @@ NAME_RE = re.compile(r"[A-Z][a-z]+\s+[A-Z][a-z]+")
 _DIGIT_RE = re.compile(r"\d")
 AUTHOR_PENALTY_RE = re.compile(r"abstract|introduction|keywords|received", re.IGNORECASE)
 TITLE_PENALTY_RE = re.compile(r"^(abstract|introduction|keywords)", re.IGNORECASE)
+# reference-verbatim title scorer gates (extract_title_universal,
+# v10.R:1921-1939) — patterns copied character-for-character
+TITLE_HEADER_WORD_RE = re.compile(
+    r"^(nature|communications|journal|doi|article|open|paper)\s*$"  # :1921
+)
+TITLE_URL_PREFIX_RE = re.compile(r"^(DOI:|www\.|http)")             # :1922
+TITLE_CASE_SHAPE_RE = re.compile(r"[A-Z].*[a-z]")                   # :1930
+TITLE_META_WORD_RE = re.compile(r"journal|doi|volume|issue|page|copyright")  # :1936
+TITLE_META_CHAR_RE = re.compile(r"\d{4}|@|\.edu|\.com")             # :1937
+# reference-verbatim abstract scorer gates (extract_abstract_with_llm
+# manual path, v10.R:1281-1302)
+ABSTRACT_MARKER_RE = re.compile(r"^abstract|^summary")              # :1286
+# the reference's domain-content branch, verbatim (:1289)
+ABSTRACT_CONTENT_RE = re.compile(r"nanomaterials|nanocrystals|antibacterial")
+ABSTRACT_STRIP_RE = re.compile(r"^(Abstract|ABSTRACT|Summary|SUMMARY):?\s*")  # :1330
 
 # cleaning pipelines (v10.R:3431-3498)
 _WS_RE = re.compile(r"\s+")
@@ -700,30 +715,44 @@ def detect_band_format(records: list[dict]) -> str | None:
 
 
 def extract_title(ordered: list[dict]) -> tuple[str, int]:
-    """Score-argmax title pick on page 1 (v10.R:1912-1957).
+    """Score-argmax title pick on page 1 — REFERENCE-VERBATIM weights
+    (extract_title_universal, v10.R:1912-1957).
 
-    Returns (title, row_id) — row_id -1 if none found.
+    Candidate filter: page 1, element_type in (plain text, title)
+    (:1917-1919); exclude bare journal-header words (:1921) and
+    DOI/url prefixes (:1922).  Score is the reference's first-match
+    case_when (:1925-1931): YOLO title & nchar>30 -> 10; y<400 &
+    40<nchar<300 -> 8; y<600 & nchar>30 & has [A-Z].*[a-z] -> 6; else 0.
+    Penalty case_when (:1934-1939): metadata words -> -5; year/@/.edu/.com
+    -> -3; nchar<20 -> -2.  Keep score > 3 (:1941), order desc(score) then
+    y (:1942), row_id tiebreak.  Returns (title, row_id); ("", -1) when no
+    candidate survives (the reference's "Title not found", :1949).
     """
-    p1 = [r for r in ordered if r["page"] <= 1 and r["element_type"] != "media"]
-    if not p1:
-        return "", -1
-    page_h = max(r["y"] for r in p1)
     best_key, best = None, None
-    for r in p1:
-        if r["element_type"] != "title" and r["y"] > 0.3 * max(page_h, 1.0):
+    for r in ordered:
+        if r["page"] != 1 or r["element_type"] not in ("plain text", "title"):
             continue
         t = r["text"]
+        tl = r.get("_tl") or t.lower()
+        if TITLE_HEADER_WORD_RE.match(tl) or TITLE_URL_PREFIX_RE.match(t):
+            continue
         n = len(t)
-        words = t.split()
-        nw = max(len(words), 1)
-        cap_words = sum(1 for wd in words if wd[:1].isupper())
-        score = (
-            (2.0 if r["element_type"] == "title" else 0.0)
-            + (1.0 if 20 <= n <= 200 else 0.0)
-            + (1.5 if r["y"] < 500 else 0.0)
-            + cap_words / nw
-            - (2.0 if TITLE_PENALTY_RE.match(t) else 0.0)
-        )
+        if r["element_type"] == "title" and n > 30:
+            score = 10.0
+        elif r["y"] < 400 and 40 < n < 300:
+            score = 8.0
+        elif r["y"] < 600 and n > 30 and TITLE_CASE_SHAPE_RE.search(t):
+            score = 6.0
+        else:
+            score = 0.0
+        if TITLE_META_WORD_RE.search(tl):
+            score -= 5.0
+        elif TITLE_META_CHAR_RE.search(t):
+            score -= 3.0
+        elif n < 20:
+            score -= 2.0
+        if score <= 3.0:
+            continue
         key = (-score, r["y"], r["row_id"])
         if best_key is None or key < best_key:
             best_key, best = key, r
@@ -807,30 +836,54 @@ def clean_author_list(authors: str) -> str:
 
 
 def extract_abstract(ordered: list[dict], title_row: int) -> tuple[str, int]:
-    """Abstract pick (v10.R:1281-1302, 1340-1531; simple path :1974-2004).
+    """Abstract pick — REFERENCE-VERBATIM weights (the aggressive manual
+    search of extract_abstract_with_llm, v10.R:1281-1302, plus the
+    largest-block fallback :1307-1315 and header strip :1330).
 
-    Preference 1: a region starting with 'Abstract' (header stripped).
-    Preference 2: longest page-1 region with > 200 chars after the title.
-    Returns (abstract, row_id) — row_id -1 if none.
+    could_be_abstract case_when (first match, :1285-1297): text starting
+    abstract/summary (lowercased) -> 10; nchar>200 with the reference's
+    domain-content words -> 8; nchar>150 & >=2 dots -> 6; nchar>100 &
+    >=1 dot -> 4; else 0.  Keep >= 4 (:1299), order desc(score) then
+    desc(nchar) (:1300), row_id tiebreak.  Fallback: largest page-1 block
+    with nchar>50 (:1307-1311).  The 'Abstract:'/'Summary:' header is
+    stripped from the winner (:1330).  ``title_row`` is unused — the
+    reference's candidate set is position-filtered only (kept in the
+    signature for the kernel's call shape).  Returns (abstract, row_id);
+    ("", -1) when nothing qualifies ("Abstract not found", :1313).
     """
-    body = [r for r in ordered if r["element_type"] in BODY_TYPES]
-    for i, r in enumerate(body):
-        if ABSTRACT_HEADER_RE.match(r["text"]):
-            text = ABSTRACT_HEADER_RE.sub("", r["text"], count=1).strip()
-            if len(text) < 40 and i + 1 < len(body):  # bare header
-                nxt = body[i + 1]
-                return (text + " " + nxt["text"]).strip(), nxt["row_id"]
-            return text, r["row_id"]
+    del title_row  # reference does not anchor on the title (v10.R:1281)
+    p1 = [
+        r for r in ordered
+        if r["page"] == 1 and r["element_type"] != "media" and r["text"]
+    ]
     best_key, best = None, None
-    for r in body:
-        if r["page"] > 1 or r["row_id"] <= title_row or len(r["text"]) <= 200:
+    for r in p1:
+        t = r["text"]
+        tl = r.get("_tl") or t.lower()
+        n = len(t)
+        dots = t.count(".")
+        if ABSTRACT_MARKER_RE.match(tl):
+            score = 10
+        elif n > 200 and ABSTRACT_CONTENT_RE.search(t):
+            score = 8
+        elif n > 150 and dots >= 2:
+            score = 6
+        elif n > 100 and dots >= 1:
+            score = 4
+        else:
             continue
-        key = (-len(r["text"]), r["row_id"])
+        key = (-score, -n, r["row_id"])
         if best_key is None or key < best_key:
             best_key, best = key, r
+    if best is None:  # final fallback: just the largest page-1 text block
+        for r in p1:
+            if len(r["text"]) > 50:
+                key = (-len(r["text"]), r["row_id"])
+                if best_key is None or key < best_key:
+                    best_key, best = key, r
     if best is None:
         return "", -1
-    return best["text"], best["row_id"]
+    return ABSTRACT_STRIP_RE.sub("", best["text"], count=1).strip(), best["row_id"]
 
 
 # ---------------------------------------------------------------------------

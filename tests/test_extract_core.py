@@ -235,7 +235,11 @@ class TestEndToEnd:
     def test_broken_doc_isolated(self):
         res = ec.extract_document(fx.BROKEN_DOC["doc_id"], fx.BROKEN_DOC["spans"])
         assert res["parse_failures"] == 1
-        assert res["title"] == "Valid Title Region Here"
+        # reference-verbatim title scorer: a 23-char YOLO title fails the
+        # nchar>30 gate (v10.R:1927) and every fallback branch -> "Title
+        # not found" -> "" (the engine's empty-string convention); the
+        # valid regions still survive the broken sibling span
+        assert res["title"] == ""
         assert len(res["spans"]) == 2
 
     def test_empty_doc(self):
@@ -488,3 +492,121 @@ class TestDeterminism:
         a = ec.extract_document(fx.GENERIC_DOC["doc_id"], fx.GENERIC_DOC["spans"])
         b = ec.extract_document(fx.GENERIC_DOC["doc_id"], fx.GENERIC_DOC["spans"])
         assert a == b
+
+
+def _trow(row_id, text, y=100, etype="plain text", page=1):
+    return {"page": page, "x": 200, "y": y, "w": 2000, "h": 60,
+            "text": text, "element_type": etype, "row_id": row_id,
+            "media_ref": None, "parse_failure": 0, "offset": row_id}
+
+
+class TestTitleScorerWeights:
+    """Pin each reference-verbatim title weight (v10.R:1925-1942)."""
+
+    def test_yolo_title_branch_scores_10(self):
+        rows = [
+            _trow(0, "A YOLO Detected Title Longer Than Thirty", y=900,
+                  etype="title"),
+            # y<400 & 40<n<300 branch would score 8 — must lose to the 10
+            _trow(1, "A plain candidate line longer than forty chars", y=100),
+        ]
+        assert ec.extract_title(rows) == (rows[0]["text"], 0)
+
+    def test_yolo_title_needs_31_chars(self):
+        # 23-char YOLO title: no branch fires (y=900 kills 8/6) -> no title
+        rows = [_trow(0, "Valid Title Region Here", y=900, etype="title")]
+        assert ec.extract_title(rows) == ("", -1)
+
+    def test_position_length_branch_scores_8(self):
+        rows = [
+            _trow(0, "A plain candidate line longer than forty chars", y=399),
+            # same text below the y<400 gate: 6-branch only
+            _trow(1, "A plain candidate line longer than forty chars", y=550),
+        ]
+        assert ec.extract_title(rows) == (rows[0]["text"], 0)
+
+    def test_title_like_branch_scores_6(self):
+        rows = [_trow(0, "Mixed Case line over thirty chars!", y=550)]
+        assert ec.extract_title(rows) == (rows[0]["text"], 0)
+
+    def test_metadata_word_penalty_5(self):
+        rows = [
+            # 10 - 5 (contains 'journal') = 5 < 8
+            _trow(0, "A YOLO Journal Title Longer Than Thirty Chars",
+                  y=900, etype="title"),
+            _trow(1, "A plain candidate line longer than forty chars", y=100),
+        ]
+        assert ec.extract_title(rows) == (rows[1]["text"], 1)
+
+    def test_year_at_penalty_3(self):
+        rows = [
+            # 8 - 3 (contains a 4-digit year) = 5 < 6
+            _trow(0, "A plain candidate line from 2024 over forty ch", y=100),
+            _trow(1, "Mixed Case line over thirty chars!", y=550),
+        ]
+        assert ec.extract_title(rows) == (rows[1]["text"], 1)
+
+    def test_header_word_and_url_excluded(self):
+        rows = [
+            _trow(0, "Journal  ", y=50, etype="title"),
+            _trow(1, "www.example-long-enough-to-score.org/path/deep", y=100),
+        ]
+        assert ec.extract_title(rows) == ("", -1)
+
+    def test_score_tie_breaks_on_y(self):
+        rows = [
+            _trow(0, "Second Yolo Title Longer Than Thirty Chars", y=300,
+                  etype="title"),
+            _trow(1, "First Yolo Title Longer Than Thirty Charss", y=100,
+                  etype="title"),
+        ]
+        assert ec.extract_title(rows) == (rows[1]["text"], 1)
+
+
+class TestAbstractScorerWeights:
+    """Pin each reference-verbatim abstract weight (v10.R:1285-1300)."""
+
+    def test_marker_branch_beats_longer_prose(self):
+        long_prose = "Prose sentence one. And two. " + "x" * 300
+        rows = [
+            _trow(0, long_prose, y=100),
+            _trow(1, "Abstract short but marked body here", y=200),
+        ]
+        text, rid = ec.extract_abstract(rows, -1)
+        assert rid == 1
+        assert text == "short but marked body here"  # header stripped
+
+    def test_summary_marker_and_uppercase_strip(self):
+        rows = [_trow(0, "SUMMARY: The finding sentence here padded " +
+                      "y" * 80, y=100)]
+        text, rid = ec.extract_abstract(rows, -1)
+        assert rid == 0
+        assert text.startswith("The finding sentence here")
+
+    def test_content_branch_beats_dot_branch(self):
+        dots = ("A sentence. " * 16).strip()          # >150 chars, many dots
+        content = "antibacterial " * 16 + "no dots here"   # >200, 8-branch
+        rows = [_trow(0, dots, y=100), _trow(1, content, y=200)]
+        assert ec.extract_abstract(rows, -1)[1] == 1
+
+    def test_dot_branches_and_length_tiebreak(self):
+        six = ("Sent one. Sent two. " * 9).strip()     # >150, >=2 dots -> 6
+        four = "One dot only " + "z" * 100 + "."       # >100, 1 dot -> 4
+        rows = [_trow(0, four, y=100), _trow(1, six, y=200)]
+        assert ec.extract_abstract(rows, -1)[1] == 1
+        # same score -> longer wins
+        six_b = ("Sent uno. Sent dos. " * 12).strip()
+        rows = [_trow(0, six, y=100), _trow(1, six_b, y=200)]
+        assert ec.extract_abstract(rows, -1)[1] == 1
+
+    def test_fallback_largest_block_over_50(self):
+        rows = [
+            _trow(0, "short line", y=100),
+            _trow(1, "a" * 60, y=200),
+            _trow(2, "b" * 80, y=300),
+        ]
+        assert ec.extract_abstract(rows, -1) == ("b" * 80, 2)
+
+    def test_nothing_qualifies(self):
+        rows = [_trow(0, "tiny", y=100)]
+        assert ec.extract_abstract(rows, -1) == ("", -1)
