@@ -1,0 +1,112 @@
+"""Count-min sketch over the corpus shingle stream — the 100 TB swap for
+q42's exact heavy-hitter count (queries.py::q42 names this module).
+
+Why a sketch: the exact query shuffles one row per distinct (shingle)
+group — fine while distinct shingles fit a shuffle, ruinous at web scale.
+A count-min sketch bounds the aggregation state at ``depth x width``
+counters per partition regardless of corpus size: the map side emits at
+most depth*width partially-aggregated cells per task, the reduce side
+merges ``<= depth * width`` rows total.  Estimates are one-sided
+(``est >= true``) with additive error ``<= e * N / width`` at confidence
+``1 - exp(-depth)`` (Cormode & Muthukrishnan 2005).
+
+Everything is pure column expressions over the same 48-bit md5 hash the
+dedup operators use, so the whole sketch (build AND probe) is exactly
+reproducible in DuckDB — tests/test_operators.py pins the cross-engine
+equality and the exact-vs-sketch agreement on the bench corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import _h48_duck, h48, with_shingles
+
+# affine family over one base hash, same overflow-safe arithmetic as the
+# MinHash family (a_d < 2^14, h48 < 2^48 => a*h + b < 2^63); M = 2^61-1
+_CMS_M = (1 << 61) - 1
+_CMS_A = [10007, 11003, 12011, 13001, 14011, 15013, 16033, 9001]
+_CMS_B = [31337, 271828, 141421, 161803, 57721, 66260, 299792, 98765]
+
+DEFAULT_DEPTH = 4
+DEFAULT_WIDTH = 2048
+
+
+def _cell(d: int, width: int):
+    """Row d's cell index for the ``shingle`` column (pure expression)."""
+    return F.pmod(
+        F.pmod(h48("shingle") * F.lit(_CMS_A[d]) + F.lit(_CMS_B[d]),
+               F.lit(_CMS_M)),
+        F.lit(width),
+    ).cast("int")
+
+
+def _dc_rows(df: DataFrame, depth: int, width: int) -> DataFrame:
+    """(shingle rows) -> one (d, cell) row per depth per input row."""
+    arr = F.array(*[
+        F.struct(F.lit(d).alias("d"), _cell(d, width).alias("cell"))
+        for d in range(depth)
+    ])
+    return df.select(F.col("shingle"), F.explode(arr).alias("dc")).select(
+        "shingle", F.col("dc.d").alias("d"), F.col("dc.cell").alias("cell")
+    )
+
+
+def cms_build(docs: DataFrame, shingle_n: int = 3, depth: int = DEFAULT_DEPTH,
+              width: int = DEFAULT_WIDTH, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Build the sketch table: (d, cell, cnt), at most depth*width rows.
+
+    Counts DOCUMENT frequency (distinct shingles per doc, the q42
+    semantics).  The groupBy key space is fixed at depth*width, so Spark's
+    partial aggregation caps the shuffle at depth*width rows per map task
+    — the state bound that makes this the web-scale form.
+    """
+    if depth > len(_CMS_A):
+        raise ValueError(f"depth <= {len(_CMS_A)} supported")
+    sh = with_shingles(docs, shingle_n, text_col, id_col)
+    return (
+        _dc_rows(sh, depth, width)
+        .groupBy("d", "cell")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(cms: DataFrame, candidates: DataFrame,
+                 depth: int = DEFAULT_DEPTH,
+                 width: int = DEFAULT_WIDTH) -> DataFrame:
+    """Probe the sketch: candidates(shingle) -> (shingle, est).
+
+    est = min over rows of the candidate's cell counters (0 when a cell
+    was never touched).  The sketch table is <= depth*width rows, so it
+    broadcasts; the probe never shuffles the candidate side beyond its own
+    tiny per-shingle aggregate.
+    """
+    probed = _dc_rows(candidates.select("shingle").distinct(), depth, width)
+    return (
+        probed.join(F.broadcast(cms), ["d", "cell"], "left")
+        .groupBy("shingle")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
+def cms_build_sql(shingle_n: int = 3, depth: int = DEFAULT_DEPTH,
+                  width: int = DEFAULT_WIDTH, table: str = "documents") -> str:
+    """DuckDB twin of :func:`cms_build` (identical hash family and cells);
+    used by the cross-engine pin in tests."""
+    base = _h48_duck("shingle")
+    branches = "\n        UNION ALL ".join(
+        f"SELECT {d} AS d, CAST((({base}) * {_CMS_A[d]} + {_CMS_B[d]}) "
+        f"% {_CMS_M} % {width} AS INT) AS cell FROM sh"
+        for d in range(depth)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, array_to_string(arr[i:i+{shingle_n - 1}], ' ') AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM {table}
+            WHERE len(string_split(text, ' ')) >= {shingle_n}) t,
+           LATERAL (SELECT unnest(generate_series(1, len(arr) - {shingle_n - 1})) AS i) u),
+    dc AS (
+        {branches})
+    SELECT d, cell, count(*) AS cnt FROM dc GROUP BY d, cell
+    """

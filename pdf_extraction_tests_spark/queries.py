@@ -1095,7 +1095,10 @@ def q42(spark, sf_dir):
     """Corpus heavy hitters: top-20 word trigrams by document frequency
     (boilerplate/contamination radar).  Scan-side shingling (the q22
     machinery), one count shuffle, TakeOrdered — at 100 TB swap the exact
-    count for a count-min sketch over the same shingle stream."""
+    count for the count-min sketch in ``operators/sketches.py``
+    (cms_build/cms_estimate: fixed depth*width aggregation state, exact
+    DuckDB twin; agreement with this exact count pinned in
+    tests/test_operators.py::TestCountMinSketch)."""
     sh = D.with_shingles(load(spark, sf_dir, "documents"), _SHINGLE_N)
     return (
         sh.groupBy("shingle").agg(F.count("*").alias("df"))

@@ -19,8 +19,9 @@ What it extracts, per page:
   (``media_ref='pdf:xobj:<name>'``) at its reading position.
 
 Out of scope (raise UnsupportedPdfError -> fault-isolated upstream):
-encryption, cross-reference/object streams holding the page tree
-(``/ObjStm``), CID/Type0 2-byte text, and non-Flate filters.
+encryption, CID/Type0 2-byte text, and non-Flate filters.  Object streams
+(``/ObjStm``, PDF 1.5+) ARE decoded: compressed dict-only objects — page
+tree included — are inlined before page resolution (:func:`_expand_objstm`).
 """
 
 from __future__ import annotations
@@ -140,6 +141,50 @@ def _objects(data: bytes) -> dict[int, bytes]:
     return out
 
 
+_OBJSTM_TYPE_RE = re.compile(rb"/Type\s*/ObjStm")
+_OBJSTM_N_RE = re.compile(rb"/N\s+(\d+)")
+_OBJSTM_FIRST_RE = re.compile(rb"/First\s+(\d+)")
+
+
+def _expand_objstm(objs: dict[int, bytes]) -> dict[int, bytes]:
+    """Inline the objects held in /ObjStm object streams (PDF 1.5+).
+
+    An object stream's decompressed payload is ``N`` pairs of
+    "objnum offset" integers (the header, ending at /First), followed by
+    the object bodies at those offsets.  Compressed objects are dict-only
+    by spec (no nested streams), so merging their bodies into the object
+    map is sufficient for page-tree/content resolution.  Top-level
+    definitions win on number collision (the common incremental-update
+    layout keeps replacements uncompressed)."""
+    extra: dict[int, bytes] = {}
+    for body in list(objs.values()):
+        head = body.split(b"stream", 1)[0]
+        if not _OBJSTM_TYPE_RE.search(head):
+            continue
+        data = _stream_of(body)
+        if data is None:
+            raise UnsupportedPdfError("/ObjStm without stream data")
+        n_m = _OBJSTM_N_RE.search(head)
+        first_m = _OBJSTM_FIRST_RE.search(head)
+        if not n_m or not first_m:
+            raise UnsupportedPdfError("/ObjStm missing /N or /First")
+        n, first = int(n_m.group(1)), int(first_m.group(1))
+        header = data[:first].split()
+        if len(header) < 2 * n:
+            raise UnsupportedPdfError("/ObjStm header truncated")
+        try:
+            nums = [int(header[2 * i]) for i in range(n)]
+            offs = [int(header[2 * i + 1]) for i in range(n)]
+        except ValueError as e:
+            raise UnsupportedPdfError(f"/ObjStm header not numeric: {e}") from e
+        for i in range(n):
+            end = first + offs[i + 1] if i + 1 < n else len(data)
+            extra[nums[i]] = data[first + offs[i]:end]
+    for num, b in extra.items():
+        objs.setdefault(num, b)
+    return objs
+
+
 def _strip_one_eol(b: bytes) -> bytes:
     """Remove the single EOL the spec places before 'endstream' — never
     more: stream DATA may itself end in 0x0A/0x0D bytes (a compressed
@@ -177,24 +222,28 @@ def _page_streams(data: bytes) -> list[tuple[bytes, float]]:
     source — object numbers need not be in page order: incremental updates
     and some generators emit them shuffled); object-number order is only
     the fallback when no /Kids array is present."""
-    objs = _objects(data)
+    objs = _expand_objstm(_objects(data))
     page_dicts: dict[int, bytes] = {}
     for num, body in objs.items():
         head = body.split(b"stream", 1)[0]
         if _PAGE_RE.search(head):
             page_dicts[num] = head
     pages: list[tuple[int, bytes]] = []  # (obj_num, page dict body)
-    for m in _KIDS_RE.finditer(data):
-        for ref in _REF_RE.findall(m.group(1)):
-            n = int(ref)
-            if n in page_dicts and all(p[0] != n for p in pages):
-                pages.append((n, page_dicts[n]))
+    # /Kids arrays live in the raw file OR inside a decompressed /ObjStm
+    # payload (PDF 1.5+ page trees) — scan both; dedupe handles overlap
+    for blob in [data, *objs.values()]:
+        for m in _KIDS_RE.finditer(blob):
+            for ref in _REF_RE.findall(m.group(1)):
+                n = int(ref)
+                if n in page_dicts and all(p[0] != n for p in pages):
+                    pages.append((n, page_dicts[n]))
     for num in sorted(page_dicts):  # fallback / kids not listing every page
         if all(p[0] != num for p in pages):
             pages.append((num, page_dicts[num]))
     if not pages:
         if b"/ObjStm" in data:
-            raise UnsupportedPdfError("page tree inside object streams")
+            raise UnsupportedPdfError("/ObjStm present but no page objects "
+                                      "recovered from it")
         raise UnsupportedPdfError("no /Page objects found")
     out: list[tuple[bytes, float]] = []
     for _, head in pages:
@@ -370,12 +419,16 @@ def extract_pdf_text(data: bytes) -> list[dict]:
 
 
 def write_minimal_pdf(pages: list[list[tuple]], compress: bool = True,
-                      page_height: float = 792.0) -> bytes:
+                      page_height: float = 792.0,
+                      objstm: bool = False) -> bytes:
     """Build a valid one-font PDF.
 
     ``pages`` is a list of pages; each page a list of items:
     ``("text", x, y_top, size, text)`` or ``("image", name)``.
     y is given TOP-left (engine convention) and converted to PDF user space.
+    ``objstm=True`` packs the page-tree dict objects into a FlateDecode
+    ``/ObjStm`` (the PDF 1.5+ layout) — the reader-side fixture for
+    :func:`_expand_objstm`; content streams stay top-level per spec.
     """
     objs: list[bytes] = []
 
@@ -436,7 +489,25 @@ def write_minimal_pdf(pages: list[list[tuple]], compress: bool = True,
             b"\nstream\n" % len(img) + img + b"\nendstream"
         )
 
-    out = bytearray(b"%PDF-1.4\n")
+    if objstm:
+        # move the dict-only page tree (pages root + page dicts) into one
+        # compressed object stream; streams (contents, xobjects) stay out
+        members = [2, *page_ids]
+        parts, offs, pos = [], [], 0
+        for n in members:
+            b = body.pop(n) + b"\n"
+            offs.append((n, pos))
+            parts.append(b)
+            pos += len(b)
+        header = " ".join(f"{n} {o}" for n, o in offs).encode() + b"\n"
+        z = zlib.compress(header + b"".join(parts))
+        body[max(max(body), xobj_id) + 1] = (
+            b"<< /Type /ObjStm /N %d /First %d /Length %d "
+            b"/Filter /FlateDecode >>\nstream\n" % (len(members), len(header), len(z))
+            + z + b"\nendstream"
+        )
+
+    out = bytearray(b"%PDF-1.5\n" if objstm else b"%PDF-1.4\n")
     offsets = {}
     for num in sorted(body):
         offsets[num] = len(out)

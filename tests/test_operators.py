@@ -247,3 +247,131 @@ class TestMultimodal:
         b = {r.media_ref: tuple(r.feature) for r in extract_media_features(media).collect()}
         assert a == b
         assert len(set(a.values())) == 8  # distinct content -> distinct features
+
+
+class TestCountMinSketch:
+    def test_cross_engine_sketch_identical(self, spark, docs):
+        """The Spark sketch table equals the DuckDB twin cell for cell."""
+        import duckdb
+
+        from pdf_extraction_tests_spark.operators import sketches as SK
+
+        d = docs.filter(F.col("doc_id") < 120)
+        got = {
+            (r.d, r.cell): r.cnt
+            for r in SK.cms_build(d, depth=4, width=512).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS "
+            f"SELECT * FROM read_parquet('{SF}/documents.parquet') "
+            f"WHERE doc_id < 120"
+        )
+        want = {
+            (int(r[0]), int(r[1])): int(r[2])
+            for r in con.execute(
+                SK.cms_build_sql(depth=4, width=512)
+            ).fetchall()
+        }
+        assert got == want
+
+    def test_sketch_agrees_with_exact_heavy_hitters(self, spark, docs):
+        """One-sided error: est >= exact everywhere; additive error within
+        the CMS bound for the exact top-20 (deterministic on this corpus)."""
+        from pdf_extraction_tests_spark.operators import dedup as DD
+        from pdf_extraction_tests_spark.operators import sketches as SK
+
+        width = 2048
+        sh = DD.with_shingles(docs, 3)
+        exact = {
+            r.shingle: r.df
+            for r in sh.groupBy("shingle").agg(F.count("*").alias("df"))
+            .orderBy(F.desc("df"), F.asc("shingle")).limit(20).collect()
+        }
+        total = sh.count()  # N = total shingle instances
+        cms = SK.cms_build(docs, width=width)
+        cand = spark.createDataFrame(
+            pd.DataFrame({"shingle": list(exact)}))
+        est = {
+            r.shingle: r.est
+            for r in SK.cms_estimate(cms, cand, width=width).collect()
+        }
+        assert set(est) == set(exact)
+        bound = (3 * total) / width  # e*N/width, rounded up generously
+        for s, true_df in exact.items():
+            assert est[s] >= true_df, s           # CMS never undercounts
+            assert est[s] <= true_df + bound, (s, est[s], true_df, bound)
+
+    def test_state_bound(self, spark, docs):
+        """The sketch table never exceeds depth*width rows (the fixed
+        aggregation state that makes this the 100 TB form)."""
+        from pdf_extraction_tests_spark.operators import sketches as SK
+
+        cms = SK.cms_build(docs, depth=3, width=256)
+        assert cms.count() <= 3 * 256
+
+
+class TestRealImageDecode:
+    def test_pgm_feature_is_pixel_histogram(self, spark):
+        import numpy as np
+
+        from pdf_extraction_tests_spark.operators import multimodal as MM
+
+        # 4x2 gradient: pixels 0,32,64,96,128,160,192,224 -> one per bin pair
+        px = bytes(range(0, 256, 32))
+        pgm = b"P5\n# comment\n4 2\n255\n" + px
+        feat = MM._decode(pgm, "image")
+        want = np.zeros(MM.FEATURE_DIM, dtype=np.float32)
+        for p in px:
+            want[int(p // (256 / MM.FEATURE_DIM))] += 1 / len(px)
+        assert np.allclose(feat, want)
+        # deterministic from PIXELS: same pixels, different comment -> same
+        assert np.allclose(
+            MM._decode(b"P5\n# other\n4 2\n255\n" + px, "image"), feat)
+
+    def test_bmp_24bit_feature(self, spark):
+        import numpy as np
+
+        from pdf_extraction_tests_spark.operators import multimodal as MM
+
+        # 2x1 24-bit BMP: one black, one white pixel (row padded to 8 bytes)
+        w, h = 2, 1
+        stride = ((w * 3 + 3) // 4) * 4
+        pixels = bytes([0, 0, 0, 255, 255, 255]) + b"\x00" * (stride - 6)
+        header = (b"BM" + (54 + len(pixels)).to_bytes(4, "little")
+                  + b"\x00" * 4 + (54).to_bytes(4, "little")
+                  + (40).to_bytes(4, "little")
+                  + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+                  + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+                  + b"\x00" * 24)
+        feat = MM._decode(header + pixels, "image")
+        want = np.zeros(MM.FEATURE_DIM, dtype=np.float32)
+        want[0] = 0.5                      # black
+        want[MM.FEATURE_DIM - 1] = 0.5     # white (gray 255)
+        assert np.allclose(feat, want)
+
+    def test_end_to_end_decode_ok_on_real_bytes(self, spark):
+        import pandas as pd
+
+        from pdf_extraction_tests_spark.operators import multimodal as MM
+
+        pgm = b"P5\n3 3\n255\n" + bytes(range(9))
+        pdf = pd.DataFrame([{
+            "media_ref": "media://pgm", "media_type": "image",
+            "content": bytearray(pgm), "width": 3, "height": 3,
+            "duration_ms": None,
+        }])
+        df = spark.createDataFrame(pdf, schema=MM.MEDIA_SCHEMA)
+        row = MM.extract_media_features(df).collect()[0]
+        assert row.decode_ok
+        assert abs(sum(row.feature) - 1.0) < 1e-6      # a histogram, not noise
+        assert row.feature[0] > 0.9                    # all pixels < 16
+
+    def test_magic_prefix_text_falls_back_to_stub(self, spark):
+        import numpy as np
+
+        from pdf_extraction_tests_spark.operators import multimodal as MM
+
+        fake = b"BMW sales prose, not a bitmap at all"
+        feat = MM._decode(fake, "image")
+        assert np.allclose(feat, MM._decode_stub(fake, "image"))

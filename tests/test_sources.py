@@ -18,7 +18,7 @@ from pdf_extraction_tests_spark.sources.pdf_min import (
 )
 
 REAL_PDF_PAGES = [
-    [("text", 72, 100, 18, "A Real Decoded Pdf Title Line"),
+    [("text", 72, 100, 18, "A Real Decoded Pdf Title Line Of Length"),
      ("text", 72, 200, 11, "Alice Example, Bob Sample 1,2"),
      ("text", 72, 300, 11, "Abstract " + "genuine pdf body text " * 12),
      ("image", "Im0"),
@@ -43,7 +43,7 @@ def doc_dir(tmp_path_factory):
         ],
     )
     (d / "b.html").write_text(
-        "<h1>Html Sourced Heading</h1><p>A paragraph long enough to keep here.</p>"
+        "<h1>Html Sourced Heading With Enough Length</h1><p>A paragraph long enough to keep here.</p>"
         "<footer>junk footer</footer>"
     )
     (d / "c.pdf").write_bytes(b"%PDF-1.4 fake binary content")
@@ -60,7 +60,7 @@ def test_binary_source_roundtrip(spark, doc_dir):
     assert a.title == "A Binary Sourced Title Document"
     assert [s.kind for s in a.spans] == ["title", "text", "title", "media", "text"]
     b = out["b.html"]
-    assert b.title == "Html Sourced Heading"
+    assert b.title == "Html Sourced Heading With Enough Length"
     # truncated/garbage PDF: parse-failure isolated, not a crash
     c = out["c.pdf"]
     assert c.parse_failures == 1
@@ -68,7 +68,7 @@ def test_binary_source_roundtrip(spark, doc_dir):
     # REAL pdf bytes: decoded end to end (title, media anchor, both pages)
     d = out["d.pdf"]
     assert d.parse_failures == 0
-    assert d.title == "A Real Decoded Pdf Title Line"
+    assert d.title == "A Real Decoded Pdf Title Line Of Length"
     assert d.total_pages == 2
     assert any(s.kind == "media" and s.media_ref == "pdf:xobj:Im0"
                for s in d.spans)
@@ -80,7 +80,7 @@ class TestMinimalPdfDecoder:
             data = write_minimal_pdf(REAL_PDF_PAGES, compress=compress)
             blocks = extract_pdf_text(data)
             texts = [b["text"] for b in blocks if b["kind"] == "text_block"]
-            assert texts[0] == "A Real Decoded Pdf Title Line"
+            assert texts[0] == "A Real Decoded Pdf Title Line Of Length"
             assert any(b["kind"] == "media" for b in blocks)
             # geometry round-trips through the top-left conversion
             title = blocks[0]
@@ -132,3 +132,47 @@ def test_bytes_dispatch():
     assert bytes_to_spans(None) == []
     assert bytes_to_spans(b"  <html><p>x</p></html>")[0]["kind"] == "html"
     assert bytes_to_spans(b"\x00\x01binary")[0]["text"] == "UNSUPPORTED_BINARY"
+
+
+class TestObjStm:
+    def test_objstm_page_tree_decodes_identically(self):
+        """PDF 1.5 layout (page tree inside a /ObjStm) must extract the
+        exact same blocks as the flat 1.4 layout."""
+        flat = extract_pdf_text(write_minimal_pdf(REAL_PDF_PAGES))
+        packed_bytes = write_minimal_pdf(REAL_PDF_PAGES, objstm=True)
+        assert b"/ObjStm" in packed_bytes
+        packed = extract_pdf_text(packed_bytes)
+        assert packed == flat
+
+    def test_objstm_multipage_order(self):
+        data = write_minimal_pdf(
+            [[("text", 10, 10, 11, "first page body text")],
+             [("text", 10, 10, 11, "second page body text")]],
+            objstm=True)
+        by_page = {b["page"]: b["text"] for b in extract_pdf_text(data)}
+        assert by_page == {1: "first page body text",
+                           2: "second page body text"}
+
+    def test_corrupt_objstm_fails_loud(self):
+        data = write_minimal_pdf([[("text", 10, 10, 11, "hello ok")]],
+                                 objstm=True)
+        # truncate the ObjStm header declaration: /N without a count
+        broken = data.replace(b"/Type /ObjStm /N", b"/Type /ObjStm /Q")
+        with pytest.raises(UnsupportedPdfError):
+            extract_pdf_text(broken)
+
+
+class TestPhantomHeaders:
+    def test_fake_obj_header_inside_stream_skipped(self):
+        """Bytes that LOOK like 'N M obj' inside Flate data must not
+        shadow real objects or truncate the enclosing stream."""
+        base = write_minimal_pdf([[("text", 10, 10, 11,
+                                    "phantom header probe body")]])
+        blocks = extract_pdf_text(base)
+        # craft: append a junk object whose UNCOMPRESSED stream data embeds
+        # a fake header for object 1 (the catalog) — with /Length literal
+        fake = (b"9 0 obj\n<< /Length 26 >>\nstream\n"
+                b"xx 1 0 obj << /Junk >> yy\n"
+                b"endstream\nendobj\n")
+        spliced = base.replace(b"xref", fake + b"xref", 1)
+        assert extract_pdf_text(spliced) == blocks
