@@ -91,6 +91,16 @@ def _dual_extractor_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_docs_dual(docs, num_parts=16)
 
 
+def _debug_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's manual-QA inspector (v10.R:3237-3428) as data: rows
+    +-3 around each doc's extraction boundaries with in-slice flags.
+    Rows-only check; boundary agreement with the extractor is pinned in
+    tests/test_pipeline.py::TestDebugBoundaries."""
+    from pdf_extraction_tests_spark.pipeline import debug_boundaries
+
+    return debug_boundaries(corpus_spark(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # insertion order matters downstream: the driver records queries in dict
     # order, so the highest-value rows-only relations (q92 differential, q91
@@ -100,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q92_dual_extractor_agreement"] = _dual_extractor_agreement
     out["q91_extract_spans"] = _extract_spans
     out["q90_extract_sections"] = _extract_sections
+    out["q93_debug_boundaries"] = _debug_boundaries
     return out
 
 

@@ -1093,9 +1093,14 @@ EXTRACT_RESULT_COLUMNS = [
 ]
 
 
-def extract_from_records(doc_id: str, records: list[dict],
-                         cleaning_method: str = "hybrid") -> dict:
-    """Run the full extraction given parsed region records."""
+def analyze_document(records: list[dict]) -> dict:
+    """Shared analysis prelude: parsed records -> ordered/clean rows,
+    title/authors/abstract picks, extraction boundaries.
+
+    Used by BOTH the extraction kernel (:func:`extract_from_records`) and
+    the boundary-debug relation (:func:`boundary_debug_records`) so the QA
+    surface can never drift from what the extractor actually did.
+    """
     parse_failures = sum(r["parse_failure"] for r in records)
     live = [r for r in records if not r["parse_failure"]]
     if any(r["element_type"] == "media" for r in live):
@@ -1134,6 +1139,32 @@ def extract_from_records(doc_id: str, records: list[dict],
         start, end = scan_boundaries(clean, abstract_row, is_mdpi=is_mdpi)
     body_rows = [r for r in clean if r["element_type"] in BODY_TYPES]
     end = lookahead_end_scan(body_rows, start, end)
+    return {
+        "parse_failures": int(parse_failures),
+        "kept": kept,
+        "ordered": ordered,
+        "clean": clean,
+        "body_rows": body_rows,
+        "title": title,
+        "authors": authors,
+        "abstract": abstract,
+        "start": start,
+        "end": end,
+        "doc_format": doc_format,
+        "band_format": band_format,
+        "is_mdpi": is_mdpi,
+    }
+
+
+def extract_from_records(doc_id: str, records: list[dict],
+                         cleaning_method: str = "hybrid") -> dict:
+    """Run the full extraction given parsed region records."""
+    a = analyze_document(records)
+    kept, clean, body_rows = a["kept"], a["clean"], a["body_rows"]
+    band_format, is_mdpi = a["band_format"], a["is_mdpi"]
+    title, authors, abstract = a["title"], a["authors"], a["abstract"]
+    start, end = a["start"], a["end"]
+    doc_format, parse_failures = a["doc_format"], a["parse_failures"]
     main_rows = [r for r in body_rows if start <= r["row_id"] < end]
     if band_format == "elsevier":
         # drop article-info rows that leaked into the slice (v10.R:2452-2455)
@@ -1178,6 +1209,56 @@ def extract_from_records(doc_id: str, records: list[dict],
         "total_text_regions": n_text_regions,
         "parse_failures": int(parse_failures),
     }
+
+
+# ---------------------------------------------------------------------------
+# Boundary-debug relation — the reference's manual-QA inspectors
+# (debug_reading_order / debug_content_extraction, v10.R:3237-3428) as a
+# QUERYABLE relation instead of console printout: the rows around each
+# extraction boundary, flagged with whether they made the slice.
+# ---------------------------------------------------------------------------
+
+DEBUG_BOUNDARY_COLUMNS = [
+    "doc_id", "row_id", "page", "y", "element_type", "text_preview",
+    "near", "in_slice", "boundary_start", "boundary_end",
+]
+
+
+def boundary_debug_records(doc_id: str, records: list[dict],
+                           context: int = 3) -> list[dict]:
+    """Rows within ``context`` of the start/end boundary, per document.
+
+    Shares :func:`analyze_document` with the extractor, so the reported
+    boundaries ARE the extractor's (pinned by test).  The +-3 context and
+    the str_trunc(text, 80) preview width mirror the reference inspector
+    (v10.R:3258-3268).
+    """
+    a = analyze_document(records)
+    start, end = a["start"], a["end"]
+    out: list[dict] = []
+    for r in a["clean"]:
+        if r["element_type"] == "media":
+            continue
+        rid = r["row_id"]
+        near_start = abs(rid - start) <= context
+        near_end = abs(rid - end) <= context
+        if not (near_start or near_end):
+            continue
+        t = r["text"] or ""
+        out.append({
+            "doc_id": doc_id,
+            "row_id": rid,
+            "page": r["page"],
+            "y": r["y"],
+            "element_type": r["element_type"],
+            "text_preview": t[:77] + "..." if len(t) > 80 else t,
+            "near": "both" if near_start and near_end
+                    else ("start" if near_start else "end"),
+            "in_slice": start <= rid < end,
+            "boundary_start": start,
+            "boundary_end": end,
+        })
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -223,6 +223,32 @@ def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     )
 
 
+def write_ivf_partitioned(emb: DataFrame, centroids: np.ndarray, path: str,
+                          vec_col: str = "embedding") -> None:
+    """Materialize the corpus PARTITIONED BY ivf_list — the at-scale ANN
+    layout: each coarse cell is its own partition directory, so a probe
+    becomes a partition-pruned scan of n_probe directories instead of a
+    full-corpus scan + filter.  One shuffle on ivf_list at write time keeps
+    one file per list instead of files x tasks."""
+    assigned = with_ivf_list(emb, centroids, vec_col)
+    (assigned.repartition("ivf_list")
+     .write.mode("overwrite").partitionBy("ivf_list").parquet(path))
+
+
+def ivf_topk_partitioned(spark, path: str, query_vec: list[float],
+                         centroids: np.ndarray, k: int = 10, n_probe: int = 3,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Probe the :func:`write_ivf_partitioned` layout: the ivf_list filter
+    is a PARTITION filter (pruned at planning, verified by plan test) —
+    only the n_probe nearest lists' files are ever opened."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    order = (((centroids - q[None, :]) ** 2).sum(axis=1)).argsort()[:n_probe]
+    probe_lists = [int(x) for x in order]
+    scan = spark.read.parquet(path).filter(F.col("ivf_list").isin(probe_lists))
+    return cosine_topk(scan, query_vec, k, id_col, vec_col)
+
+
 def ann_topk(emb: DataFrame, query_vec: list[float], k: int = 10, bits: int = 6,
              seed: int = 42, id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:

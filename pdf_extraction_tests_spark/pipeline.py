@@ -289,6 +289,46 @@ def extract_chunked(docs: DataFrame, chunk_spans: int = DEFAULT_CHUNK_SPANS,
     )
 
 
+DEBUG_BOUNDARY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("row_id", T.IntegerType(), True),
+        T.StructField("page", T.IntegerType(), True),
+        T.StructField("y", T.IntegerType(), True),
+        T.StructField("element_type", T.StringType(), True),
+        T.StructField("text_preview", T.StringType(), True),
+        T.StructField("near", T.StringType(), True),
+        T.StructField("in_slice", T.BooleanType(), True),
+        T.StructField("boundary_start", T.IntegerType(), True),
+        T.StructField("boundary_end", T.IntegerType(), True),
+    ]
+)
+
+
+def debug_boundaries(docs: DataFrame, context: int = 3) -> DataFrame:
+    """The reference's manual-QA inspector (debug_reading_order /
+    debug_content_extraction, v10.R:3237-3428) as a queryable relation:
+    per document, the rows within ``context`` of each extraction boundary
+    with an in-slice flag — boundary regressions become visible in DATA.
+    One mapInPandas stage over the corpus scan, no shuffle."""
+    from .shipping import ship_package
+
+    ship_package(docs.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in DEBUG_BOUNDARY_SCHEMA.fields]
+        for pdf in batches:
+            rows: list[dict] = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                recs = ec.spans_to_regions(_spans_to_records(spans))
+                rows.extend(ec.boundary_debug_records(doc_id, recs, context))
+            yield (pd.DataFrame(rows, columns=cols) if rows
+                   else pd.DataFrame(columns=cols))
+
+    return docs.select("doc_id", "spans").mapInPandas(
+        run, schema=DEBUG_BOUNDARY_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # layout table (reference complete_layout, SURVEY §1.2 / S5)
 # ---------------------------------------------------------------------------

@@ -375,3 +375,49 @@ class TestRealImageDecode:
         fake = b"BMW sales prose, not a bitmap at all"
         feat = MM._decode(fake, "image")
         assert np.allclose(feat, MM._decode_stub(fake, "image"))
+
+
+class TestCacheHygiene:
+    """Round-2 leak class: operators pinning frames for the session
+    lifetime.  Operators that return lazy plans must pin NOTHING; iterative
+    operators may hold localCheckpoint blocks only while their result is
+    referenced (context-cleaner reclaims them afterwards)."""
+
+    @staticmethod
+    def _n_persistent(spark):
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    def test_lazy_operators_pin_nothing(self, spark, docs):
+        d = docs.filter(F.col("doc_id") < 60)
+        base = self._n_persistent(spark)
+        for _ in range(3):
+            D.ngram_jaccard_pairs(d, threshold=0.2).count()
+            D.minhash_signatures(d).count()
+            D.simhash(d).count()
+        assert self._n_persistent(spark) == base
+
+    def test_iterative_components_release_after_gc(self, spark, docs):
+        import gc
+        import time
+
+        pairs = D.lsh_candidate_pairs(
+            D.minhash_signatures(docs.filter(F.col("doc_id") < 100)))
+        base = self._n_persistent(spark)
+        for _ in range(2):
+            out = D.connected_components(pairs)
+            out.count()
+            out2 = D.connected_components_star(pairs)
+            out2.count()
+            del out, out2
+        # release py4j refs, then poll the context cleaner (py4j detach
+        # commands and the cleaner's reference queue are both asynchronous)
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            if self._n_persistent(spark) <= base:
+                break
+            time.sleep(1)
+        assert self._n_persistent(spark) <= base, (
+            f"{self._n_persistent(spark)} persistent RDDs linger (base {base})"
+        )

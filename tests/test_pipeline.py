@@ -270,3 +270,28 @@ class TestDualExtractorStage:
                 round(len(sm.main_text) / max(len(si.main_text), 1), 4),
             )
             assert got == want, doc_id
+
+
+class TestDebugBoundaries:
+    def test_boundaries_agree_with_extractor(self, spark, synthetic_docs):
+        docs = [
+            {"doc_id": r.doc_id, "spans": r.spans}
+            for r in synthetic_docs.itertuples(index=False)
+        ][:30]
+        df = _docs_df(spark, docs)
+        dbg = pl.debug_boundaries(df).collect()
+        extracted = {r.doc_id: r for r in pl.extract_docs(df, num_parts=4).collect()}
+        assert dbg, "debug relation came back empty"
+        seen = set()
+        for r in dbg:
+            seen.add(r.doc_id)
+            e = extracted[r.doc_id]
+            # the debug rows carry the extractor's own boundaries
+            assert (r.boundary_start, r.boundary_end) == \
+                (e.boundary_start, e.boundary_end)
+            # context window and flags are self-consistent
+            assert (abs(r.row_id - r.boundary_start) <= 3
+                    or abs(r.row_id - r.boundary_end) <= 3)
+            assert r.in_slice == (r.boundary_start <= r.row_id < r.boundary_end)
+            assert len(r.text_preview) <= 80
+        assert len(seen) > 10  # most docs produce boundary context rows

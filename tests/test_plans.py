@@ -123,3 +123,29 @@ def test_token_budget_head_no_global_corpus_window(spark):
     # at most one SinglePartition exchange, and the offsets side broadcasts
     assert plan.count("Exchange SinglePartition") <= 1, plan
     assert has_broadcast_join(plan), plan
+
+
+def test_ivf_partitioned_probe_is_partition_pruned(spark, tmp_path):
+    """The at-scale IVF layout: writing bucketed by ivf_list and probing
+    must plan a PartitionFilters-pruned scan (not a full scan + filter),
+    and return exactly what the in-memory IVF probe returns."""
+    from pdf_extraction_tests_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = S.ivf_centroids(emb, n_lists=8, seed=7)
+    path = str(tmp_path / "ivf")
+    S.write_ivf_partitioned(emb, cents, path)
+    qvec = [float(x) for x in emb.orderBy("vec_id").first().embedding]
+
+    got = S.ivf_topk_partitioned(spark, path, qvec, cents, k=5, n_probe=2)
+    plan = formatted_plan(got)
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "ivf_list" in m.group(1), plan  # pruning actually planned
+
+    probe = {
+        (r.vec_id, r.cosine)
+        for r in S.ivf_topk(emb, qvec, k=5, n_lists=8, n_probe=2, seed=7).collect()
+    }
+    assert {(r.vec_id, r.cosine) for r in got.collect()} == probe
