@@ -65,6 +65,8 @@ HEADLINE = [
     "q25_simhash",
     "q27_cosine_topk",
     "q30_quality_score",
+    "q42_heavy_hitter_ngrams",
+    "q45_token_budget_head",
 ]
 
 

@@ -744,7 +744,9 @@ def extract_title(ordered: list[dict]) -> tuple[str, int]:
         elif r["y"] < 600 and n > 30 and TITLE_CASE_SHAPE_RE.search(t):
             score = 6.0
         else:
-            score = 0.0
+            # penalties only subtract: a 0-score row can never clear the >3
+            # gate, so skip the (full-text) penalty regexes — hot-path save
+            continue
         if TITLE_META_WORD_RE.search(tl):
             score -= 5.0
         elif TITLE_META_CHAR_RE.search(t):
@@ -861,17 +863,18 @@ def extract_abstract(ordered: list[dict], title_row: int) -> tuple[str, int]:
         t = r["text"]
         tl = r.get("_tl") or t.lower()
         n = len(t)
-        dots = t.count(".")
         if ABSTRACT_MARKER_RE.match(tl):
             score = 10
         elif n > 200 and ABSTRACT_CONTENT_RE.search(t):
             score = 8
-        elif n > 150 and dots >= 2:
-            score = 6
-        elif n > 100 and dots >= 1:
-            score = 4
         else:
-            continue
+            dots = t.count(".") if n > 100 else 0
+            if n > 150 and dots >= 2:
+                score = 6
+            elif n > 100 and dots >= 1:
+                score = 4
+            else:
+                continue
         key = (-score, -n, r["row_id"])
         if best_key is None or key < best_key:
             best_key, best = key, r
