@@ -421,3 +421,74 @@ class TestCacheHygiene:
         assert self._n_persistent(spark) <= base, (
             f"{self._n_persistent(spark)} persistent RDDs linger (base {base})"
         )
+
+
+class TestAsofJoin:
+    def test_matches_duckdb_asof_join(self, spark):
+        """The union+window formulation must equal DuckDB's native
+        ASOF LEFT JOIN (l.ts >= r.ts per user) on the events table."""
+        import duckdb
+
+        from pdf_extraction_tests_spark.operators.asof import asof_join
+
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        left = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "ts", "user_id", "value")
+        right = ev.filter(F.col("event_type") == "signup").select(
+            "ts", "user_id", "event_id", "value")
+        got = {
+            r.event_id: (r.event_id_asof, r.value_asof)
+            for r in asof_join(left, right).collect()
+        }
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"read_parquet('{SF}/events.parquet')")
+        want = {
+            int(eid): ((int(mid) if mid is not None else None),
+                       (float(mv) if mv is not None else None))
+            for eid, mid, mv in con.execute("""
+                SELECT l.event_id, r.event_id, r.value
+                FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+                ASOF LEFT JOIN
+                     (SELECT * FROM events WHERE event_type = 'signup') r
+                  ON l.user_id = r.user_id AND l.ts >= r.ts
+            """).fetchall()
+        }
+        assert got == want
+        assert any(m[0] is not None for m in got.values())  # real matches
+        assert len(got) > 50
+
+    def test_tolerance_voids_stale_matches(self, spark):
+        from pdf_extraction_tests_spark.operators.asof import asof_join
+
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        left = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "ts", "user_id")
+        right = ev.filter(F.col("event_type") == "signup").select(
+            "ts", "user_id", "event_id")
+        loose = asof_join(left, right)
+        tight = asof_join(left, right,
+                          tolerance=F.expr("INTERVAL 1 HOUR"))
+        n_loose = loose.filter(F.col("event_id_asof").isNotNull()).count()
+        n_tight = tight.filter(F.col("event_id_asof").isNotNull()).count()
+        assert 0 < n_tight < n_loose
+        # within-tolerance matches are identical to the loose ones
+        t = {r.event_id: r.event_id_asof for r in tight.collect()
+             if r.event_id_asof is not None}
+        l = {r.event_id: r.event_id_asof for r in loose.collect()}
+        assert all(l[k] == v for k, v in t.items())
+
+    def test_single_shuffle_plan(self, spark):
+        """One exchange (the by-key hash partitioning shared by both window
+        sides) — the scale contract of the union+window formulation."""
+        from pdf_extraction_tests_spark.operators.asof import asof_join
+        from pdf_extraction_tests_spark.plans.audit import (
+            count_exchanges, formatted_plan)
+
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        left = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "ts", "user_id")
+        right = ev.filter(F.col("event_type") == "signup").select(
+            "ts", "user_id", "event_id")
+        plan = formatted_plan(asof_join(left, right))
+        assert count_exchanges(plan) <= 1, plan
