@@ -54,3 +54,41 @@ def stream_extract(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    watermark: str = "1 hour",
+    ts_col: str = "ingest_ts",
+):
+    """Streaming exact dedup of a growing document feed: the streaming face
+    of ``operators.dedup.exact_dedup`` — only the FIRST arrival of each
+    content digest is emitted.
+
+    ``dropDuplicatesWithinWatermark`` on md5(text) with an event-time
+    watermark bounds the dedup state (digests older than the watermark are
+    evicted — the property that makes this run forever at ingest scale;
+    an unwatermarked dropDuplicates grows state monotonically).  Exactly-
+    once across restarts via the streaming checkpoint.  Stream == batch
+    pinned in tests/test_streaming.py.
+    """
+    from pyspark.sql import functions as F
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(input_path).schema
+    ).parquet(input_path)
+    deduped = (
+        stream.withColumn("digest", F.md5(F.col("text")))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["digest"])
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

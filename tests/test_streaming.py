@@ -56,3 +56,39 @@ def test_streaming_restart_is_exactly_once(spark, corpus_path, tmp_path):
     n2 = spark.read.parquet(out).count()
     assert n1 == len(pdf)
     assert n2 == n1
+
+
+def test_streaming_dedup_matches_batch(spark, tmp_path):
+    """stream_dedup emits exactly one row per distinct text (first arrival),
+    with bounded watermark state — result set == batch exact dedup."""
+    import datetime
+
+    from pyspark.sql import functions as F, types as T
+
+    from pdf_extraction_tests_spark.streaming.incremental import stream_dedup
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(30):
+        rows.append({
+            "doc_id": f"d{i}",
+            "text": f"content {i % 10}",            # each text repeats 3x
+            "ingest_ts": base + datetime.timedelta(minutes=i),
+        })
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ingest_ts", T.TimestampType()),
+    ])
+    src = str(tmp_path / "feed")
+    spark.createDataFrame(pd.DataFrame(rows), schema=schema).write.parquet(src)
+    out = str(tmp_path / "deduped")
+    q = stream_dedup(spark, src, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    texts = [r.text for r in got.collect()]
+    assert sorted(texts) == sorted(f"content {i}" for i in range(10))
+    # batch equivalence: same distinct digest set
+    batch = (spark.read.parquet(src)
+             .select(F.md5("text").alias("digest")).distinct().count())
+    assert got.select("digest").distinct().count() == batch == 10
