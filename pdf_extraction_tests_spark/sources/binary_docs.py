@@ -32,28 +32,43 @@ from ..schema import DOCS
 SPDF_MAGIC = b"SPDF\n"
 
 
-def parse_pdf_bytes(content: bytes) -> list[dict]:
-    """REAL decode for digitally-born PDFs; OCR stack still stubbed.
+def parse_pdf_bytes(content: bytes,
+                    scanned_stack: tuple | None = None) -> list[dict]:
+    """REAL decode for digitally-born PDFs; raster/OCR stack pluggable.
 
     Uses the pure-Python minimal PDF decoder (:mod:`.pdf_min`): plain or
-    FlateDecode content streams, standard text operators, simple one-byte
-    fonts — one span per BT..ET text block with geometry recovered from the
-    text matrix, plus media placeholders for image-XObject draws.  PDFs
-    outside that profile (scanned/image-only, encrypted, CID text, object-
-    stream page trees) raise ``NotImplementedError``: that remainder is the
-    rasterize -> layout-model -> OCR stack (v10.R:26, 39-44, 131-152) which
-    needs poppler/tesseract, not present in this image — replace THIS
-    fallback in production; schema, batching, and extraction are unchanged.
+    FlateDecode content streams (object streams included), standard text
+    operators, simple one-byte fonts — one span per BT..ET text block with
+    geometry recovered from the text matrix, plus media placeholders for
+    image-XObject draws.
+
+    PDFs outside that profile — scanned/image-only, encrypted, CID text —
+    are the reference's rasterize -> layout-model -> OCR territory
+    (v10.R:26, 39-44, 131-152), now a pluggable stack
+    (:func:`.scanned.extract_scanned_pdf`): pass ``scanned_stack =
+    (rasterize, layout_model, ocr)`` to route (a) undecodable PDFs and
+    (b) decodable but text-less image PDFs through it.  Without a stack the
+    behavior is unchanged: ``NotImplementedError`` -> one parse-failure
+    span (the binaries are absent from this image).
     """
     from .pdf_min import UnsupportedPdfError, extract_pdf_text
+    from .scanned import extract_scanned_pdf
 
     try:
         blocks = extract_pdf_text(bytes(content))
+        if scanned_stack is not None and not any(
+            b["kind"] == "text_block" for b in blocks
+        ):
+            # decodes but carries no text: an image-only (scanned) PDF
+            blocks = extract_scanned_pdf(bytes(content), *scanned_stack)
     except UnsupportedPdfError as e:
-        raise NotImplementedError(
-            f"PDF outside the minimal text profile ({e}); the raster/OCR "
-            "stack is not present in this image"
-        ) from e
+        if scanned_stack is not None:
+            blocks = extract_scanned_pdf(bytes(content), *scanned_stack)
+        else:
+            raise NotImplementedError(
+                f"PDF outside the minimal text profile ({e}); the raster/OCR "
+                "stack is not present in this image"
+            ) from e
     spans: list[dict] = []
     for i, b in enumerate(blocks):
         if b["kind"] == "media":
@@ -82,7 +97,8 @@ def parse_spdf_bytes(content: bytes) -> list[dict]:
     return spans
 
 
-def bytes_to_spans(content: bytes | None) -> list[dict]:
+def bytes_to_spans(content: bytes | None,
+                   scanned_stack: tuple | None = None) -> list[dict]:
     """Dispatch on content magic; unknown formats yield a parse-failure
     span (fault isolation — never kill the task, v10.R:37, 188-190)."""
     if content is None:
@@ -94,7 +110,7 @@ def bytes_to_spans(content: bytes | None) -> list[dict]:
         return [{"kind": "html", "text": b.decode("utf-8", "replace"),
                  "media_ref": None, "offset": 0}]
     try:
-        return parse_pdf_bytes(b)
+        return parse_pdf_bytes(b, scanned_stack)
     except NotImplementedError:
         # recorded as a parse failure by the kernel
         return [{"kind": "region", "text": "UNSUPPORTED_BINARY", "media_ref": None,
@@ -102,11 +118,15 @@ def bytes_to_spans(content: bytes | None) -> list[dict]:
 
 
 def read_binary_docs(spark: SparkSession, path: str,
-                     glob: str | None = None) -> DataFrame:
+                     glob: str | None = None,
+                     scanned_stack: tuple | None = None) -> DataFrame:
     """Directory of raw document files -> docs(doc_id, spans).
 
     The binaryFile source gives (path, modificationTime, length, content);
     doc_id is the file path.  The parse is batched per Arrow batch.
+    ``scanned_stack`` (rasterize, layout_model, ocr callables) is captured
+    by the task closure — cloudpickle ships it to every worker, so the
+    scanned path needs no module-level registration.
     """
     reader = spark.read.format("binaryFile")
     if glob:
@@ -118,7 +138,8 @@ def read_binary_docs(spark: SparkSession, path: str,
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["path"],
-                    "spans": [bytes_to_spans(c) for c in pdf["content"]],
+                    "spans": [bytes_to_spans(c, scanned_stack)
+                              for c in pdf["content"]],
                 }
             )
 

@@ -1,0 +1,99 @@
+"""Scanned-PDF extraction stack: rasterize -> layout model -> per-box OCR.
+
+The reference's GPU pipeline (Document_Processor_DocLayout_YOLO_Code_
+v10.R:26 ``pdf_convert(dpi=300)``, :39-44 DocLayout-YOLO ``predict`` with
+``imgsz=1024, conf=0.2``, :131-152 per-box ``pytesseract``) re-expressed
+with PLUGGABLE stages: this image has no poppler / layout model /
+tesseract, so the default hooks raise ``NotImplementedError`` (fault-
+isolated upstream into parse-failure spans, exactly as before), while a
+production deployment injects the real callables and the tests inject
+deterministic fakes.  Everything AROUND the hooks is real and tested:
+confidence gating at the reference threshold, media-class placeholders,
+box -> region-payload conversion, per-page fault isolation, and the
+closure plumbing that ships the stack into the distributed binary source.
+
+Stage contracts (all numpy/stdlib, no Spark):
+* ``rasterize(pdf_bytes) -> list[ndarray(H, W) uint8]`` — one gray image
+  per page at the reference's 300 dpi (v10.R:26);
+* ``layout_model(image) -> list[(x, y, w, h, cls, conf)]`` — detected
+  boxes with class strings (the DocLayout-YOLO label set) and confidences;
+* ``ocr(image_crop) -> str`` — text for one box crop (v10.R:131-152 runs
+  tesseract once per box).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+LAYOUT_CONF_MIN = 0.2          # v10.R:41 conf=0.2
+# classes rendered as media placeholders rather than OCR'd text
+MEDIA_CLASSES = {"figure", "image", "isolate_formula", "table"}
+
+
+def _missing_stage(name: str, ref: str) -> Callable:
+    def raiser(*_a, **_k):
+        raise NotImplementedError(
+            f"scanned-PDF stage '{name}' ({ref}) needs binaries absent from "
+            "this image — inject a real callable in production"
+        )
+    return raiser
+
+
+DEFAULT_RASTERIZE = _missing_stage("rasterize", "pdftools/poppler, v10.R:26")
+DEFAULT_LAYOUT = _missing_stage("layout_model", "DocLayout-YOLO, v10.R:39-44")
+DEFAULT_OCR = _missing_stage("ocr", "pytesseract, v10.R:131-152")
+
+
+def extract_scanned_pdf(
+    data: bytes,
+    rasterize: Callable = DEFAULT_RASTERIZE,
+    layout_model: Callable = DEFAULT_LAYOUT,
+    ocr: Callable = DEFAULT_OCR,
+    conf_min: float = LAYOUT_CONF_MIN,
+) -> list[dict]:
+    """PDF bytes -> block dicts (same shape as pdf_min.extract_pdf_text).
+
+    Per-page fault isolation mirrors the reference's per-page tryCatch
+    (v10.R:37): a page whose layout/OCR stage throws is skipped and the
+    remaining pages still extract; if EVERY page fails the document-level
+    error propagates (the caller records one parse failure).
+    """
+    pages = rasterize(bytes(data))
+    if not pages:
+        raise NotImplementedError("rasterizer produced no pages")
+    blocks: list[dict] = []
+    failures: list[Exception] = []
+    for pageno, img in enumerate(pages, 1):
+        try:
+            boxes: Sequence[tuple] = layout_model(img)
+            page_blocks: list[dict] = []
+            media_n = 0
+            for (x, y, w, h, cls, conf) in boxes:
+                if conf < conf_min:          # reference keeps conf >= 0.2
+                    continue
+                if cls in MEDIA_CLASSES:
+                    page_blocks.append({
+                        "kind": "media", "page": pageno,
+                        "ref": f"pdf:scan:p{pageno}:{cls}{media_n}",
+                    })
+                    media_n += 1
+                    continue
+                crop = img[int(y):int(y + h), int(x):int(x + w)]
+                text = (ocr(crop) or "").strip()
+                if not text:
+                    continue
+                etype = cls if cls in ("title", "plain text", "abandon") \
+                    else "plain text"
+                page_blocks.append({
+                    "kind": "text_block", "page": pageno, "x": int(x),
+                    "y": int(y), "w": int(w), "h": int(h), "etype": etype,
+                    "text": text,
+                })
+            blocks.extend(page_blocks)
+        except Exception as e:  # noqa: BLE001 — per-page isolation
+            failures.append(e)
+    if failures and not blocks:
+        raise NotImplementedError(
+            f"every page failed the scanned stack: {failures[0]}"
+        ) from failures[0]
+    return blocks

@@ -176,3 +176,113 @@ class TestPhantomHeaders:
                 b"endstream\nendobj\n")
         spliced = base.replace(b"xref", fake + b"xref", 1)
         assert extract_pdf_text(spliced) == blocks
+
+
+def _fake_rasterize(data: bytes):
+    """Deterministic 2-page 'render': gray gradients seeded by content."""
+    import hashlib
+
+    import numpy as np
+
+    seed = int.from_bytes(hashlib.md5(data).digest()[:4], "big")
+    rng = np.random.default_rng(seed)
+    return [rng.integers(0, 256, size=(600, 400), dtype=np.uint8)
+            for _ in range(2)]
+
+
+def _fake_layout(img):
+    # (x, y, w, h, cls, conf): one title, one body, one figure, one
+    # below-threshold reject (conf gate v10.R:41)
+    return [
+        (40, 30, 320, 40, "title", 0.93),
+        (40, 120, 320, 200, "plain text", 0.81),
+        (40, 360, 200, 150, "figure", 0.95),
+        (10, 10, 50, 20, "plain text", 0.1),
+    ]
+
+
+def _fake_ocr(crop):
+    # pixel-deterministic text (stands in for tesseract)
+    return f"ocr text {int(crop.sum()) % 997} recovered from this region box"
+
+
+class TestScannedStack:
+    def test_blocks_conf_gate_and_media(self):
+        from pdf_extraction_tests_spark.sources.scanned import (
+            extract_scanned_pdf,
+        )
+
+        data = write_minimal_pdf([[("image", "Im0")]])  # image-only pdf
+        blocks = extract_scanned_pdf(
+            data, _fake_rasterize, _fake_layout, _fake_ocr)
+        texts = [b for b in blocks if b["kind"] == "text_block"]
+        media = [b for b in blocks if b["kind"] == "media"]
+        assert len(texts) == 4          # 2 pages x (title + body); reject gated
+        assert len(media) == 2          # one figure placeholder per page
+        assert {b["etype"] for b in texts} == {"title", "plain text"}
+        assert all(b["text"].startswith("ocr text ") for b in texts)
+        # deterministic: same bytes -> same blocks
+        again = extract_scanned_pdf(
+            data, _fake_rasterize, _fake_layout, _fake_ocr)
+        assert again == blocks
+
+    def test_page_fault_isolated(self):
+        from pdf_extraction_tests_spark.sources.scanned import (
+            extract_scanned_pdf,
+        )
+
+        calls = {"n": 0}
+
+        def flaky_layout(img):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("page 1 model crash")
+            return _fake_layout(img)
+
+        blocks = extract_scanned_pdf(
+            b"%PDF-fake", _fake_rasterize, flaky_layout, _fake_ocr)
+        assert {b["page"] for b in blocks} == {2}   # page 1 skipped, 2 kept
+
+    def test_default_stack_raises_not_implemented(self):
+        from pdf_extraction_tests_spark.sources.scanned import (
+            extract_scanned_pdf,
+        )
+
+        with pytest.raises(NotImplementedError):
+            extract_scanned_pdf(b"%PDF-fake")
+
+    def test_end_to_end_distributed_with_stack(self, spark, tmp_path):
+        """An image-only (scanned) PDF routes through the injected stack
+        inside the distributed binary source and extracts normally."""
+        from pdf_extraction_tests_spark.pipeline import extract_docs
+
+        d = tmp_path / "scandocs"
+        d.mkdir()
+        (d / "scan.pdf").write_bytes(write_minimal_pdf([[("image", "Im0")]]))
+        docs = read_binary_docs(
+            spark, str(d),
+            scanned_stack=(_fake_rasterize, _fake_layout, _fake_ocr))
+        out = extract_docs(docs, num_parts=2).collect()
+        assert len(out) == 1
+        row = out[0]
+        assert row.parse_failures == 0
+        assert row.total_pages == 2
+        kinds = [s.kind for s in row.spans]
+        assert kinds.count("media") == 2
+        assert any(s.kind == "title" for s in row.spans)
+
+    def test_without_stack_behavior_unchanged(self, spark, tmp_path):
+        """No stack injected: an image-only PDF still decodes to its media
+        placeholder (NOT a failure), an encrypted one is a parse failure."""
+        from pdf_extraction_tests_spark.pipeline import extract_docs
+
+        d = tmp_path / "plaindocs"
+        d.mkdir()
+        (d / "imgonly.pdf").write_bytes(write_minimal_pdf([[("image", "Im0")]]))
+        (d / "enc.pdf").write_bytes(b"%PDF-1.7\n/Encrypt 5 0 R\n")
+        out = {r.doc_id.split("/")[-1]: r
+               for r in extract_docs(read_binary_docs(spark, str(d)),
+                                     num_parts=2).collect()}
+        assert out["imgonly.pdf"].parse_failures == 0
+        assert [s.kind for s in out["imgonly.pdf"].spans] == ["media"]
+        assert out["enc.pdf"].parse_failures == 1
