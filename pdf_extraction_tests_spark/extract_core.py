@@ -641,6 +641,12 @@ def lookahead_end_scan(body: list[dict], start: int, end: int) -> int:
     body at that marker row — the rowsBetween(1, 5) lead-scan pattern."""
     in_range = [r for r in body if start <= r["row_id"] < end]
     for i, r in enumerate(in_range):
+        # literal gate on the shared lowered copy: the IGNORECASE regex
+        # (word-boundary check) only runs when the substring exists at all
+        # — this predicate runs on EVERY body row
+        low = r.get("_tl")
+        if low is not None and "clinical trial" not in low:
+            continue
         if TRUNCATE_AFTER_RE.search(r["text"]):
             window = in_range[i + 1 : i + 1 + LOOKAHEAD_WINDOW]
             if any(END_RE.match(w["text"]) for w in window):
@@ -775,11 +781,18 @@ def extract_authors(ordered: list[dict], title_row: int) -> str:
         if r["page"] > 1 or r["element_type"] == "media" or r["row_id"] <= title_row:
             continue
         t = r["text"]
+        low = r.get("_tl") or t.lower()
+        # the penalty alternation is four plain literals — a substring scan
+        # on the shared lowered copy beats re.IGNORECASE on the raw text
+        # (case folding disables re's fast literal scan); same result as
+        # AUTHOR_PENALTY_RE.search(t)
+        penalized = ("abstract" in low or "introduction" in low
+                     or "keywords" in low or "received" in low)
         score = (
             2.0 * len(NAME_RE.findall(t))
             + 0.5 * t.count(",")
             + (0.5 if _DIGIT_RE.search(t) else 0.0)
-            - (5.0 if AUTHOR_PENALTY_RE.search(t) else 0.0)
+            - (5.0 if penalized else 0.0)
             - (5.0 if len(t) > 300 else 0.0)
         )
         if score < 2.0:
