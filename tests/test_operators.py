@@ -492,3 +492,33 @@ class TestAsofJoin:
             "ts", "user_id", "event_id")
         plan = formatted_plan(asof_join(left, right))
         assert count_exchanges(plan) <= 1, plan
+
+
+class TestSaltedAgg:
+    def test_salted_concat_equals_direct(self, spark):
+        """Skewed input (one key holds 90% of rows): the salted two-phase
+        ordered concat must equal the direct single-phase form exactly."""
+        from pdf_extraction_tests_spark.operators.skew import (
+            salted_ordered_concat,
+        )
+
+        rows = [{"k": "hot", "o": i, "v": f"w{i}"} for i in range(900)]
+        rows += [{"k": f"cold{j}", "o": i, "v": f"c{j}_{i}"}
+                 for j in range(10) for i in range(10)]
+        df = spark.createDataFrame(pd.DataFrame(rows)).repartition(8)
+        got = {r.k: r.concat
+               for r in salted_ordered_concat(df, "k", "o", "v", salt=16).collect()}
+        want = {
+            r.k: r.concat
+            for r in df.groupBy("k").agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct(
+                            F.col("o").alias("o"), F.col("v").alias("v")))),
+                        lambda s: s["v"]),
+                    " ").alias("concat")
+            ).collect()
+        }
+        assert got == want
+        assert got["hot"].startswith("w0 w1 w2")
+        assert len(got) == 11

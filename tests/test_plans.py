@@ -149,3 +149,35 @@ def test_ivf_partitioned_probe_is_partition_pruned(spark, tmp_path):
         for r in S.ivf_topk(emb, qvec, k=5, n_lists=8, n_probe=2, seed=7).collect()
     }
     assert {(r.vec_id, r.cosine) for r in got.collect()} == probe
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Two tables bucketed+sorted on the join key must sort-merge join with
+    ZERO exchanges and zero sorts — the pay-once co-location layout for
+    fact-fact joins at scale."""
+    from pdf_extraction_tests_spark.tables import write_bucketed
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS bdemo "
+              f"LOCATION '{tmp_path / 'bdemo'}'")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF}/lineitem.parquet")
+    write_bucketed(orders.withColumnRenamed("o_orderkey", "k"),
+                   "bdemo.orders_b", "k", buckets=4)
+    write_bucketed(lineitem.withColumnRenamed("l_orderkey", "k"),
+                   "bdemo.lineitem_b", "k", buckets=4)
+    a = spark.table("bdemo.orders_b").select("k", "o_totalprice")
+    b = spark.table("bdemo.lineitem_b").select("k", "l_quantity")
+    # merge hint: at the modeled scale BOTH sides are facts (nothing
+    # broadcasts); without it the planner broadcasts the tiny test table
+    # and disables bucketing entirely
+    joined = a.hint("merge").join(b, "k")
+    plan = formatted_plan(joined)
+    assert "SortMergeJoin" in plan, plan
+    assert count_exchanges(plan) == 0, plan          # co-located: no shuffle
+    assert "Bucketed: true" in plan, plan
+    # row-count sanity vs the unbucketed join
+    n_plain = (orders.join(lineitem,
+                           orders.o_orderkey == lineitem.l_orderkey).count())
+    assert joined.count() == n_plain
+    spark.sql("DROP TABLE bdemo.orders_b")
+    spark.sql("DROP TABLE bdemo.lineitem_b")
