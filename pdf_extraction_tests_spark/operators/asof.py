@@ -34,7 +34,18 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     order — deterministic because the window orders by (time, tag) and
     ``last`` takes the frame's final non-null.
     """
+    reserved = {"_by", "_on", "_tag", "_l", "_r", "_m"}
+    clash = reserved & set(left.columns) | reserved & set(right.columns)
+    if clash:
+        raise ValueError(f"asof_join reserves column names {sorted(clash)}")
     rcols = [c for c in right.columns if c not in (on, by)]
+    out_names = {f"{on}{suffix}", *(f"{c}{suffix}" for c in rcols)}
+    dup = out_names & set(left.columns)
+    if dup:  # else the output silently carries duplicate column names
+        raise ValueError(
+            f"asof_join output names {sorted(dup)} collide with left "
+            f"columns — pass a different suffix"
+        )
     r_struct = F.struct(F.col(on).alias(on),
                         *[F.col(c).alias(c) for c in rcols]).alias("_r")
     r_type = right.select(r_struct).schema["_r"].dataType

@@ -30,8 +30,13 @@ def salted_ordered_concat(df: DataFrame, key: str, order_col: str,
     grouped by key alone — the A1 ordered-concat semantics — while the
     biggest single aggregation state is ~hottest_key/salt rows.
     """
+    # salt on (order, val): hashing the order column alone collapses every
+    # row sharing an order value into ONE bucket — a hot key with few
+    # distinct order values would defeat the bound.  Correctness is salt-
+    # independent (phase 2 re-sorts globally per key).
     salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col(order_col)), F.lit(salt))
+        "_salt",
+        F.pmod(F.xxhash64(F.col(order_col), F.col(val_col)), F.lit(salt)),
     )
     partial = salted.groupBy(key, "_salt").agg(
         F.collect_list(F.struct(F.col(order_col).alias("o"),

@@ -54,16 +54,28 @@ def parse_pdf_bytes(content: bytes,
     from .pdf_min import UnsupportedPdfError, extract_pdf_text
     from .scanned import extract_scanned_pdf
 
+    def scanned(b: bytes) -> list[dict]:
+        # document-level fault isolation for the INJECTED stack too: a
+        # rasterizer/model crash on one corrupt PDF must surface as that
+        # document's parse failure, never kill the whole Arrow batch
+        # (the caller only catches NotImplementedError)
+        try:
+            return extract_scanned_pdf(b, *scanned_stack)
+        except NotImplementedError:
+            raise
+        except Exception as e:  # noqa: BLE001
+            raise NotImplementedError(f"scanned stack failed: {e}") from e
+
     try:
         blocks = extract_pdf_text(bytes(content))
         if scanned_stack is not None and not any(
             b["kind"] == "text_block" for b in blocks
         ):
             # decodes but carries no text: an image-only (scanned) PDF
-            blocks = extract_scanned_pdf(bytes(content), *scanned_stack)
+            blocks = scanned(bytes(content))
     except UnsupportedPdfError as e:
         if scanned_stack is not None:
-            blocks = extract_scanned_pdf(bytes(content), *scanned_stack)
+            blocks = scanned(bytes(content))
         else:
             raise NotImplementedError(
                 f"PDF outside the minimal text profile ({e}); the raster/OCR "

@@ -96,8 +96,11 @@ def _decode_hex(tok: bytes) -> str:
 
 
 _STREAM_KW_RE = re.compile(rb"stream\r?\n")
-# a LITERAL /Length only (indirect '/Length 5 0 R' must not match)
-_LENGTH_LIT_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+# a LITERAL /Length only (indirect '/Length 5 0 R' must not match).
+# (?!\d) pins the group to the WHOLE number: without it the engine
+# backtracks '/Length 12 0 R' to group '1' with lookahead satisfied,
+# and the truncated 'length' defeats the phantom-header guard
+_LENGTH_LIT_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
 
 
 def _objects(data: bytes) -> dict[int, bytes]:
@@ -281,6 +284,7 @@ def _extract_page_blocks(content: bytes, height: float, page: int) -> list[dict]
     cur_size = 12.0
     started = False
     stack: list[bytes] = []
+    n_nonstr = 0  # non-string tokens on the stack (compaction trigger)
 
     def flush() -> None:
         nonlocal cur_text, started
@@ -314,6 +318,7 @@ def _extract_page_blocks(content: bytes, height: float, page: int) -> list[dict]
         elif c0 in b"[]" or c0 == b"/" or c0.isdigit() or c0 in b"-+." or (
             len(t) > 1 and t[:1] in b"-+" ):
             stack.append(t)
+            n_nonstr += 1
         else:  # operator
             op = t
             if op == b"BT":
@@ -376,6 +381,7 @@ def _extract_page_blocks(content: bytes, height: float, page: int) -> list[dict]
                         "ref": f"pdf:xobj:{name}",
                     })
             stack = []
+            n_nonstr = 0
             continue
         # keep stack bounded between operators WITHOUT dropping text: real
         # justified-text PDFs emit TJ arrays with thousands of interleaved
@@ -383,7 +389,10 @@ def _extract_page_blocks(content: bytes, height: float, page: int) -> list[dict]
         # token (relative order preserved, which is all TJ consumes) and only
         # the last 8 non-string tokens (Tm needs at most 6 operands).
         # Truncating strings here was silent text loss (round-2 review).
-        if len(stack) > 512:
+        # The trigger counts NON-string tokens only: strings legitimately
+        # accumulate, and a length trigger would re-scan the whole (string-
+        # heavy) stack on every push once past the limit — O(n^2).
+        if n_nonstr > 512:
             # drop all but the last 8 NON-string tokens, in place — overall
             # order (and the identity of stack[-1]) is preserved
             keep_from = [i for i, s in enumerate(stack) if s[:1] not in b"(<"][-8:]
@@ -392,6 +401,7 @@ def _extract_page_blocks(content: bytes, height: float, page: int) -> list[dict]
                 s for i, s in enumerate(stack)
                 if s[:1] in b"(<" or i in keep
             ]
+            n_nonstr = len(keep_from)
     return blocks
 
 

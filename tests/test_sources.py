@@ -286,3 +286,60 @@ class TestScannedStack:
         assert out["imgonly.pdf"].parse_failures == 0
         assert [s.kind for s in out["imgonly.pdf"].spans] == ["media"]
         assert out["enc.pdf"].parse_failures == 1
+
+
+class TestReviewRegressions:
+    def test_indirect_length_does_not_defeat_phantom_guard(self):
+        """'/Length 12 0 R' must NOT match as a literal length 1 (regex
+        backtracking); the guard falls back to the endstream scan."""
+        from pdf_extraction_tests_spark.sources.pdf_min import _LENGTH_LIT_RE
+
+        assert _LENGTH_LIT_RE.search(b"<< /Length 12 0 R >>") is None
+        assert _LENGTH_LIT_RE.search(b"<< /Length 51 0 R >>") is None
+        m = _LENGTH_LIT_RE.search(b"<< /Length 123 >>")
+        assert m and m.group(1) == b"123"
+
+    def test_huge_tj_string_stack_linear(self):
+        """>512 string operands in one TJ: all text kept, and the parse
+        stays fast (the old length-triggered compaction rescanned the
+        whole stack per token — O(n^2))."""
+        import time
+
+        from pdf_extraction_tests_spark.sources.pdf_min import (
+            _extract_page_blocks,
+        )
+
+        n = 8000
+        tj = b"BT /F1 12 Tf 1 0 0 1 10 700 Tm [" + b" ".join(
+            b"(w%d)" % i for i in range(n)) + b"] TJ ET"
+        t0 = time.time()
+        blocks = _extract_page_blocks(tj, 792.0, 1)
+        took = time.time() - t0
+        assert len(blocks) == 1
+        text = blocks[0]["text"]
+        assert text.startswith("w0w1") and text.endswith(f"w{n - 1}")
+        assert took < 2.0, f"TJ parse took {took:.1f}s — quadratic again?"
+
+    def test_injected_stack_crash_is_parse_failure_not_task_death(
+            self, spark, tmp_path):
+        from pdf_extraction_tests_spark.pipeline import extract_docs
+
+        def exploding_rasterize(data):
+            raise OSError("poppler exploded on this file")
+
+        d = tmp_path / "crashdocs"
+        d.mkdir()
+        (d / "scan.pdf").write_bytes(write_minimal_pdf([[("image", "Im0")]]))
+        from pdf_extraction_tests_spark.sources.binary_docs import (
+            SPDF_MAGIC,
+        )
+
+        (d / "ok.spdf").write_bytes(
+            SPDF_MAGIC + b"1,10,10,100,40,plain text|survives the neighbor")
+        docs = read_binary_docs(
+            spark, str(d),
+            scanned_stack=(exploding_rasterize, _fake_layout, _fake_ocr))
+        out = {r.doc_id.split("/")[-1]: r
+               for r in extract_docs(docs, num_parts=2).collect()}
+        assert out["scan.pdf"].parse_failures == 1     # isolated
+        assert out["ok.spdf"].parse_failures == 0      # neighbor unharmed
