@@ -101,6 +101,40 @@ def _debug_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return debug_boundaries(corpus_spark(spark, sf_dir))
 
 
+def _asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal enrichment via the as-of join operator: each purchase event
+    gets the user's most recent signup at or before it (operators/asof.py —
+    union + partitioned window, one by-key shuffle).  Exact oracle: DuckDB's
+    native ASOF LEFT JOIN."""
+    from pdf_extraction_tests_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id")
+    right = ev.filter(F.col("event_type") == "signup").select(
+        "ts", "user_id", F.col("event_id").alias("signup_event_id"),
+        F.col("value").alias("signup_value"))
+    out = asof_join(left, right)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.coalesce("signup_event_id_asof", F.lit(-1)).alias("signup_event_id"),
+        F.coalesce(F.round("signup_value_asof", 6), F.lit(0.0))
+        .alias("signup_value"),
+    )
+
+
+_ASOF_ORACLE = """
+    SELECT l.event_id,
+           l.user_id,
+           coalesce(r.event_id, -1) AS signup_event_id,
+           coalesce(round(r.value, 6), 0.0) AS signup_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # insertion order matters downstream: the driver records queries in dict
     # order, so the highest-value rows-only relations (q92 differential, q91
@@ -111,8 +145,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q91_extract_spans"] = _extract_spans
     out["q90_extract_sections"] = _extract_sections
     out["q93_debug_boundaries"] = _debug_boundaries
+    out["q94_asof_enrich"] = _asof_enrich
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(Q.oracle_sql())
+    out = dict(Q.oracle_sql())
+    out["q94_asof_enrich"] = _ASOF_ORACLE.strip()
+    return out
