@@ -165,3 +165,56 @@ def test_pdf_writer_decoder_roundtrip(pages, compress):
     # each written item must appear; consecutive same-position shows may
     # merge, so compare as multisets of (page, x, y) prefixes
     assert sorted(got) == sorted(want)
+
+
+_row_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FFF),
+    min_size=0, max_size=400,
+)
+
+
+@st.composite
+def scorer_rows(draw):
+    n = draw(st.integers(1, 12))
+    rows = []
+    for i in range(n):
+        rows.append({
+            "page": draw(st.integers(1, 3)),
+            "x": 100, "w": 1000, "h": 50,
+            "y": draw(st.integers(0, 3000)),
+            "text": draw(_row_text),
+            "element_type": draw(st.sampled_from(
+                ["title", "plain text", "abandon", "media"])),
+            "row_id": i, "offset": i, "parse_failure": 0,
+            "media_ref": None,
+        })
+    return rows
+
+
+@settings(max_examples=60, deadline=None)
+@given(scorer_rows())
+def test_title_scorer_total_and_sound(rows):
+    """Never crashes on arbitrary text; any pick is a page-1 non-media row's
+    own text, row_id valid; verbatim gates hold (>30 chars for YOLO titles)."""
+    title, rid = ec.extract_title(rows)
+    if rid == -1:
+        assert title == ""
+        return
+    r = rows[rid]
+    assert r["page"] == 1 and r["element_type"] in ("plain text", "title")
+    assert title == r["text"]
+    assert len(title) > 30 or (r["y"] < 600)
+
+
+@settings(max_examples=60, deadline=None)
+@given(scorer_rows())
+def test_abstract_scorer_total_and_sound(rows):
+    """Never crashes; any pick comes from a page-1 non-media row, with the
+    reference header strip applied; fallback rows are > 50 chars."""
+    text, rid = ec.extract_abstract(rows, -1)
+    if rid == -1:
+        assert text == ""
+        return
+    r = rows[rid]
+    assert r["page"] == 1 and r["element_type"] != "media"
+    assert text == ec.ABSTRACT_STRIP_RE.sub("", r["text"], count=1).strip()
