@@ -29,10 +29,15 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     Column, e.g. ``F.expr("INTERVAL 1 HOUR")``) voids matches older than
     ``left.on - tolerance``.
 
+    NULL semantics match DuckDB's ASOF JOIN: right rows with a NULL key or
+    NULL time never match anything (filtered before the union); left rows
+    with a NULL key or time are emitted unenriched.
+
     Ties: right rows at the exact left timestamp DO match (inclusive); two
-    right rows at the same timestamp resolve to the later one in input
-    order — deterministic because the window orders by (time, tag) and
-    ``last`` takes the frame's final non-null.
+    right rows at the same timestamp resolve deterministically to the
+    greatest right payload (the window orders by (time, tag, payload
+    struct) — field-wise comparison, so right columns must be orderable
+    types; maps are not).
     """
     reserved = {"_by", "_on", "_tag", "_l", "_r", "_m"}
     clash = reserved & set(left.columns) | reserved & set(right.columns)
@@ -56,12 +61,23 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
         F.col(by).alias("_by"), F.col(on).alias("_on"),
         F.lit(1).alias("_tag"), l_struct, F.lit(None).cast(r_type).alias("_r"),
     )
-    ru = right.select(
-        F.col(by).alias("_by"), F.col(on).alias("_on"),
-        F.lit(0).alias("_tag"), F.lit(None).cast(l_type).alias("_l"), r_struct,
+    ru = (
+        right
+        # NULL key/time rows can never be an as-of match (DuckDB: the ON
+        # comparison is NULL) — without this they'd sort nulls-first into
+        # every frame of their partition
+        .filter(F.col(by).isNotNull() & F.col(on).isNotNull())
+        .select(
+            F.col(by).alias("_by"), F.col(on).alias("_on"),
+            F.lit(0).alias("_tag"), F.lit(None).cast(l_type).alias("_l"),
+            r_struct,
+        )
     )
     w = (
-        W.partitionBy("_by").orderBy(F.asc("_on"), F.asc("_tag"))
+        # _r in the ordering: a deterministic tiebreak between right rows
+        # sharing a timestamp (otherwise `last` picks by partition layout)
+        W.partitionBy("_by").orderBy(F.asc("_on"), F.asc("_tag"),
+                                     F.asc_nulls_first("_r"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     matched = (

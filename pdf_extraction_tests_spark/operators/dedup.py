@@ -122,6 +122,18 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 8, shingle_n: int = 3,
     return pairs.groupBy("doc_id").agg(*aggs)
 
 
+def shingles_sql(shingle_n: int = 3, table: str = "documents") -> str:
+    """The DuckDB twin of :func:`with_shingles` — ONE definition shared by
+    every oracle that shingles (minhash, q42/q43, the count-min sketch), so
+    a semantics change cannot desynchronize them."""
+    return (
+        f"SELECT DISTINCT doc_id, array_to_string(arr[i:i+{shingle_n - 1}], ' ') AS shingle\n"
+        f"      FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM {table}\n"
+        f"            WHERE len(string_split(text, ' ')) >= {shingle_n}) t,\n"
+        f"           LATERAL (SELECT unnest(generate_series(1, len(arr) - {shingle_n - 1})) AS i) u"
+    )
+
+
 def minhash_sql(num_hashes: int = 8, shingle_n: int = 3,
                 table: str = "documents") -> str:
     """DuckDB oracle for :func:`minhash_signatures`."""
@@ -136,10 +148,7 @@ def minhash_sql(num_hashes: int = 8, shingle_n: int = 3,
     SELECT doc_id,
            {mins}
     FROM (
-      SELECT DISTINCT doc_id, array_to_string(arr[i:i+{shingle_n - 1}], ' ') AS shingle
-      FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM {table}
-            WHERE len(string_split(text, ' ')) >= {shingle_n}) t,
-           LATERAL (SELECT unnest(generate_series(1, len(arr) - {shingle_n - 1})) AS i) u
+      {shingles_sql(shingle_n, table)}
     ) s
     GROUP BY doc_id
     """

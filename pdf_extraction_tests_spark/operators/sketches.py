@@ -18,9 +18,11 @@ equality and the exact-vs-sketch agreement on the bench corpus.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import _h48_duck, h48, with_shingles
+from .dedup import _h48_duck, h48, shingles_sql, with_shingles
 
 # affine family over one base hash, same overflow-safe arithmetic as the
 # MinHash family (a_d < 2^14, h48 < 2^48 => a*h + b < 2^63); M = 2^61-1
@@ -52,10 +54,22 @@ def _dc_rows(df: DataFrame, depth: int, width: int) -> DataFrame:
     )
 
 
+class CmsSketch(NamedTuple):
+    """A sketch TABLE plus the (depth, width) that built it — bound
+    together so a probe can never run with mismatched hash parameters
+    (a depth/width mismatch silently breaks the one-sided est >= true
+    guarantee: unmatched cells coalesce to 0)."""
+
+    table: DataFrame
+    depth: int
+    width: int
+
+
 def cms_build(docs: DataFrame, shingle_n: int = 3, depth: int = DEFAULT_DEPTH,
               width: int = DEFAULT_WIDTH, text_col: str = "text",
-              id_col: str = "doc_id") -> DataFrame:
-    """Build the sketch table: (d, cell, cnt), at most depth*width rows.
+              id_col: str = "doc_id") -> CmsSketch:
+    """Build the sketch: table (d, cell, cnt) of at most depth*width rows,
+    returned WITH its parameters (:class:`CmsSketch`).
 
     Counts DOCUMENT frequency (distinct shingles per doc, the q42
     semantics).  The groupBy key space is fixed at depth*width, so Spark's
@@ -65,26 +79,27 @@ def cms_build(docs: DataFrame, shingle_n: int = 3, depth: int = DEFAULT_DEPTH,
     if depth > len(_CMS_A):
         raise ValueError(f"depth <= {len(_CMS_A)} supported")
     sh = with_shingles(docs, shingle_n, text_col, id_col)
-    return (
+    table = (
         _dc_rows(sh, depth, width)
         .groupBy("d", "cell")
         .agg(F.count("*").alias("cnt"))
     )
+    return CmsSketch(table, depth, width)
 
 
-def cms_estimate(cms: DataFrame, candidates: DataFrame,
-                 depth: int = DEFAULT_DEPTH,
-                 width: int = DEFAULT_WIDTH) -> DataFrame:
+def cms_estimate(sketch: CmsSketch, candidates: DataFrame) -> DataFrame:
     """Probe the sketch: candidates(shingle) -> (shingle, est).
 
     est = min over rows of the candidate's cell counters (0 when a cell
     was never touched).  The sketch table is <= depth*width rows, so it
     broadcasts; the probe never shuffles the candidate side beyond its own
-    tiny per-shingle aggregate.
+    tiny per-shingle aggregate.  Hash parameters come from the sketch
+    itself, so build and probe cannot disagree.
     """
-    probed = _dc_rows(candidates.select("shingle").distinct(), depth, width)
+    probed = _dc_rows(candidates.select("shingle").distinct(),
+                      sketch.depth, sketch.width)
     return (
-        probed.join(F.broadcast(cms), ["d", "cell"], "left")
+        probed.join(F.broadcast(sketch.table), ["d", "cell"], "left")
         .groupBy("shingle")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
@@ -102,10 +117,7 @@ def cms_build_sql(shingle_n: int = 3, depth: int = DEFAULT_DEPTH,
     )
     return f"""
     WITH sh AS (
-      SELECT DISTINCT doc_id, array_to_string(arr[i:i+{shingle_n - 1}], ' ') AS shingle
-      FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM {table}
-            WHERE len(string_split(text, ' ')) >= {shingle_n}) t,
-           LATERAL (SELECT unnest(generate_series(1, len(arr) - {shingle_n - 1})) AS i) u),
+      {shingles_sql(shingle_n, table)}),
     dc AS (
         {branches})
     SELECT d, cell, count(*) AS cnt FROM dc GROUP BY d, cell

@@ -662,10 +662,7 @@ def q23(spark, sf_dir):
     "q24_ngram_jaccard",
     f"""
     WITH sh AS (
-      SELECT DISTINCT doc_id, array_to_string(arr[i:i+{_SHINGLE_N - 1}], ' ') AS shingle
-      FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents
-            WHERE len(string_split(text, ' ')) >= {_SHINGLE_N}) t,
-           LATERAL (SELECT unnest(generate_series(1, len(arr) - {_SHINGLE_N - 1})) AS i) u),
+      {D.shingles_sql(_SHINGLE_N)}),
     sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
     rare AS (SELECT doc_id, shingle FROM sh
              WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle
@@ -1083,10 +1080,7 @@ def q38(spark, sf_dir):
     SELECT shingle, df FROM (
       SELECT shingle, count(*) AS df
       FROM (
-        SELECT DISTINCT doc_id, array_to_string(arr[i:i+{_SHINGLE_N - 1}], ' ') AS shingle
-        FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents
-              WHERE len(string_split(text, ' ')) >= {_SHINGLE_N}) t,
-             LATERAL (SELECT unnest(generate_series(1, len(arr) - {_SHINGLE_N - 1})) AS i) u
+        {D.shingles_sql(_SHINGLE_N)}
       ) s GROUP BY shingle) d
     ORDER BY df DESC, shingle LIMIT 20
     """,
@@ -1111,10 +1105,7 @@ def q42(spark, sf_dir):
     "q43_contamination_screen",
     f"""
     WITH sh AS (
-      SELECT DISTINCT doc_id, array_to_string(arr[i:i+{_SHINGLE_N - 1}], ' ') AS shingle
-      FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents
-            WHERE len(string_split(text, ' ')) >= {_SHINGLE_N}) t,
-           LATERAL (SELECT unnest(generate_series(1, len(arr) - {_SHINGLE_N - 1})) AS i) u),
+      {D.shingles_sql(_SHINGLE_N)}),
     bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10)
     SELECT s.doc_id, count(DISTINCT s.shingle) AS n_hits
     FROM sh s JOIN bench b ON s.shingle = b.shingle

@@ -86,6 +86,12 @@ def parse_pdf_bytes(content: bytes,
         if b["kind"] == "media":
             spans.append({"kind": "media", "text": "", "media_ref": b["ref"],
                           "offset": i})
+        elif b["kind"] == "page_failure":
+            # scanned-stack per-page failure: an unparseable payload so the
+            # kernel counts it as exactly one parse failure for this doc
+            spans.append({"kind": "region",
+                          "text": f"SCANNED_PAGE_FAILURE:p{b['page']}",
+                          "media_ref": None, "offset": i})
         else:
             payload = (f'{b["page"]},{b["x"]},{b["y"]},{b["w"]},{b["h"]},'
                        f'{b["etype"]}|{b["text"]}')

@@ -180,8 +180,13 @@ def _expand_objstm(objs: dict[int, bytes]) -> dict[int, bytes]:
             offs = [int(header[2 * i + 1]) for i in range(n)]
         except ValueError as e:
             raise UnsupportedPdfError(f"/ObjStm header not numeric: {e}") from e
+        # the spec does not require ascending offsets: bound each member by
+        # the SMALLEST offset greater than its own, not by list position
+        sorted_offs = sorted(offs)
         for i in range(n):
-            end = first + offs[i + 1] if i + 1 < n else len(data)
+            pos = sorted_offs.index(offs[i])
+            end = (first + sorted_offs[pos + 1]
+                   if pos + 1 < n else len(data))
             extra[nums[i]] = data[first + offs[i]:end]
     for num, b in extra.items():
         objs.setdefault(num, b)

@@ -54,15 +54,15 @@ def extract_scanned_pdf(
     """PDF bytes -> block dicts (same shape as pdf_min.extract_pdf_text).
 
     Per-page fault isolation mirrors the reference's per-page tryCatch
-    (v10.R:37): a page whose layout/OCR stage throws is skipped and the
-    remaining pages still extract; if EVERY page fails the document-level
-    error propagates (the caller records one parse failure).
+    (v10.R:37): a page whose layout/OCR stage throws yields a
+    ``{"kind": "page_failure", "page": n}`` marker block (the caller maps
+    it to a parse-failure span) and the remaining pages still extract —
+    a partially-readable document is never reported as clean.
     """
     pages = rasterize(bytes(data))
     if not pages:
         raise NotImplementedError("rasterizer produced no pages")
     blocks: list[dict] = []
-    failures: list[Exception] = []
     for pageno, img in enumerate(pages, 1):
         try:
             boxes: Sequence[tuple] = layout_model(img)
@@ -90,10 +90,6 @@ def extract_scanned_pdf(
                     "text": text,
                 })
             blocks.extend(page_blocks)
-        except Exception as e:  # noqa: BLE001 — per-page isolation
-            failures.append(e)
-    if failures and not blocks:
-        raise NotImplementedError(
-            f"every page failed the scanned stack: {failures[0]}"
-        ) from failures[0]
+        except Exception:  # noqa: BLE001 — per-page isolation
+            blocks.append({"kind": "page_failure", "page": pageno})
     return blocks

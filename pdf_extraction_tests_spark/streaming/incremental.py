@@ -65,8 +65,11 @@ def stream_dedup(
     ts_col: str = "ingest_ts",
 ):
     """Streaming exact dedup of a growing document feed: the streaming face
-    of ``operators.dedup.exact_dedup`` — only the FIRST arrival of each
-    content digest is emitted.
+    of ``operators.dedup.exact_dedup`` — exactly ONE row per content digest
+    is emitted.  (Across micro-batches that is the first-arriving batch's
+    row; WITHIN a micro-batch dropDuplicatesWithinWatermark keeps an
+    arbitrary representative, so which duplicate survives is not an
+    ordering guarantee — only the digest set is.)
 
     ``dropDuplicatesWithinWatermark`` on md5(text) with an event-time
     watermark bounds the dedup state (digests older than the watermark are

@@ -259,7 +259,7 @@ class TestCountMinSketch:
         d = docs.filter(F.col("doc_id") < 120)
         got = {
             (r.d, r.cell): r.cnt
-            for r in SK.cms_build(d, depth=4, width=512).collect()
+            for r in SK.cms_build(d, depth=4, width=512).table.collect()
         }
         con = duckdb.connect()
         con.execute(
@@ -294,7 +294,7 @@ class TestCountMinSketch:
             pd.DataFrame({"shingle": list(exact)}))
         est = {
             r.shingle: r.est
-            for r in SK.cms_estimate(cms, cand, width=width).collect()
+            for r in SK.cms_estimate(cms, cand).collect()
         }
         assert set(est) == set(exact)
         bound = (3 * total) / width  # e*N/width, rounded up generously
@@ -308,7 +308,7 @@ class TestCountMinSketch:
         from pdf_extraction_tests_spark.operators import sketches as SK
 
         cms = SK.cms_build(docs, depth=3, width=256)
-        assert cms.count() <= 3 * 256
+        assert cms.table.count() <= 3 * 256
 
 
 class TestRealImageDecode:
@@ -492,6 +492,43 @@ class TestAsofJoin:
             "ts", "user_id", "event_id")
         plan = formatted_plan(asof_join(left, right))
         assert count_exchanges(plan) <= 1, plan
+
+
+
+    def test_null_keys_and_times_never_match(self, spark):
+        """DuckDB ASOF semantics: NULL key/time on either side never
+        matches; left rows survive unenriched."""
+        import datetime
+
+        from pdf_extraction_tests_spark.operators.asof import asof_join
+
+        t = datetime.datetime(2024, 1, 1)
+        left = spark.createDataFrame(
+            [(1, t, 5), (2, None, 5), (3, t, None)],
+            "event_id long, ts timestamp, user_id long")
+        right = spark.createDataFrame(
+            [(None, 5, 100), (t, None, 101)],
+            "ts timestamp, user_id long, sig long")
+        got = {r.event_id: r.sig_asof for r in asof_join(left, right).collect()}
+        assert got == {1: None, 2: None, 3: None}
+
+    def test_duplicate_right_ts_resolves_deterministically(self, spark):
+        import datetime
+
+        from pdf_extraction_tests_spark.operators.asof import asof_join
+
+        t0 = datetime.datetime(2024, 1, 1)
+        t1 = datetime.datetime(2024, 1, 2)
+        left = spark.createDataFrame([(1, t1, 5)],
+                                     "event_id long, ts timestamp, user_id long")
+        right = spark.createDataFrame(
+            [(t0, 5, 100), (t0, 5, 300), (t0, 5, 200)],
+            "ts timestamp, user_id long, sig long")
+        outs = set()
+        for _ in range(3):
+            outs.add(asof_join(left.repartition(3), right.repartition(3))
+                     .collect()[0].sig_asof)
+        assert outs == {300}  # greatest payload, every run
 
 
 class TestSaltedAgg:

@@ -241,7 +241,10 @@ class TestScannedStack:
 
         blocks = extract_scanned_pdf(
             b"%PDF-fake", _fake_rasterize, flaky_layout, _fake_ocr)
-        assert {b["page"] for b in blocks} == {2}   # page 1 skipped, 2 kept
+        # page 1 yields a failure MARKER (not silence), page 2 extracts
+        assert [b["page"] for b in blocks if b["kind"] == "page_failure"] == [1]
+        content = [b for b in blocks if b["kind"] != "page_failure"]
+        assert {b["page"] for b in content} == {2}
 
     def test_default_stack_raises_not_implemented(self):
         from pdf_extraction_tests_spark.sources.scanned import (
@@ -343,3 +346,44 @@ class TestReviewRegressions:
                for r in extract_docs(docs, num_parts=2).collect()}
         assert out["scan.pdf"].parse_failures == 1     # isolated
         assert out["ok.spdf"].parse_failures == 0      # neighbor unharmed
+
+    def test_partial_page_failure_counted_not_silent(self, spark, tmp_path):
+        """A doc whose page 1 crashes but page 2 extracts must surface
+        parse_failures == 1 WITH the surviving content (not report clean)."""
+        from pdf_extraction_tests_spark.pipeline import extract_docs
+
+        state = {"n": 0}
+
+        def flaky_layout(img):
+            state["n"] += 1
+            if state["n"] % 2 == 1:
+                raise RuntimeError("model crash on odd pages")
+            return _fake_layout(img)
+
+        d = tmp_path / "partial"
+        d.mkdir()
+        (d / "scan.pdf").write_bytes(write_minimal_pdf([[("image", "Im0")]]))
+        docs = read_binary_docs(
+            spark, str(d),
+            scanned_stack=(_fake_rasterize, flaky_layout, _fake_ocr))
+        row = extract_docs(docs, num_parts=1).collect()[0]
+        assert row.parse_failures == 1       # the failed page is visible
+        assert len(row.spans) > 0            # the surviving page extracted
+
+    def test_objstm_out_of_order_offsets(self):
+        """Spec-valid ObjStm headers may list members out of offset order;
+        each body must still be bounded by the NEXT offset, not list
+        position (the old slicing yielded empty bodies)."""
+        import zlib
+
+        from pdf_extraction_tests_spark.sources.pdf_min import _expand_objstm
+
+        header = b"10 11 11 0\n"          # obj 10 @ off 11, obj 11 @ off 0
+        payload = b"<< /B 2 >>\n<< /A 1 >>\n"
+        z = zlib.compress(header + payload)
+        objstm = (b"<< /Type /ObjStm /N 2 /First %d /Length %d "
+                  b"/Filter /FlateDecode >>\nstream\n" % (len(header), len(z))
+                  + z + b"\nendstream")
+        out = _expand_objstm({5: objstm})
+        assert out[11].rstrip() == b"<< /B 2 >>"
+        assert out[10].rstrip() == b"<< /A 1 >>"
