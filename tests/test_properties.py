@@ -142,10 +142,12 @@ _pdf_text = st.text(
         min_size=1, max_size=3,
     ),
     st.booleans(),
+    st.booleans(),
 )
-def test_pdf_writer_decoder_roundtrip(pages, compress):
+def test_pdf_writer_decoder_roundtrip(pages, compress, objstm):
     """Any text placed by the writer comes back from the decoder with its
-    page/x/y/size intact (strings with parens/backslashes included)."""
+    page/x/y/size intact (strings with parens/backslashes included) — in
+    both the flat 1.4 layout and the ObjStm-packed 1.5 layout."""
     from pdf_extraction_tests_spark.sources.pdf_min import (
         extract_pdf_text,
         write_minimal_pdf,
@@ -153,7 +155,7 @@ def test_pdf_writer_decoder_roundtrip(pages, compress):
 
     spec = [[("text", x, y, size, text) for x, y, size, text in pg]
             for pg in pages]
-    data = write_minimal_pdf(spec, compress=compress)
+    data = write_minimal_pdf(spec, compress=compress, objstm=objstm)
     blocks = [b for b in extract_pdf_text(data) if b["kind"] == "text_block"]
     want = []
     for pno, pg in enumerate(pages, 1):
