@@ -181,3 +181,46 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
     assert joined.count() == n_plain
     spark.sql("DROP TABLE bdemo.orders_b")
     spark.sql("DROP TABLE bdemo.lineitem_b")
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Runtime skew evidence: a 99%-hot join key must come out of AQE as a
+    SPLIT sort-merge join (skew=true), not one straggler task — the
+    config-only skew path the pipeline relies on at 100 TB (salting covers
+    the aggregation side, AQE covers joins)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16k",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        hot = spark.range(0, 60000).select(
+            F.lit(0).alias("k"), F.col("id").alias("v"))
+        cold = spark.range(1, 101).select(
+            F.col("id").alias("k"), F.col("id").alias("v"))
+        # incompressible pad: shuffle sizes are COMPRESSED bytes, and a
+        # constant pad lz4s below the skew threshold
+        left = hot.unionByName(cold).withColumn(
+            "pad", F.expr("concat(md5(cast(v as string)), "
+                          "md5(cast(v+1 as string)))"))
+        right = spark.range(0, 101).select(
+            F.col("id").alias("k"), F.col("id").alias("rv"))
+        j = left.join(right, "k").select(F.length("pad").alias("n"))
+        assert j.count() == 60100
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
