@@ -256,7 +256,12 @@ def _page_streams(data: bytes) -> list[tuple[bytes, float]]:
     out: list[tuple[bytes, float]] = []
     for _, head in pages:
         mb = _MEDIABOX_RE.search(head) or _MEDIABOX_RE.search(data)
-        height = float(mb.group(4)) if mb else 792.0
+        height = 792.0
+        if mb:
+            try:
+                height = float(mb.group(4))
+            except ValueError:  # hostile bytes: '7-2' matches [\d.+-]+
+                pass
         content_nums: list[int] = []
         arr = _CONTENTS_ARR_RE.search(head)
         if arr:
@@ -273,6 +278,16 @@ def _page_streams(data: bytes) -> list[tuple[bytes, float]]:
                     parts.append(s)
         out.append((b"\n".join(parts), height))
     return out
+
+
+_NUM_RE = re.compile(rb"[-+]?\d*\.?\d+$")
+
+
+def _num(tok: bytes) -> float | None:
+    """Operand -> float, or None when the token is not numeric (hostile
+    streams put names/brackets where numbers belong — a malformed operand
+    skips its operator instead of raising out of the decoder)."""
+    return float(tok) if _NUM_RE.fullmatch(tok) else None
 
 
 def _extract_page_blocks(content: bytes, height: float, page: int) -> list[dict]:
@@ -333,11 +348,15 @@ def _extract_page_blocks(content: bytes, height: float, page: int) -> list[dict]
                 flush()
                 in_text = False
             elif op == b"Tf":
-                if stack and re.fullmatch(rb"[-+]?\d*\.?\d+", stack[-1]):
-                    font_size = float(stack[-1])
+                if stack and (sz := _num(stack[-1])) is not None:
+                    font_size = sz
             elif op in (b"Td", b"TD"):
                 if len(stack) >= 2:
-                    dx, dy = float(stack[-2]), float(stack[-1])
+                    dx, dy = _num(stack[-2]), _num(stack[-1])
+                    if dx is None or dy is None:
+                        stack = []
+                        n_nonstr = 0
+                        continue
                     line_x += dx
                     line_y += dy
                     tx, ty = line_x, line_y
@@ -348,13 +367,18 @@ def _extract_page_blocks(content: bytes, height: float, page: int) -> list[dict]
                         flush()
             elif op == b"Tm":
                 if len(stack) >= 6:
-                    line_x, line_y = float(stack[-2]), float(stack[-1])
+                    mx, my = _num(stack[-2]), _num(stack[-1])
+                    if mx is None or my is None:
+                        stack = []
+                        n_nonstr = 0
+                        continue
+                    line_x, line_y = mx, my
                     tx, ty = line_x, line_y
                     if started:
                         flush()
             elif op == b"TL":
-                if stack:
-                    leading = float(stack[-1])
+                if stack and (ld := _num(stack[-1])) is not None:
+                    leading = ld
             elif op == b"T*":
                 line_y -= leading if leading else font_size * 1.2
                 tx, ty = line_x, line_y

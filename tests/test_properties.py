@@ -220,3 +220,37 @@ def test_abstract_scorer_total_and_sound(rows):
     r = rows[rid]
     assert r["page"] == 1 and r["element_type"] != "media"
     assert text == ec.ABSTRACT_STRIP_RE.sub("", r["text"], count=1).strip()
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.integers(0, 2**31 - 1),
+    st.integers(1, 16),
+    st.booleans(),
+    st.booleans(),
+)
+def test_pdf_decoder_total_under_mutation(seed, n_mut, compress, objstm):
+    """Web-scale junk contract: ANY byte mutation of a valid PDF either
+    decodes or raises UnsupportedPdfError — never ValueError/IndexError/
+    zlib.error out of the decoder (those would kill a whole Arrow batch)."""
+    import random
+
+    from pdf_extraction_tests_spark.sources.pdf_min import (
+        UnsupportedPdfError,
+        extract_pdf_text,
+        write_minimal_pdf,
+    )
+
+    base = write_minimal_pdf(
+        [[("text", 10, 10, 12, "hello fuzz world")], [("image", "Im0")]],
+        compress=compress, objstm=objstm,
+    )
+    rng = random.Random(seed)
+    data = bytearray(base)
+    for _ in range(n_mut):
+        data[rng.randrange(len(data))] = rng.randrange(256)
+    try:
+        blocks = extract_pdf_text(bytes(data))
+        assert isinstance(blocks, list)
+    except UnsupportedPdfError:
+        pass
