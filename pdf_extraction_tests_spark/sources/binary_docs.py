@@ -103,7 +103,10 @@ def parse_pdf_bytes(content: bytes,
 def parse_spdf_bytes(content: bytes) -> list[dict]:
     """Parse the deterministic SPDF fixture container into spans."""
     spans: list[dict] = []
-    for i, raw in enumerate(content[len(SPDF_MAGIC):].decode("utf-8").splitlines()):
+    # errors='replace': a corrupt .spdf must yield parse-failure region
+    # rows downstream, never a UnicodeDecodeError out of the Arrow batch
+    body = content[len(SPDF_MAGIC):].decode("utf-8", "replace")
+    for i, raw in enumerate(body.splitlines()):
         if not raw:
             continue
         if raw.startswith("MEDIA:"):

@@ -254,3 +254,19 @@ def test_pdf_decoder_total_under_mutation(seed, n_mut, compress, objstm):
         assert isinstance(blocks, list)
     except UnsupportedPdfError:
         pass
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.binary(min_size=0, max_size=300),
+    st.sampled_from([b"", b"%PDF-", b"<", b"SPDF\n"]),
+)
+def test_bytes_to_spans_total(payload, prefix):
+    """The binary source must turn ANY bytes into spans (parse failures
+    included) — no exception class may escape into the Arrow batch."""
+    from pdf_extraction_tests_spark.sources.binary_docs import bytes_to_spans
+
+    spans = bytes_to_spans(prefix + payload)
+    assert isinstance(spans, list)
+    for sp in spans:
+        assert set(sp) == {"kind", "text", "media_ref", "offset"}
