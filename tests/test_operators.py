@@ -394,7 +394,10 @@ class TestCacheHygiene:
             D.ngram_jaccard_pairs(d, threshold=0.2).count()
             D.minhash_signatures(d).count()
             D.simhash(d).count()
-        assert self._n_persistent(spark) == base
+        # <=, not ==: earlier tests' localCheckpoint blocks may be context-
+        # cleaned WHILE this test runs (count can drop); the invariant is
+        # that these operators never ADD pinned RDDs
+        assert self._n_persistent(spark) <= base
 
     def test_iterative_components_release_after_gc(self, spark, docs):
         import gc
