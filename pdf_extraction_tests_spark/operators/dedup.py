@@ -612,3 +612,32 @@ def embedding_near_dups_bucketed_sql(threshold: float = 0.95, bits: int = 3,
       JOIN v vb ON vb.vec_id = cand.id_b) t
     WHERE cos >= {threshold}
     """
+
+
+def minhash_jaccard_estimate(signatures: DataFrame, pairs: DataFrame,
+                             num_hashes: int = 8) -> DataFrame:
+    """Estimate Jaccard similarity for candidate pairs FROM SIGNATURES ONLY
+    (est = fraction of agreeing MinHash components — the unbiased MinHash
+    estimator).  At scale this replaces the exact shingle re-join
+    (:func:`ngram_jaccard_pairs`) for triage: the join touches k integers
+    per doc instead of its shingle set, so verification cost is independent
+    of document length.  Bias/variance: Var = J(1-J)/k.
+    """
+    a = signatures.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)],
+    )
+    b = signatures.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)],
+    )
+    matches = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(num_hashes)
+    )
+    return (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(matches / F.lit(num_hashes), 6).alias("jaccard_est"),
+        )
+    )

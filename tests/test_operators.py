@@ -562,3 +562,36 @@ class TestSaltedAgg:
         assert got == want
         assert got["hot"].startswith("w0 w1 w2")
         assert len(got) == 11
+
+
+class TestMinhashJaccardEstimate:
+    def test_identical_docs_estimate_one(self, spark):
+        pdf = pd.DataFrame({"doc_id": [1, 2, 3],
+                            "text": ["alpha beta gamma delta epsilon"] * 2
+                                    + ["totally different words here now"]})
+        df = spark.createDataFrame(pdf)
+        sig = D.minhash_signatures(df, 8, 3)
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"doc_a": [1, 1], "doc_b": [2, 3]}))
+        est = {(r.doc_a, r.doc_b): r.jaccard_est
+               for r in D.minhash_jaccard_estimate(sig, pairs, 8).collect()}
+        assert est[(1, 2)] == 1.0          # identical docs agree on every h
+        assert est[(1, 3)] < 1.0
+
+    def test_tracks_exact_jaccard_on_corpus(self, spark, docs):
+        """Mean absolute error vs the exact shingle Jaccard, on pairs chosen
+        INDEPENDENTLY of the signatures (all overlapping pairs) — selecting
+        pairs by LSH band agreement would upward-bias the estimator and is
+        exactly what this test must not do."""
+        d = docs.filter(F.col("doc_id") < 200)
+        exact = {(r.doc_a, r.doc_b): r.jaccard
+                 for r in D.ngram_jaccard_pairs(d, 3, threshold=0.0).collect()}
+        assert len(exact) >= 10
+        sig = D.minhash_signatures(d, 8, 3)
+        pairs = spark.createDataFrame(
+            pd.DataFrame([{"doc_a": a, "doc_b": b} for a, b in exact]))
+        est = {(r.doc_a, r.doc_b): r.jaccard_est
+               for r in D.minhash_jaccard_estimate(sig, pairs, 8).collect()}
+        assert set(est) == set(exact)
+        mae = sum(abs(exact[p] - est[p]) for p in exact) / len(exact)
+        assert mae <= 0.25, mae            # k=8 => sd ~0.17 at J=0.5
