@@ -282,6 +282,42 @@ def simhash_sql(bits: int = 16, table: str = "documents") -> str:
 # ---------------------------------------------------------------------------
 
 
+def _persistent_rdd_ids(sc) -> set:
+    """Driver-side snapshot of the session's persistent RDD ids."""
+    it = sc._jsc.getPersistentRDDs().keySet().iterator()
+    out = set()
+    while it.hasNext():
+        out.add(it.next())
+    return out
+
+
+def _unpersist_rdd_ids(sc, ids) -> None:
+    """Release persistent RDDs by id (non-blocking); ids already reclaimed
+    by the context cleaner are skipped."""
+    jmap = sc._jsc.getPersistentRDDs()
+    for rid in ids:
+        rdd = jmap.get(rid)
+        if rdd is not None:
+            rdd.unpersist(False)
+
+
+def release(df: DataFrame) -> None:
+    """Explicitly release the checkpoint blocks backing a
+    connected-components result.
+
+    Needed because GC cannot do it: a ``localCheckpoint`` over a
+    shuffle-bearing plan is never reclaimed by the context cleaner in this
+    Spark build (measured — a shuffle-free checkpoint reclaims in seconds,
+    a post-shuffle one survives 30+ GC cycles), so every CC result would
+    otherwise pin its label-map blocks for the session lifetime.  The frame
+    must not be used after release (its lineage was truncated by the
+    checkpoint).  No-op for frames that pin nothing."""
+    ids = getattr(df, "_pinned_rdd_ids", None)
+    if ids:
+        _unpersist_rdd_ids(df.sparkSession.sparkContext, ids)
+        df._pinned_rdd_ids = ()
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 20,
                          checkpoint_every: int = 3) -> DataFrame:
     """(doc_a, doc_b) near-dup pairs -> (doc_id, cluster_id) with
@@ -299,7 +335,17 @@ def connected_components(pairs: DataFrame, max_iter: int = 20,
     never grows 20 joins deep.  For web-scale graphs swap in the
     large-star/small-star algorithm; min-label is optimal for the tiny,
     dense components dedup produces.
+
+    Block hygiene: the only persistent RDD alive after this returns is the
+    final eager localCheckpoint backing the result — small (one row per
+    clustered doc) but pinned until the caller passes the frame to
+    :func:`release` (GC can NOT reclaim it; see release()).  Intermediate
+    checkpoint blocks are released synchronously via a driver-side id
+    diff — which assumes no CONCURRENT persist activity in the session
+    while a call is in flight (true for this engine's batch entry points).
     """
+    sc = pairs.sparkSession.sparkContext
+    before_ids = _persistent_rdd_ids(sc)
     edges = (
         pairs.selectExpr("doc_a AS src", "doc_b AS dst")
         .unionByName(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
@@ -349,18 +395,24 @@ def connected_components(pairs: DataFrame, max_iter: int = 20,
             break
     edges.unpersist()
     if changed:
+        _unpersist_rdd_ids(sc, _persistent_rdd_ids(sc) - before_ids)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             f"({changed} labels still changing) — component diameter exceeds "
             "max_iter; raise max_iter or use a large-star/small-star pass"
         )
-    # hand the caller an eagerly-materialized copy and release the last
-    # round's explicit cache — otherwise every call pins one label frame for
-    # the session lifetime (localCheckpoint blocks are freed by the context
-    # cleaner when the returned frame is garbage collected)
+    # hand the caller an eagerly-materialized copy, then release EVERY
+    # persistent RDD this call created except the final checkpoint: the
+    # cached frames via unpersist() (also clears their CacheManager
+    # entries) and the intermediate localCheckpoint blocks by id
+    pre_final = _persistent_rdd_ids(sc)
     labels = labels.localCheckpoint(eager=True)
+    final_ids = _persistent_rdd_ids(sc) - pre_final
     if prev is not None and not prev_is_ckpt:
         prev.unpersist()
+    _unpersist_rdd_ids(
+        sc, (_persistent_rdd_ids(sc) - before_ids) - final_ids)
+    labels._pinned_rdd_ids = tuple(sorted(final_ids))
     return labels
 
 
@@ -407,7 +459,11 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 25,
     (doc_id, cluster_id=min id of the component); raises if the edge set is
     still changing after ``max_iter`` rounds.  Equivalence against the
     min-label implementation is pinned in tests/test_operators.py.
+    Block hygiene matches connected_components: only the final label-map
+    checkpoint survives the call.
     """
+    sc = pairs.sparkSession.sparkContext
+    before_ids = _persistent_rdd_ids(sc)
     # nodes is consumed exactly once (the final left join) — no cache
     nodes = (
         pairs.selectExpr("doc_a AS doc_id")
@@ -450,17 +506,25 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 25,
             converged = True
             break
     if not converged:
+        _unpersist_rdd_ids(sc, _persistent_rdd_ids(sc) - before_ids)
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iter} rounds"
         )
-    # materialize the (small) label map eagerly, then release the last
-    # round's pinned blocks — otherwise every call leaks one cached edge
-    # frame for the session lifetime
+    # materialize the (small) label map eagerly, then release every
+    # persistent RDD this call created except that final checkpoint —
+    # otherwise each call leaks its cached/checkpointed edge rounds until
+    # GC + context-cleaner get around to them
+    pre_final = _persistent_rdd_ids(sc)
     labels = (
         edges.groupBy("src").agg(F.min("dst").alias("cluster_id"))
         .localCheckpoint()  # eager
     )
+    final_ids = _persistent_rdd_ids(sc) - pre_final
     edges.unpersist()
+    _unpersist_rdd_ids(
+        sc, (_persistent_rdd_ids(sc) - before_ids) - final_ids)
+    # out is lazy over the labels checkpoint — the pin travels with it
+    # (see release())
     out = (
         nodes.join(labels, nodes.doc_id == labels.src, "left")
         .select(
@@ -468,6 +532,7 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 25,
             F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
         )
     )
+    out._pinned_rdd_ids = tuple(sorted(final_ids))
     return out
 
 

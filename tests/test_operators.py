@@ -116,8 +116,9 @@ class TestConnectedComponentsHardening:
             pd.DataFrame({"doc_a": [1, 2, 3, 4, 5, 6],
                           "doc_b": [2, 3, 4, 5, 6, 7]})
         )
-        rows = {r.doc_id: r.cluster_id
-                for r in D.connected_components(pairs, max_iter=20).collect()}
+        cc = D.connected_components(pairs, max_iter=20)
+        rows = {r.doc_id: r.cluster_id for r in cc.collect()}
+        D.release(cc)
         assert set(rows.values()) == {1}
 
     def test_star_equals_minlabel_on_lsh_pairs(self, spark, docs):
@@ -126,10 +127,13 @@ class TestConnectedComponentsHardening:
         O(log^2 n) rounds instead of diameter rounds)."""
         sig = D.minhash_signatures(docs, 6, 3)
         pairs = D.lsh_candidate_pairs(sig, 3, 2).cache()
-        a = {(r.doc_id, r.cluster_id)
-             for r in D.connected_components(pairs).collect()}
-        b = {(r.doc_id, r.cluster_id)
-             for r in D.connected_components_star(pairs).collect()}
+        cc_a = D.connected_components(pairs)
+        cc_b = D.connected_components_star(pairs)
+        a = {(r.doc_id, r.cluster_id) for r in cc_a.collect()}
+        b = {(r.doc_id, r.cluster_id) for r in cc_b.collect()}
+        D.release(cc_a)
+        D.release(cc_b)
+        pairs.unpersist()
         assert a == b and a
 
     def test_star_handles_long_chain_in_few_rounds(self, spark):
@@ -138,8 +142,9 @@ class TestConnectedComponentsHardening:
             pd.DataFrame({"doc_a": list(range(1, 31)),
                           "doc_b": list(range(2, 32))})
         )
-        rows = {r.doc_id: r.cluster_id
-                for r in D.connected_components_star(pairs, max_iter=10).collect()}
+        cc = D.connected_components_star(pairs, max_iter=10)
+        rows = {r.doc_id: r.cluster_id for r in cc.collect()}
+        D.release(cc)
         assert set(rows.values()) == {1}
         assert len(rows) == 31
 
@@ -399,31 +404,66 @@ class TestCacheHygiene:
         # that these operators never ADD pinned RDDs
         assert self._n_persistent(spark) <= base
 
-    def test_iterative_components_release_after_gc(self, spark, docs):
-        import gc
-        import time
+    def test_components_release_intermediates_synchronously(self, spark, docs):
+        """Each CC call must leave AT MOST its final result checkpoint
+        pinned — intermediates are released by the operator itself, not by
+        GC.  Measured on the ids THIS test creates (id-set diff), so
+        pre-existing blocks from other tests can neither mask nor fail it."""
+        from pdf_extraction_tests_spark.operators.dedup import (
+            _persistent_rdd_ids)
 
+        sc = spark.sparkContext
         pairs = D.lsh_candidate_pairs(
             D.minhash_signatures(docs.filter(F.col("doc_id") < 100)))
-        base = self._n_persistent(spark)
+        before = _persistent_rdd_ids(sc)
+        out = D.connected_components(pairs)
+        out.count()
+        assert len(_persistent_rdd_ids(sc) - before) <= 1, (
+            "connected_components left more than its result checkpoint")
+        out2 = D.connected_components_star(pairs)
+        out2.count()
+        assert len(_persistent_rdd_ids(sc) - before) <= 2, (
+            "connected_components_star left more than its result checkpoint")
+
+    def test_release_drops_every_block_deterministically(self, spark, docs):
+        """D.release() must drop a CC result's checkpoint blocks
+        synchronously — no GC, no polling.  This replaces the round-3
+        GC-poll test: measurement showed a localCheckpoint over a
+        shuffle-bearing plan is NEVER reclaimed by the context cleaner in
+        this Spark build (a shuffle-free one reclaims in seconds), so
+        waiting on GC was both flaky and, for these frames, hopeless —
+        explicit release is the contract."""
+        from pdf_extraction_tests_spark.operators.dedup import (
+            _persistent_rdd_ids)
+
+        sc = spark.sparkContext
+        pairs = D.lsh_candidate_pairs(
+            D.minhash_signatures(docs.filter(F.col("doc_id") < 100)))
+        base_ids = _persistent_rdd_ids(sc)
         for _ in range(2):
             out = D.connected_components(pairs)
             out.count()
             out2 = D.connected_components_star(pairs)
             out2.count()
-            del out, out2
-        # release py4j refs, then poll the context cleaner (py4j detach
-        # commands and the cleaner's reference queue are both asynchronous)
-        deadline = time.time() + 60
-        while time.time() < deadline:
-            gc.collect()
-            spark.sparkContext._jvm.System.gc()
-            if self._n_persistent(spark) <= base:
-                break
-            time.sleep(1)
-        assert self._n_persistent(spark) <= base, (
-            f"{self._n_persistent(spark)} persistent RDDs linger (base {base})"
+            D.release(out)
+            D.release(out2)
+            leaked = _persistent_rdd_ids(sc) - base_ids
+            assert not leaked, f"persistent RDD ids {sorted(leaked)} linger"
+
+    def test_nonconvergence_leaves_no_blocks(self, spark):
+        """The raise path must also clean up after itself."""
+        from pdf_extraction_tests_spark.operators.dedup import (
+            _persistent_rdd_ids)
+
+        sc = spark.sparkContext
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"doc_a": list(range(1, 20)),
+                          "doc_b": list(range(2, 21))})
         )
+        base_ids = _persistent_rdd_ids(sc)
+        with pytest.raises(RuntimeError):
+            D.connected_components(pairs, max_iter=4)
+        assert not (_persistent_rdd_ids(sc) - base_ids)
 
 
 class TestAsofJoin:
