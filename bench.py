@@ -282,9 +282,113 @@ def _burn(_) -> int:
     return x
 
 
+# ---------------------------------------------------------------------------
+# kernel A/B: single-threaded extract_core throughput, HEAD vs a git ref
+# ---------------------------------------------------------------------------
+
+_KERNEL_CORPUS = "/tmp/bench_kernel_ab_corpus.pkl"
+
+
+def kernel_run(pkg_parent: str) -> None:
+    """Child mode: time the pure-Python kernel (no Spark) of the package
+    rooted at ``pkg_parent`` over the SHARED pickled corpus (built once by
+    the parent from HEAD, so both sides extract identical input and the
+    ratio isolates the kernel delta from corpus-generator drift)."""
+    import pickle
+
+    sys.path.insert(0, pkg_parent)
+    # drop any already-imported HEAD modules so the ref's code loads
+    for name in [m for m in sys.modules if m.startswith("pdf_extraction_tests_spark")]:
+        del sys.modules[name]
+    from pdf_extraction_tests_spark.extract_core import extract_docs_frame
+
+    with open(_KERNEL_CORPUS, "rb") as f:
+        pdf = pickle.load(f)
+    extract_docs_frame(pdf.head(20))  # warm (regex compile, memo paths)
+    reps = int(os.environ.get("BENCH_KERNEL_REPS", "10"))
+    with _StealMeter() as sm:
+        t0 = time.time()
+        n = 0
+        for _ in range(reps):
+            n += len(extract_docs_frame(pdf))
+        sec = time.time() - t0
+    print(json.dumps({"docs": n, "sec": round(sec, 3),
+                      "docs_per_sec": round(n / sec, 1),
+                      "steal_pct": sm.steal_pct}))
+
+
+def kernel_ab(ref: str, rounds: int = 3) -> dict:
+    """Same-minute interleaved kernel A/B: HEAD worktree vs ``ref``
+    worktree, single-threaded, identical pickled input, best-per-side
+    (round-3 verdict item 10 — promotes the ad-hoc worktree A/B into a
+    recorded block)."""
+    import pickle
+
+    import pandas as pd
+
+    from pdf_extraction_tests_spark.corpus import corpus_pandas
+
+    src = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    pdf = corpus_pandas(src.head(300))
+    with open(_KERNEL_CORPUS, "wb") as f:
+        pickle.dump(pdf, f)
+
+    wt = f"/tmp/bench_kernel_ab_{ref.replace('/', '_')}"
+    if not os.path.exists(os.path.join(wt, "bench.py")):
+        subprocess.run(["git", "worktree", "add", "--force", wt, ref],
+                       cwd=REPO, check=True, capture_output=True, timeout=120)
+
+    def _one(parent: str) -> dict:
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--kernel-run", parent],
+            capture_output=True, text=True, cwd="/tmp", timeout=600,
+        )
+        lines = [ln for ln in res.stdout.splitlines() if ln.startswith("{")]
+        if not lines:
+            raise RuntimeError(f"kernel child failed: {res.stderr[-1000:]}")
+        return json.loads(lines[-1])
+
+    best = {"head": 0.0, "ref": 0.0}
+    runs: dict[str, list] = {"head": [], "ref": []}
+    for _ in range(rounds):
+        for side, parent in (("head", REPO), ("ref", wt)):
+            rec = _one(parent)
+            best[side] = max(best[side], rec["docs_per_sec"])
+            runs[side].append(
+                {"docs_per_sec": rec["docs_per_sec"],
+                 "steal_pct": rec.get("steal_pct", 0.0)})
+    subprocess.run(["git", "worktree", "remove", "--force", wt],
+                   cwd=REPO, capture_output=True, timeout=120)
+    return {
+        "ref": ref,
+        "head_docs_per_sec": best["head"],
+        "ref_docs_per_sec": best["ref"],
+        "head_over_ref": round(best["head"] / best["ref"], 3)
+        if best["ref"] else None,
+        "all_runs": runs,
+    }
+
+
+def _latest_bench_tag() -> str | None:
+    """Most recent bench-r* tag — the previous round's recorded kernel."""
+    res = subprocess.run(
+        ["git", "tag", "--list", "bench-r*", "--sort=-v:refname"],
+        cwd=REPO, capture_output=True, text=True, timeout=60,
+    )
+    tags = res.stdout.split()
+    return tags[0] if tags else None
+
+
 def main() -> None:
     if "--scale-run" in sys.argv:
         scale_run(sys.argv[sys.argv.index("--scale-run") + 1])
+        return
+    if "--kernel-run" in sys.argv:  # child mode: time one kernel, exit
+        kernel_run(sys.argv[sys.argv.index("--kernel-run") + 1])
+        return
+    if "--kernel-ab" in sys.argv:  # standalone A/B against an explicit ref
+        print(json.dumps(
+            {"kernel_ab": kernel_ab(sys.argv[sys.argv.index("--kernel-ab") + 1])}))
         return
     if "--ensure-corpus" in sys.argv:  # child mode: build corpus, exit
         spark = _session(f"local[{_effective_tasks()}]")
@@ -312,12 +416,28 @@ def main() -> None:
     _warmup(spark)
 
     per_query: dict[str, float] = {}
-    # best-of-2: the first full run per JVM pays one-time JIT/heap-growth
-    # costs a long-lived cluster amortizes to zero (same rule as scale_run)
-    with _StealMeter() as sm:
-        extract_sec, n_docs = time_extraction(spark)
-        sec2, _ = time_extraction(spark)
-        extract_sec = min(extract_sec, sec2)
+    # steal-gated headline (round-3 verdict item 4): each attempt is
+    # best-of-2 (the first full run per JVM pays one-time JIT/heap-growth
+    # costs a long-lived cluster amortizes to zero, same rule as
+    # scale_run); when the hypervisor stole >BENCH_STEAL_GATE_PCT of the
+    # window, retry up to BENCH_HEADLINE_ATTEMPTS times so the recorded
+    # number isn't hostage to a contention burst.  All attempts are
+    # recorded; the pick is the lowest-steal attempt (fastest on ties).
+    gate = float(os.environ.get("BENCH_STEAL_GATE_PCT", "5.0"))
+    max_attempts = int(os.environ.get("BENCH_HEADLINE_ATTEMPTS", "3"))
+    attempts: list[dict] = []
+    for _ in range(max_attempts):
+        with _StealMeter() as sm:
+            sec1, n_docs = time_extraction(spark)
+            sec2, _ = time_extraction(spark)
+        attempts.append({"sec": round(min(sec1, sec2), 3),
+                         "steal_pct": sm.steal_pct})
+        if sm.steal_pct <= gate:
+            break
+    calm = [a for a in attempts if a["steal_pct"] <= gate]
+    pick = (min(calm, key=lambda a: a["sec"]) if calm
+            else min(attempts, key=lambda a: a["steal_pct"]))
+    extract_sec, headline_steal = pick["sec"], pick["steal_pct"]
     per_query["extract_pipeline"] = round(extract_sec, 3)
 
     qmap = queries()
@@ -337,16 +457,26 @@ def main() -> None:
         "docs": n_docs,
         "cpus": CPUS,
         "task_slots": tasks,
-        # hypervisor steal during the extraction window: > ~5% marks a
-        # contended host — read the headline against it (measured swing:
+        # hypervisor steal during the PICKED extraction window: > ~5% marks
+        # a contended host — read the headline against it (measured swing:
         # 11.5k docs/s at a quiet moment vs 5-7k under heavy steal)
-        "host_steal_pct": sm.steal_pct,
+        "host_steal_pct": headline_steal,
+        "headline_attempts": attempts,
         "total_query_sec": round(sum(per_query.values()), 3),
     }
     if scaling is not None:
         # the north-rule scaling evidence ships in every bench record
         result["scaling"] = scaling
     spark.stop()
+    # kernel A/B vs the previous round's tagged kernel (single-threaded,
+    # same-minute, shared input) — separates kernel-code delta from the
+    # host's moment-to-moment throughput drift
+    ab_ref = os.environ.get("BENCH_KERNEL_AB_REF") or _latest_bench_tag()
+    if ab_ref and "--no-kernel-ab" not in sys.argv:
+        try:
+            result["kernel_ab"] = kernel_ab(ab_ref)
+        except Exception as e:  # noqa: BLE001 — A/B is evidence, not the metric
+            result["kernel_ab"] = {"ref": ab_ref, "error": str(e)[:300]}
     print(json.dumps(result))
 
 
