@@ -40,6 +40,11 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("content_digest", T.StringType(), True),
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
         T.StructField("decode_ok", T.BooleanType(), True),
+        # provenance: 'pixel' = real decode, 'stub' = digest-seeded fake
+        # (sanctioned codec boundary), NULL = no feature.  Non-oracled, but
+        # present IN DATA so downstream can tell a real histogram from a
+        # stand-in (round-3 verdict item 6).
+        T.StructField("feature_kind", T.StringType(), True),
     ]
 )
 
@@ -119,26 +124,30 @@ def _gray_histogram(gray: np.ndarray) -> np.ndarray:
     return (hist / max(gray.size, 1)).astype(np.float32)
 
 
-def _decode(content: bytes | None, media_type: str) -> np.ndarray | None:
-    """Feature decode: REAL pixel parse for the codec-free image formats
-    (binary PGM 'P5', uncompressed BMP 'BM'), digest-seeded stub otherwise.
+def _decode(content: bytes | None,
+            media_type: str) -> tuple[np.ndarray | None, str | None]:
+    """Feature decode -> (vector, kind): REAL pixel parse ('pixel') for the
+    codec-free image formats (binary PGM 'P5', uncompressed BMP 'BM'),
+    digest-seeded stub ('stub') otherwise, (None, None) for NULL content.
 
     The stub fallback (rather than decode_ok=False) is deliberate: an
     unknown codec is a sanctioned environment boundary, not a corrupt
     item — the row keeps a deterministic feature and the oracle-checked
     metadata columns stay total.  Bytes that merely START with a magic but
     fail the strict parse also fall back (text content legitimately
-    starting 'BM...' must not flip decode_ok under the q33 oracle).
+    starting 'BM...' must not flip decode_ok under the q33 oracle).  The
+    kind column keeps the fallback honest in data.
     """
     if content is not None and media_type == "image":
         try:
             if content[:2] == b"P5":
-                return _gray_histogram(_parse_pgm(bytes(content)))
+                return _gray_histogram(_parse_pgm(bytes(content))), "pixel"
             if content[:2] == b"BM":
-                return _gray_histogram(_parse_bmp(bytes(content)))
+                return _gray_histogram(_parse_bmp(bytes(content))), "pixel"
         except ValueError:
             pass
-    return _decode_stub(content, media_type)
+    stub = _decode_stub(content, media_type)
+    return stub, ("stub" if stub is not None else None)
 
 
 def extract_media_features(media: DataFrame) -> DataFrame:
@@ -146,7 +155,7 @@ def extract_media_features(media: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats, oks, digests, sizes = [], [], [], []
+            feats, oks, digests, sizes, kinds = [], [], [], [], []
             for content, mtype in zip(pdf["content"], pdf["media_type"]):
                 raw = bytes(content) if content is not None else None
                 sizes.append(len(raw) if raw is not None else 0)
@@ -154,12 +163,14 @@ def extract_media_features(media: DataFrame) -> DataFrame:
                     hashlib.md5(raw).hexdigest() if raw is not None else None
                 )
                 try:
-                    f = _decode(raw, mtype or "unknown")
+                    f, kind = _decode(raw, mtype or "unknown")
                     feats.append(f.tolist() if f is not None else None)
                     oks.append(f is not None)
+                    kinds.append(kind)
                 except NotImplementedError:
                     feats.append(None)
                     oks.append(False)
+                    kinds.append(None)
             yield pd.DataFrame(
                 {
                     "media_ref": pdf["media_ref"],
@@ -168,6 +179,7 @@ def extract_media_features(media: DataFrame) -> DataFrame:
                     "content_digest": digests,
                     "feature": feats,
                     "decode_ok": oks,
+                    "feature_kind": kinds,
                 }
             )
 

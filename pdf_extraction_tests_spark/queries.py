@@ -817,7 +817,7 @@ def q33(spark, sf_dir):
     from .operators.multimodal import extract_media_features, media_from_documents
 
     media = media_from_documents(load(spark, sf_dir, "documents"), limit=96)
-    return extract_media_features(media).drop("feature")
+    return extract_media_features(media).drop("feature", "feature_kind")
 
 
 # ---------------------------------------------------------------------------
@@ -1087,18 +1087,19 @@ def q38(spark, sf_dir):
 )
 def q42(spark, sf_dir):
     """Corpus heavy hitters: top-20 word trigrams by document frequency
-    (boilerplate/contamination radar).  Scan-side shingling (the q22
-    machinery), one count shuffle, TakeOrdered — at 100 TB swap the exact
-    count for the count-min sketch in ``operators/sketches.py``
+    (boilerplate/contamination radar), via
+    ``operators.sketches.heavy_hitters`` — ``exact=True`` here (scan-side
+    shingling, one count shuffle, TakeOrdered; matches the oracle
+    exactly).  The 100 TB side of the same switch, ``exact=False``, swaps
+    in the count-min sketch + per-partition bounded candidates
     (cms_build/cms_estimate: fixed depth*width aggregation state, exact
-    DuckDB twin; agreement with this exact count pinned in
-    tests/test_operators.py::TestCountMinSketch)."""
-    sh = D.with_shingles(load(spark, sf_dir, "documents"), _SHINGLE_N)
-    return (
-        sh.groupBy("shingle").agg(F.count("*").alias("df"))
-        .orderBy(F.desc("df"), F.asc("shingle"))
-        .limit(20)
-    )
+    DuckDB twin); sketch-vs-exact agreement pinned in
+    tests/test_operators.py::TestCountMinSketch."""
+    from .operators.sketches import heavy_hitters
+
+    return heavy_hitters(
+        load(spark, sf_dir, "documents"), k=20, shingle_n=_SHINGLE_N,
+        exact=True)
 
 
 @query(

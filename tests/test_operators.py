@@ -315,6 +315,21 @@ class TestCountMinSketch:
         cms = SK.cms_build(docs, depth=3, width=256)
         assert cms.table.count() <= 3 * 256
 
+    def test_heavy_hitters_sketch_mode_covers_exact_topk(self, spark, docs):
+        """The composed query path (round-3 verdict item 9): heavy_hitters
+        exact=False (per-partition bounded candidates + CMS estimates)
+        must recover every member of the exact top-20 on the bench corpus,
+        and its df estimates must be one-sided (>= the true count)."""
+        from pdf_extraction_tests_spark.operators import sketches as SK
+
+        exact = {r.shingle: r.df
+                 for r in SK.heavy_hitters(docs, k=20).collect()}
+        sketch = {r.shingle: r.df
+                  for r in SK.heavy_hitters(docs, k=20, exact=False).collect()}
+        assert set(exact) <= set(sketch), sorted(set(exact) - set(sketch))
+        for s, true_df in exact.items():
+            assert sketch[s] >= true_df, (s, sketch[s], true_df)
+
 
 class TestRealImageDecode:
     def test_pgm_feature_is_pixel_histogram(self, spark):
@@ -325,14 +340,15 @@ class TestRealImageDecode:
         # 4x2 gradient: pixels 0,32,64,96,128,160,192,224 -> one per bin pair
         px = bytes(range(0, 256, 32))
         pgm = b"P5\n# comment\n4 2\n255\n" + px
-        feat = MM._decode(pgm, "image")
+        feat, kind = MM._decode(pgm, "image")
+        assert kind == "pixel"
         want = np.zeros(MM.FEATURE_DIM, dtype=np.float32)
         for p in px:
             want[int(p // (256 / MM.FEATURE_DIM))] += 1 / len(px)
         assert np.allclose(feat, want)
         # deterministic from PIXELS: same pixels, different comment -> same
         assert np.allclose(
-            MM._decode(b"P5\n# other\n4 2\n255\n" + px, "image"), feat)
+            MM._decode(b"P5\n# other\n4 2\n255\n" + px, "image")[0], feat)
 
     def test_bmp_24bit_feature(self, spark):
         import numpy as np
@@ -349,7 +365,8 @@ class TestRealImageDecode:
                   + w.to_bytes(4, "little") + h.to_bytes(4, "little")
                   + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
                   + b"\x00" * 24)
-        feat = MM._decode(header + pixels, "image")
+        feat, kind = MM._decode(header + pixels, "image")
+        assert kind == "pixel"
         want = np.zeros(MM.FEATURE_DIM, dtype=np.float32)
         want[0] = 0.5                      # black
         want[MM.FEATURE_DIM - 1] = 0.5     # white (gray 255)
@@ -369,6 +386,7 @@ class TestRealImageDecode:
         df = spark.createDataFrame(pdf, schema=MM.MEDIA_SCHEMA)
         row = MM.extract_media_features(df).collect()[0]
         assert row.decode_ok
+        assert row.feature_kind == "pixel"             # provenance in data
         assert abs(sum(row.feature) - 1.0) < 1e-6      # a histogram, not noise
         assert row.feature[0] > 0.9                    # all pixels < 16
 
@@ -378,15 +396,17 @@ class TestRealImageDecode:
         from pdf_extraction_tests_spark.operators import multimodal as MM
 
         fake = b"BMW sales prose, not a bitmap at all"
-        feat = MM._decode(fake, "image")
+        feat, kind = MM._decode(fake, "image")
+        assert kind == "stub"                          # the lie is visible
         assert np.allclose(feat, MM._decode_stub(fake, "image"))
 
 
 class TestCacheHygiene:
     """Round-2 leak class: operators pinning frames for the session
     lifetime.  Operators that return lazy plans must pin NOTHING; iterative
-    operators may hold localCheckpoint blocks only while their result is
-    referenced (context-cleaner reclaims them afterwards)."""
+    operators may pin exactly their result checkpoint, dropped on demand by
+    D.release() (the context cleaner provably never reclaims post-shuffle
+    localCheckpoints in this build, so GC is not a cleanup path)."""
 
     @staticmethod
     def _n_persistent(spark):
