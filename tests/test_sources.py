@@ -246,12 +246,19 @@ class TestScannedStack:
         content = [b for b in blocks if b["kind"] != "page_failure"]
         assert {b["page"] for b in content} == {2}
 
-    def test_default_stack_raises_not_implemented(self):
+    def test_default_stack_raises_on_unsupported_bytes(self):
+        """The default stack must never silently succeed on bytes it can't
+        rasterize: the in-band rasterizer raises (UnsupportedPdfError for
+        out-of-profile PDFs, NotImplementedError when no pages come back),
+        and binary_docs maps either to a parse-failure span."""
+        from pdf_extraction_tests_spark.sources.pdf_min import (
+            UnsupportedPdfError,
+        )
         from pdf_extraction_tests_spark.sources.scanned import (
             extract_scanned_pdf,
         )
 
-        with pytest.raises(NotImplementedError):
+        with pytest.raises((NotImplementedError, UnsupportedPdfError)):
             extract_scanned_pdf(b"%PDF-fake")
 
     def test_end_to_end_distributed_with_stack(self, spark, tmp_path):
@@ -387,3 +394,78 @@ class TestReviewRegressions:
         out = _expand_objstm({5: objstm})
         assert out[11].rstrip() == b"<< /B 2 >>"
         assert out[10].rstrip() == b"<< /A 1 >>"
+
+
+class TestInbandRasterStack:
+    """Round-3 verdict item 7: the full scanned stack — rasterize ->
+    projection-profile layout -> per-box OCR — runs end to end with ZERO
+    binaries via the in-band raster defaults (sources/raster.py)."""
+
+    PAGES = [
+        [("text", 50, 40, 16.0, "A Real Title For The Scanned Page"),
+         ("text", 50, 120, 12.0, "body paragraph one with enough words"),
+         ("text", 50, 200, 12.0, "second body paragraph, distinct text"),
+         ("image", "Im0")],
+        [("text", 60, 80, 12.0, "page two content rendered as pixels")],
+    ]
+
+    def test_scanned_spans_match_pdf_min_spans(self):
+        """write_minimal_pdf -> DEFAULT scanned stack == pdf_min decode:
+        same (page, etype, text) sequence and same geometry, with media
+        draws surviving as placeholders."""
+        from pdf_extraction_tests_spark.sources.pdf_min import (
+            extract_pdf_text, write_minimal_pdf)
+        from pdf_extraction_tests_spark.sources.scanned import (
+            extract_scanned_pdf)
+
+        data = write_minimal_pdf(self.PAGES)
+        direct = extract_pdf_text(data)
+        scanned = extract_scanned_pdf(data)  # default = in-band raster stack
+
+        def canon(blocks):
+            return sorted(
+                (b["page"], b["etype"], b["text"], b["x"], b["y"],
+                 b["w"], b["h"])
+                for b in blocks if b["kind"] == "text_block"
+            )
+
+        assert canon(scanned) == canon(direct)
+        assert not [b for b in scanned if b["kind"] == "page_failure"]
+        # the XObject draw survives as a figure placeholder
+        assert [b for b in scanned if b["kind"] == "media"]
+
+    def test_rasterizer_pages_are_real_pixels(self):
+        from pdf_extraction_tests_spark.sources.pdf_min import (
+            write_minimal_pdf)
+        from pdf_extraction_tests_spark.sources.raster import (
+            rasterize_minimal)
+
+        pages = rasterize_minimal(write_minimal_pdf(self.PAGES))
+        assert len(pages) == 2
+        assert pages[0].dtype.name == "uint8"
+        assert (pages[0] < 255).any() and (pages[0] == 255).any()
+
+    def test_projection_layout_finds_tight_boxes(self):
+        import numpy as np
+
+        from pdf_extraction_tests_spark.sources.raster import (
+            layout_model_projection)
+
+        img = np.full((100, 100), 255, dtype=np.uint8)
+        img[10:20, 10:60] = 160   # two stacked rects, one offset
+        img[40:50, 30:90] = 160
+        boxes = sorted((x, y, w, h) for x, y, w, h, _c, _conf
+                       in layout_model_projection(img))
+        assert boxes == [(10, 10, 50, 10), (30, 40, 60, 10)]
+
+    def test_out_of_profile_pdf_still_fault_isolates(self, spark, tmp_path):
+        """A PDF the pure-Python rasterizer cannot handle must still land
+        as a parse-failure span through the distributed source, same as
+        the old missing-binary defaults."""
+        from pdf_extraction_tests_spark.sources.binary_docs import (
+            bytes_to_spans)
+        from pdf_extraction_tests_spark.sources.raster import INBAND_STACK
+
+        spans = bytes_to_spans(b"%PDF-1.4\ngarbage, no objects at all",
+                               scanned_stack=INBAND_STACK)
+        assert [s["text"] for s in spans] == ["UNSUPPORTED_BINARY"]
