@@ -103,21 +103,133 @@ _STREAM_KW_RE = re.compile(rb"stream\r?\n")
 _LENGTH_LIT_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
 
 
+_XREF_SEC_RE = re.compile(rb"(\d+)\s+(\d+)\s+")
+_XREF_ENT_RE = re.compile(rb"(\d{10})\s(\d{5})\s([nf])\s{0,2}")
+_XREF_PREV_RE = re.compile(rb"/Prev\s+(\d+)")
+_OBJ_AT_RE = re.compile(rb"\s{0,4}(\d+)\s+(\d+)\s+obj\b")
+
+
+def _parse_xref_table(data: bytes, pos: int):
+    """One classic xref table at ``pos`` -> (entries, prev_offset).
+
+    entries maps objnum -> byte offset for in-use ('n') rows; ``prev`` is
+    the trailer's /Prev (incremental updates) or None.  Returns
+    (None, None) on any deviation from the strict spec layout — the
+    caller falls back to the whole-file scan."""
+    m = re.compile(rb"xref\s+").match(data, pos)
+    if not m:
+        return None, None
+    i = m.end()
+    entries: dict[int, int] = {}
+    while True:
+        if data.startswith(b"trailer", i):
+            break
+        sm = _XREF_SEC_RE.match(data, i)
+        if not sm:
+            return None, None
+        start, count = int(sm.group(1)), int(sm.group(2))
+        if count > 1_000_000:  # hostile: refuse absurd sections
+            return None, None
+        i = sm.end()
+        for k in range(count):
+            em = _XREF_ENT_RE.match(data, i)
+            if not em:
+                return None, None
+            # offset-0 'n' rows are a common writer artifact for objects
+            # that live inside an /ObjStm — treat as absent, not damage
+            if em.group(3) == b"n" and int(em.group(1)) > 0:
+                entries[start + k] = int(em.group(1))
+            i = em.end()
+    t_end = data.find(b">>", i)
+    prev = None
+    if t_end != -1:
+        pm = _XREF_PREV_RE.search(data, i, t_end)
+        if pm:
+            prev = int(pm.group(1))
+    return entries, prev
+
+
+def _objects_via_xref(data: bytes) -> dict[int, bytes] | None:
+    """Object bodies resolved XREF-FIRST (round-3 verdict item 8).
+
+    When the file ends in ``startxref`` -> a classic xref table (chained
+    through /Prev, newest entries winning), object offsets come from the
+    table — the whole-file header scan and its phantom-'N M obj'
+    ambiguity classes never run.  Every in-use entry is validated: the
+    bytes at its offset must be a matching 'num gen obj' header, else the
+    table is treated as damaged and this returns None (caller falls back
+    to the scan).  Cross-reference STREAMS (PDF 1.5 /XRef) are not
+    parsed — they return None and take the scan path, where
+    :func:`_expand_objstm` still recovers compressed objects."""
+    try:
+        tail = data.rfind(b"startxref")
+        if tail == -1:
+            return None
+        sm = re.compile(rb"startxref\s+(\d+)").match(data, tail)
+        if not sm:
+            return None
+        pos = int(sm.group(1))
+        chain: list[dict[int, int]] = []
+        seen: set[int] = set()
+        while pos not in seen and len(chain) < 16:
+            seen.add(pos)
+            if not 0 <= pos < len(data):
+                return None
+            entries, prev = _parse_xref_table(data, pos)
+            if entries is None:
+                return None
+            chain.append(entries)
+            if prev is None:
+                break
+            pos = prev
+        offsets: dict[int, int] = {}
+        for entries in reversed(chain):  # oldest first, newest override
+            offsets.update(entries)
+        if not offsets:
+            return None
+        items = sorted((off, num) for num, off in offsets.items())
+        bounds = sorted({off for off, _ in items} | {len(data)})
+        out: dict[int, bytes] = {}
+        for off, num in items:
+            hm = _OBJ_AT_RE.match(data, off)
+            if hm is None or int(hm.group(1)) != num:
+                return None  # damaged table: offsets lie — use the scan
+            nxt = bounds[bounds.index(off) + 1]
+            body = data[hm.end():nxt]
+            t = body.rfind(b"endobj")
+            if t >= 0:
+                body = body[:t]
+            out[num] = body
+        return out
+    except Exception:  # noqa: BLE001 — hostile bytes: totality contract
+        return None
+
+
 def _objects(data: bytes) -> dict[int, bytes]:
     """Object bodies keyed by object number.
 
-    Bodies are bounded by the NEXT accepted object header (with the trailing
-    'endobj' trimmed), NOT by a non-greedy scan to the first 'endobj' —
-    binary stream data may legitimately contain the bytes 'endobj', and
-    truncating there would corrupt the stream (and `_stream_of`'s
-    rfind('endstream') then resolves the real terminator even if the data
-    contains a fake one).
+    XREF-FIRST: when a classic xref table parses and validates, offsets
+    come from it (:func:`_objects_via_xref`) and no header scan runs.
+    Otherwise (no table, xref stream, damaged offsets) the whole-file
+    scan below takes over.
+
+    Scan path: bodies are bounded by the NEXT accepted object header (with
+    the trailing 'endobj' trimmed), NOT by a non-greedy scan to the first
+    'endobj' — binary stream data may legitimately contain the bytes
+    'endobj', and truncating there would corrupt the stream (and
+    `_stream_of`'s rfind('endstream') then resolves the real terminator
+    even if the data contains a fake one).
 
     Phantom headers: compressed/image stream data can also contain bytes
     that LOOK like 'N M obj'.  A candidate header starting inside the
     previous accepted object's stream extent is skipped — the extent is
     exact when the dict carries a literal /Length, else bounded by the
-    first 'endstream' after the stream keyword (round-2 review)."""
+    first 'endstream' after the stream keyword (round-2 review).  That
+    guard is heuristic where /Length is indirect — exactly the ambiguity
+    the xref-first path removes."""
+    via_xref = _objects_via_xref(data)
+    if via_xref is not None:
+        return via_xref
     accepted: list[re.Match] = []
     guard = 0
     for m in _OBJ_HEADER_RE.finditer(data):
@@ -556,7 +668,12 @@ def write_minimal_pdf(pages: list[list[tuple]], compress: bool = True,
     out += b"xref\n0 %d\n" % (maxn + 1)
     out += b"0000000000 65535 f \n"
     for n in range(1, maxn + 1):
-        out += (b"%010d 00000 n \n" % offsets.get(n, 0))
+        if n in offsets:
+            out += b"%010d 00000 n \n" % offsets[n]
+        else:
+            # objects living inside the /ObjStm: FREE rows, not offset-0
+            # in-use rows (the xref-first reader would reject those)
+            out += b"0000000000 65535 f \n"
     out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
             % (maxn + 1, xref_at))
     return bytes(out)

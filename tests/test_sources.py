@@ -469,3 +469,100 @@ class TestInbandRasterStack:
         spans = bytes_to_spans(b"%PDF-1.4\ngarbage, no objects at all",
                                scanned_stack=INBAND_STACK)
         assert [s["text"] for s in spans] == ["UNSUPPORTED_BINARY"]
+
+
+class TestXrefFirst:
+    """Round-3 verdict item 8: object offsets come from a valid classic
+    xref table; the whole-file header scan (and its phantom ambiguity)
+    only runs when the table is absent or damaged."""
+
+    @staticmethod
+    def _build_trap_pdf(damage_xref: bool = False) -> bytes:
+        """A valid one-page PDF plus a trap object (9): its stream has an
+        INDIRECT /Length and embeds 'endstream\\n99 0 obj...' — the scan
+        path's extent guard stops at the first 'endstream' and accepts the
+        phantom object 99; the xref table knows better."""
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+            3: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+            4: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>"),
+            5: (b"<< /Length 64 >>\nstream\n"
+                b"BT /F1 12 Tf 1 0 0 1 50 700 Tm (xref first wins) Tj ET"
+                b"\nendstream"),
+            9: (b"<< /Subtype /Image /Length 10 0 R >>\nstream\n"
+                b"AB\nendstream\n99 0 obj\n<< /Type /Page >>\nendobj\nCD"
+                b"\nendstream"),
+            10: b"44",
+        }
+        out = bytearray(b"%PDF-1.4\n")
+        offsets = {}
+        for n in sorted(objs):
+            offsets[n] = len(out)
+            out += b"%d 0 obj\n" % n + objs[n] + b"\nendobj\n"
+        xref_at = len(out)
+        maxn = max(objs)
+        out += b"xref\n0 %d\n" % (maxn + 1)
+        out += b"0000000000 65535 f \n"
+        for n in range(1, maxn + 1):
+            if n in offsets:
+                out += b"%010d 00000 n \n" % offsets[n]
+            else:
+                out += b"0000000000 65535 f \n"
+        out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+                % (maxn + 1, xref_at))
+        data = bytes(out)
+        if damage_xref:
+            # corrupt object 5's offset row (first entry char -> 9):
+            # the validator sees a header mismatch and rejects the table
+            row = b"%010d 00000 n " % offsets[5]
+            data = data.replace(row, b"9" + row[1:], 1)
+        return data
+
+    def test_valid_xref_defeats_in_stream_phantom(self):
+        from pdf_extraction_tests_spark.sources.pdf_min import (
+            _objects, _objects_via_xref, extract_pdf_text)
+
+        data = self._build_trap_pdf()
+        via = _objects_via_xref(data)
+        assert via is not None and 99 not in via          # xref path used
+        assert set(via) == {1, 2, 3, 4, 5, 9, 10}
+        assert 99 not in _objects(data)
+        blocks = extract_pdf_text(data)
+        assert [b["text"] for b in blocks
+                if b["kind"] == "text_block"] == ["xref first wins"]
+        assert {b["page"] for b in blocks} == {1}          # no phantom page
+
+    def test_scan_alone_would_accept_the_phantom(self):
+        """Meta-check: the trap really is a trap — without the xref the
+        scan path accepts object 99 (this is the ambiguity class the
+        xref-first path removes)."""
+        from pdf_extraction_tests_spark.sources import pdf_min
+
+        data = self._build_trap_pdf()
+        # sever the xref path only
+        data_no_xref = data.replace(b"startxref", b"startxxxx")
+        assert pdf_min._objects_via_xref(data_no_xref) is None
+        assert 99 in pdf_min._objects(data_no_xref)
+
+    def test_damaged_xref_falls_back_to_scan_and_decodes(self):
+        from pdf_extraction_tests_spark.sources.pdf_min import (
+            _objects_via_xref, extract_pdf_text)
+
+        data = self._build_trap_pdf(damage_xref=True)
+        assert _objects_via_xref(data) is None             # rejected as damaged
+        blocks = extract_pdf_text(data)                    # scan still decodes
+        assert [b["text"] for b in blocks
+                if b["kind"] == "text_block"] == ["xref first wins"]
+
+    def test_writer_output_takes_the_xref_path(self):
+        from pdf_extraction_tests_spark.sources.pdf_min import (
+            _objects_via_xref, write_minimal_pdf)
+
+        plain = write_minimal_pdf([[("text", 10, 10, 12, "hello")]])
+        assert _objects_via_xref(plain) is not None
+        packed = write_minimal_pdf([[("text", 10, 10, 12, "hello")]],
+                                   objstm=True)
+        via = _objects_via_xref(packed)
+        assert via is not None          # ObjStm members are free rows now
