@@ -643,9 +643,14 @@ def lookahead_end_scan(body: list[dict], start: int, end: int) -> int:
     for i, r in enumerate(in_range):
         # literal gate on the shared lowered copy: the IGNORECASE regex
         # (word-boundary check) only runs when the substring exists at all
-        # — this predicate runs on EVERY body row
+        # — this predicate runs on EVERY body row.  ASCII-only: Unicode
+        # case-folding (dotted/dotless I) can satisfy the regex where
+        # str.lower() misses the substring (measured: 'clİnical trial'
+        # matches re.I but fails both lower and casefold gates), so
+        # non-ASCII rows skip the gate and always run the regex (rare)
         low = r.get("_tl")
-        if low is not None and "clinical trial" not in low:
+        if (low is not None and "clinical trial" not in low
+                and low.isascii()):
             continue
         if TRUNCATE_AFTER_RE.search(r["text"]):
             window = in_range[i + 1 : i + 1 + LOOKAHEAD_WINDOW]
@@ -731,8 +736,10 @@ def extract_title(ordered: list[dict]) -> tuple[str, int]:
     40<nchar<300 -> 8; y<600 & nchar>30 & has [A-Z].*[a-z] -> 6; else 0.
     Penalty case_when (:1934-1939): metadata words -> -5; year/@/.edu/.com
     -> -3; nchar<20 -> -2.  Keep score > 3 (:1941), order desc(score) then
-    y (:1942), row_id tiebreak.  Returns (title, row_id); ("", -1) when no
-    candidate survives (the reference's "Title not found", :1949).
+    y (:1942), row_id tiebreak.  The winner gets the reference's final
+    clean (:1952-1954): collapse runs of whitespace to one space + trim.
+    Returns (title, row_id); ("", -1) when no candidate survives (the
+    reference's "Title not found", :1949).
     """
     best_key, best = None, None
     for r in ordered:
@@ -766,7 +773,7 @@ def extract_title(ordered: list[dict]) -> tuple[str, int]:
             best_key, best = key, r
     if best is None:
         return "", -1
-    return best["text"], best["row_id"]
+    return _WS_RE.sub(" ", best["text"]).strip(), best["row_id"]
 
 
 def extract_authors(ordered: list[dict], title_row: int) -> str:
@@ -888,18 +895,20 @@ def extract_abstract(ordered: list[dict], title_row: int) -> tuple[str, int]:
                 score = 4
             else:
                 continue
-        key = (-score, -n, r["row_id"])
+        key = (-score, -n, r["y"], r["x"], r["row_id"])
         if best_key is None or key < best_key:
             best_key, best = key, r
     if best is None:  # final fallback: just the largest page-1 text block
         for r in p1:
             if len(r["text"]) > 50:
-                key = (-len(r["text"]), r["row_id"])
+                key = (-len(r["text"]), r["y"], r["x"], r["row_id"])
                 if best_key is None or key < best_key:
                     best_key, best = key, r
     if best is None:
         return "", -1
-    return ABSTRACT_STRIP_RE.sub("", best["text"], count=1).strip(), best["row_id"]
+    # header strip (:1330) then the reference's whitespace collapse (:1331)
+    out = ABSTRACT_STRIP_RE.sub("", best["text"], count=1)
+    return _WS_RE.sub(" ", out).strip(), best["row_id"]
 
 
 # ---------------------------------------------------------------------------

@@ -562,9 +562,38 @@ class TestTitleScorerWeights:
         ]
         assert ec.extract_title(rows) == (rows[1]["text"], 1)
 
+    def test_winner_whitespace_collapsed(self):
+        """v10.R:1952-1954: the winning title gets \s+ -> ' ' + trim
+        (round-3 advice: the port skipped the final clean step)."""
+        rows = [_trow(0, "  A  Title\nWith   Messy\tWhitespace Runs Here ",
+                      y=100, etype="title")]
+        text, rid = ec.extract_title(rows)
+        assert text == "A Title With Messy Whitespace Runs Here"
+        assert rid == 0
+
 
 class TestAbstractScorerWeights:
     """Pin each reference-verbatim abstract weight (v10.R:1285-1300)."""
+
+    def test_winner_whitespace_collapsed(self):
+        """v10.R:1331: the winning abstract gets \s+ collapsed."""
+        body = "Abstract  sentence one.\nIt   continues. " + "word " * 40
+        rows = [_trow(0, body, y=100)]
+        text, _ = ec.extract_abstract(rows, -1)
+        assert "  " not in text and "\n" not in text
+
+    def test_equal_score_len_tie_breaks_on_y_x_not_row_id(self):
+        """v10.R:1283: ties at equal (score, nchar) resolve by the prior
+        arrange(y, x) order, which can DIFFER from reading-order row_id in
+        banded/multi-column layouts (round-3 advice)."""
+        a = "Sentence one here. And sentence two follows." + " pad" * 30
+        b = a.replace("one", "uno")           # same length, same score (6)
+        rows = [
+            _trow(0, a, y=500),               # reading order first...
+            _trow(1, b, y=200),               # ...but visually higher
+        ]
+        text, rid = ec.extract_abstract(rows, -1)
+        assert (text, rid) == (b, 1)
 
     def test_marker_branch_beats_longer_prose(self):
         long_prose = "Prose sentence one. And two. " + "x" * 300
