@@ -19,9 +19,18 @@ What it extracts, per page:
   (``media_ref='pdf:xobj:<name>'``) at its reading position.
 
 Out of scope (raise UnsupportedPdfError -> fault-isolated upstream):
-encryption, CID/Type0 2-byte text, and non-Flate filters.  Object streams
-(``/ObjStm``, PDF 1.5+) ARE decoded: compressed dict-only objects — page
-tree included — are inlined before page resolution (:func:`_expand_objstm`).
+AES encryption (/V 4|5), genuinely password-protected files, and
+image-codec filters (DCT/JPX/CCITT/JBIG2 — pixels, not text).  IN scope
+beyond the basics: RC4 standard-security encryption with an empty user
+password (/V 1|2, /R 2|3 — :func:`_encryption`, the "encrypted but
+readable by anyone" files); object streams (``/ObjStm``, PDF
+1.5+ — :func:`_expand_objstm`), the text-capable stream filters (Flate,
+LZW, ASCIIHex, ASCII85, RunLength, chains, PNG predictors —
+:func:`_decode_filters`), xref-first object resolution from classic
+tables or 1.5 xref streams with validated fallback to the whole-file
+scan (:func:`_objects_via_xref`), and CID/Type0 composite-font text via
+the embedded /ToUnicode CMap (:func:`_parse_tounicode`,
+:func:`_text_of_bytes` — unmapped codes fall back to their code point).
 """
 
 from __future__ import annotations
@@ -61,8 +70,8 @@ _ESCAPES = {
 }
 
 
-def _decode_literal(tok: bytes) -> str:
-    """PDF literal string ``(...)`` -> text (simple-font byte semantics)."""
+def _literal_bytes(tok: bytes) -> bytes:
+    """PDF literal string ``(...)`` -> raw shown bytes (escapes applied)."""
     body = tok[1:-1]
     out = bytearray()
     i = 0
@@ -85,14 +94,14 @@ def _decode_literal(tok: bytes) -> str:
             continue
         out += c
         i += 1
-    return out.decode("latin-1")
+    return bytes(out)
 
 
-def _decode_hex(tok: bytes) -> str:
+def _hex_bytes(tok: bytes) -> bytes:
     h = re.sub(rb"\s", b"", tok[1:-1])
     if len(h) % 2:
         h += b"0"
-    return bytes.fromhex(h.decode("ascii")).decode("latin-1")
+    return bytes.fromhex(h.decode("ascii"))
 
 
 _STREAM_KW_RE = re.compile(rb"stream\r?\n")
@@ -149,18 +158,79 @@ def _parse_xref_table(data: bytes, pos: int):
     return entries, prev
 
 
+_XREF_W_RE = re.compile(rb"/W\s*\[\s*(\d+)\s+(\d+)\s+(\d+)\s*\]")
+_XREF_INDEX_RE = re.compile(rb"/Index\s*\[([\d\s]*)\]")
+_XREF_SIZE_RE = re.compile(rb"/Size\s+(\d+)")
+_LENGTH_DIRECT_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
+
+
+def _parse_xref_stream(data: bytes, pos: int):
+    """A PDF 1.5 cross-reference STREAM at ``pos`` -> (entries, prev).
+
+    Entries map objnum -> offset for type-1 rows; type-0 (free) and
+    type-2 (inside an /ObjStm — recovered later by ``_expand_objstm``)
+    rows are skipped.  All dict entries of an xref stream are direct by
+    spec (§7.5.8.2), so /Length parses literally and the stream slices
+    exactly; filters + PNG predictors go through ``_decode_filters``.
+    Returns (None, None) on any deviation."""
+    hm = _OBJ_AT_RE.match(data, pos)
+    if hm is None:
+        return None, None
+    s_kw = _STREAM_KW_RE.search(data, hm.end())
+    if s_kw is None:
+        return None, None
+    head = data[hm.end():s_kw.start()]
+    if b"/XRef" not in head:
+        return None, None
+    lm = _LENGTH_DIRECT_RE.search(head)
+    wm = _XREF_W_RE.search(head)
+    zm = _XREF_SIZE_RE.search(head)
+    if not (lm and wm and zm):
+        return None, None
+    raw = data[s_kw.end():s_kw.end() + int(lm.group(1))]
+    if b"/Filter" in head:
+        payload = _decode_filters(head, raw)
+    else:
+        payload = raw
+    a, b, c = (int(g) for g in wm.groups())
+    roww = a + b + c
+    if roww == 0 or b == 0:
+        return None, None
+    im = _XREF_INDEX_RE.search(head)
+    if im:
+        nums = [int(x) for x in im.group(1).split()]
+        if len(nums) % 2:
+            return None, None
+        index = list(zip(nums[::2], nums[1::2]))
+    else:
+        index = [(0, int(zm.group(1)))]
+    entries: dict[int, int] = {}
+    p = 0
+    for start, count in index:
+        for k in range(count):
+            if p + roww > len(payload):
+                return None, None
+            row = payload[p:p + roww]
+            p += roww
+            typ = int.from_bytes(row[:a], "big") if a else 1
+            if typ == 1:
+                off = int.from_bytes(row[a:a + b], "big")
+                if off > 0:
+                    entries[start + k] = off
+    pm = _XREF_PREV_RE.search(head)
+    return entries, (int(pm.group(1)) if pm else None)
+
+
 def _objects_via_xref(data: bytes) -> dict[int, bytes] | None:
     """Object bodies resolved XREF-FIRST (round-3 verdict item 8).
 
-    When the file ends in ``startxref`` -> a classic xref table (chained
-    through /Prev, newest entries winning), object offsets come from the
-    table — the whole-file header scan and its phantom-'N M obj'
-    ambiguity classes never run.  Every in-use entry is validated: the
-    bytes at its offset must be a matching 'num gen obj' header, else the
-    table is treated as damaged and this returns None (caller falls back
-    to the scan).  Cross-reference STREAMS (PDF 1.5 /XRef) are not
-    parsed — they return None and take the scan path, where
-    :func:`_expand_objstm` still recovers compressed objects."""
+    When the file ends in ``startxref`` -> a classic xref table OR a
+    PDF 1.5 cross-reference stream (both chained through /Prev, newest
+    entries winning), object offsets come from it — the whole-file header
+    scan and its phantom-'N M obj' ambiguity classes never run.  Every
+    in-use entry is validated: the bytes at its offset must be a matching
+    'num gen obj' header, else the table is treated as damaged and this
+    returns None (caller falls back to the scan)."""
     try:
         tail = data.rfind(b"startxref")
         if tail == -1:
@@ -176,6 +246,8 @@ def _objects_via_xref(data: bytes) -> dict[int, bytes] | None:
             if not 0 <= pos < len(data):
                 return None
             entries, prev = _parse_xref_table(data, pos)
+            if entries is None:
+                entries, prev = _parse_xref_stream(data, pos)
             if entries is None:
                 return None
             chain.append(entries)
@@ -261,7 +333,7 @@ _OBJSTM_N_RE = re.compile(rb"/N\s+(\d+)")
 _OBJSTM_FIRST_RE = re.compile(rb"/First\s+(\d+)")
 
 
-def _expand_objstm(objs: dict[int, bytes]) -> dict[int, bytes]:
+def _expand_objstm(objs: dict[int, bytes], crypt=None) -> dict[int, bytes]:
     """Inline the objects held in /ObjStm object streams (PDF 1.5+).
 
     An object stream's decompressed payload is ``N`` pairs of
@@ -272,11 +344,11 @@ def _expand_objstm(objs: dict[int, bytes]) -> dict[int, bytes]:
     definitions win on number collision (the common incremental-update
     layout keeps replacements uncompressed)."""
     extra: dict[int, bytes] = {}
-    for body in list(objs.values()):
+    for num, body in list(objs.items()):
         head = body.split(b"stream", 1)[0]
         if not _OBJSTM_TYPE_RE.search(head):
             continue
-        data = _stream_of(body)
+        data = _stream_of(body, crypt, num)
         if data is None:
             raise UnsupportedPdfError("/ObjStm without stream data")
         n_m = _OBJSTM_N_RE.search(head)
@@ -305,6 +377,205 @@ def _expand_objstm(objs: dict[int, bytes]) -> dict[int, bytes]:
     return objs
 
 
+# ---------------------------------------------------------------------------
+# Stream filters beyond Flate (ISO 32000-1 §7.4): ASCIIHex, ASCII85,
+# RunLength, LZW, and the PNG predictors used by /DecodeParms — all pure
+# stdlib.  Image codecs (DCT/JPX/CCITT/JBIG2) stay UnsupportedPdfError:
+# they carry pixels, not text, and are media territory.
+# ---------------------------------------------------------------------------
+
+
+def _ascii_hex_decode(data: bytes) -> bytes:
+    body = data.split(b">", 1)[0]
+    h = re.sub(rb"\s", b"", body)
+    if len(h) % 2:
+        h += b"0"  # spec: odd final digit implies a trailing 0
+    try:
+        return bytes.fromhex(h.decode("ascii"))
+    except (ValueError, UnicodeDecodeError) as e:
+        raise UnsupportedPdfError(f"ASCIIHex: {e}") from e
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    import base64
+
+    body = re.sub(rb"\s", b"", data)
+    if body.startswith(b"<~"):
+        body = body[2:]
+    body = body.split(b"~>", 1)[0]
+    try:
+        return base64.a85decode(body)
+    except ValueError as e:
+        raise UnsupportedPdfError(f"ASCII85: {e}") from e
+
+
+def _rle_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        l = data[i]
+        if l == 128:  # EOD
+            break
+        if l < 128:
+            out += data[i + 1:i + 2 + l]
+            i += 2 + l
+        else:
+            if i + 1 >= len(data):
+                raise UnsupportedPdfError("RunLength: truncated run")
+            out += data[i + 1:i + 2] * (257 - l)
+            i += 2
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """PDF LZWDecode (ISO 32000-1 §7.4.4): 9->12-bit codes, clear=256,
+    EOD=257, EarlyChange default 1.  Pinned against the spec's published
+    example vector in tests."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    bitbuf = bits = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        bits += 8
+        while bits >= width:
+            code = (bitbuf >> (bits - width)) & ((1 << width) - 1)
+            bits -= width
+            if code == 256:
+                table = table[:258]
+                width, prev = 9, None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code > 255:
+                    raise UnsupportedPdfError("LZW: bad first code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise UnsupportedPdfError("LZW: code beyond table")
+            out += entry
+            prev = entry
+            if len(table) + early - 1 >= (1 << width) - 1 and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _png_unpredict(data: bytes, columns: int, colors: int = 1,
+                   bpc: int = 8) -> bytes:
+    """PNG row predictors (/Predictor >= 10): None/Sub/Up/Average/Paeth.
+    Used by xref streams and occasionally by Flate content streams."""
+    bpp = max((colors * bpc + 7) // 8, 1)
+    rowlen = (columns * colors * bpc + 7) // 8
+    out = bytearray()
+    prior = bytearray(rowlen)
+    i = 0
+    while i + 1 <= len(data):
+        ft = data[i]
+        row = bytearray(data[i + 1:i + 1 + rowlen])
+        if len(row) < rowlen:
+            break  # truncated final row: keep what decoded
+        if ft == 1:  # Sub
+            for j in range(bpp, rowlen):
+                row[j] = (row[j] + row[j - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for j in range(rowlen):
+                row[j] = (row[j] + prior[j]) & 0xFF
+        elif ft == 3:  # Average
+            for j in range(rowlen):
+                left = row[j - bpp] if j >= bpp else 0
+                row[j] = (row[j] + ((left + prior[j]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for j in range(rowlen):
+                a = row[j - bpp] if j >= bpp else 0
+                b = prior[j]
+                c = prior[j - bpp] if j >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[j] = (row[j] + pred) & 0xFF
+        elif ft != 0:
+            raise UnsupportedPdfError(f"PNG predictor: bad filter {ft}")
+        out += row
+        prior = row
+        i += 1 + rowlen
+    return bytes(out)
+
+
+_FILTER_VAL_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
+_PARMS_VAL_RE = re.compile(rb"/(?:DecodeParms|DP)\s*(<<.*?>>|\[.*?\]|null)",
+                           re.DOTALL)
+_NAME_TOK_RE = re.compile(rb"/([A-Za-z0-9]+)")
+_PRED_RE = re.compile(rb"/Predictor\s+(\d+)")
+_COLUMNS_RE = re.compile(rb"/Columns\s+(\d+)")
+_COLORS_RE = re.compile(rb"/Colors\s+(\d+)")
+_BPC_RE = re.compile(rb"/BitsPerComponent\s+(\d+)")
+_EARLY_RE = re.compile(rb"/EarlyChange\s+(\d+)")
+
+_IMAGE_CODECS = {b"DCTDecode", b"DCT", b"JPXDecode", b"CCITTFaxDecode",
+                 b"CCF", b"JBIG2Decode"}
+
+
+def _decode_filters(head: bytes, raw: bytes) -> bytes:
+    """Apply the stream's /Filter chain (with per-filter /DecodeParms) to
+    ``raw``.  Raises UnsupportedPdfError for image codecs and unknown
+    filter names — fault-isolated upstream, never a crash."""
+    fm = _FILTER_VAL_RE.search(head)
+    if fm is None:
+        raise UnsupportedPdfError("unparseable /Filter value")
+    names = _NAME_TOK_RE.findall(fm.group(1))
+    pm = _PARMS_VAL_RE.search(head)
+    parms: list[bytes] = []
+    if pm is not None:
+        v = pm.group(1)
+        if v.startswith(b"["):
+            # array form: one null-or-dict per filter; split coarsely
+            parms = re.findall(rb"<<.*?>>|null", v[1:-1], re.DOTALL)
+        else:
+            parms = [v]
+    data = raw
+    for i, name in enumerate(names):
+        if name in _IMAGE_CODECS:
+            raise UnsupportedPdfError(f"image codec filter /{name.decode()}")
+        p = parms[i] if i < len(parms) else b""
+        if name == b"FlateDecode" or name == b"Fl":
+            try:
+                data = zlib.decompressobj().decompress(data)
+            except zlib.error as e:
+                raise UnsupportedPdfError(f"flate error: {e}") from e
+        elif name == b"LZWDecode" or name == b"LZW":
+            em = _EARLY_RE.search(p)
+            data = _lzw_decode(data, int(em.group(1)) if em else 1)
+        elif name == b"ASCIIHexDecode" or name == b"AHx":
+            data = _ascii_hex_decode(data)
+        elif name == b"ASCII85Decode" or name == b"A85":
+            data = _ascii85_decode(data)
+        elif name == b"RunLengthDecode" or name == b"RL":
+            data = _rle_decode(data)
+        elif name == b"Crypt":
+            raise UnsupportedPdfError("Crypt filter")
+        else:
+            raise UnsupportedPdfError(f"unknown filter /{name.decode()}")
+        prm = _PRED_RE.search(p)
+        if prm and int(prm.group(1)) >= 10:
+            cm = _COLUMNS_RE.search(p)
+            com = _COLORS_RE.search(p)
+            bm = _BPC_RE.search(p)
+            data = _png_unpredict(
+                data, int(cm.group(1)) if cm else 1,
+                int(com.group(1)) if com else 1,
+                int(bm.group(1)) if bm else 8)
+        elif prm and int(prm.group(1)) not in (1,):
+            raise UnsupportedPdfError("TIFF predictor")
+    return data
+
+
 def _strip_one_eol(b: bytes) -> bytes:
     """Remove the single EOL the spec places before 'endstream' — never
     more: stream DATA may itself end in 0x0A/0x0D bytes (a compressed
@@ -316,33 +587,279 @@ def _strip_one_eol(b: bytes) -> bytes:
     return b
 
 
-def _stream_of(obj_body: bytes) -> bytes | None:
+def _stream_of(obj_body: bytes, crypt=None, num: int = 0,
+               gen: int = 0) -> bytes | None:
     m = _STREAM_RE.match(obj_body)
     if not m:
         return None
     head, rest = m.group(1), m.group(2)
     end = rest.rfind(b"endstream")
     raw = rest[:end if end >= 0 else len(rest)]
+    if crypt is not None:
+        # slice the EXACT encrypted payload (literal /Length, else strip
+        # the structural pre-endstream EOL) before the stream cipher runs
+        lnm = _LENGTH_LIT_RE.search(head)
+        raw = (raw[:int(lnm.group(1))] if lnm else _strip_one_eol(raw))
+        raw = crypt.decrypt(num, gen, raw)
+        if b"/Filter" in head:
+            return _decode_filters(head, raw)
+        return raw
     if b"/Filter" in head:
-        if b"/FlateDecode" not in head:
-            raise UnsupportedPdfError("non-Flate stream filter")
-        try:
-            # decompressobj stops at the deflate end marker and ignores the
-            # trailing pre-endstream EOL, whatever byte the data ends with
-            return zlib.decompressobj().decompress(raw)
-        except zlib.error as e:  # corrupt stream: isolate, don't kill the doc
-            raise UnsupportedPdfError(f"flate error: {e}") from e
+        # self-terminating filters (Flate's end marker, Hex/85's '>'/'~>',
+        # RunLength's EOD) ignore the trailing pre-endstream EOL; LZW-first
+        # chains get it stripped explicitly
+        if re.search(rb"/Filter\s*(?:\[\s*)?/(?:LZWDecode|LZW)\b", head):
+            raw = _strip_one_eol(raw)
+        return _decode_filters(head, raw)
     return _strip_one_eol(raw)
 
 
-def _page_streams(data: bytes) -> list[tuple[bytes, float]]:
-    """[(content_stream, page_height), ...] in page order.
+# ---------------------------------------------------------------------------
+# Encryption: the RC4 standard security handler (ISO 32000-1 §7.6.3,
+# /V 1|2, /R 2|3) with an EMPTY user password — the "encrypted but
+# readable by anyone" files common in the wild.  Pure stdlib (hashlib.md5
+# + a 15-line RC4).  AES (/V 4|5) and genuinely password-protected files
+# stay UnsupportedPdfError -> parse-failure spans.
+# ---------------------------------------------------------------------------
+
+_PW_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+_ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+\d+\s+R")
+_ID_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>")
+_STRTOK_RE_T = rb"(\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>)"
+_O_RE = re.compile(rb"/O\s*" + _STRTOK_RE_T, re.DOTALL)
+_U_RE = re.compile(rb"/U\s*" + _STRTOK_RE_T, re.DOTALL)
+_P_RE = re.compile(rb"/P\s+(-?\d+)")
+_V_RE = re.compile(rb"/V\s+(\d+)")
+_R_RE = re.compile(rb"/R\s+(\d+)")
+_KEYLEN_RE = re.compile(rb"/Length\s+(\d+)")
+_FILTER_STD_RE = re.compile(rb"/Filter\s*/Standard")
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    S = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + S[i] + key[i % len(key)]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray()
+    i = j = 0
+    for c in data:
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out.append(c ^ S[(S[i] + S[j]) & 0xFF])
+    return bytes(out)
+
+
+def _strtok_bytes(tok: bytes) -> bytes:
+    return _literal_bytes(tok) if tok[:1] == b"(" else _hex_bytes(tok)
+
+
+class _Rc4Crypt:
+    """Per-object RC4 decryptor for the standard handler (empty user pw)."""
+
+    def __init__(self, key: bytes):
+        self._key = key
+
+    def decrypt(self, num: int, gen: int, data: bytes) -> bytes:
+        import hashlib
+
+        ok = hashlib.md5(
+            self._key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+        ).digest()[:min(len(self._key) + 5, 16)]
+        return _rc4(ok, data)
+
+
+def _encryption(data: bytes, objs: dict[int, bytes]) -> _Rc4Crypt | None:
+    """Trailer /Encrypt -> verified empty-user-password RC4 decryptor, or
+    None when the file is not encrypted.  Raises UnsupportedPdfError for
+    AES revisions, non-Standard handlers, and real passwords."""
+    import hashlib
+    import struct
+
+    em = None
+    for em_ in _ENCRYPT_REF_RE.finditer(data):
+        em = em_  # last wins: incremental updates append newer trailers
+    if em is None:
+        return None
+    enc = objs.get(int(em.group(1)))
+    if enc is None:
+        raise UnsupportedPdfError("/Encrypt object missing")
+    head = enc.split(b"stream", 1)[0]
+    if not _FILTER_STD_RE.search(head):
+        raise UnsupportedPdfError("non-Standard security handler")
+    vm, rm = _V_RE.search(head), _R_RE.search(head)
+    v = int(vm.group(1)) if vm else 0
+    r = int(rm.group(1)) if rm else 2
+    if v not in (1, 2) or r not in (2, 3):
+        raise UnsupportedPdfError(f"encryption V={v} R={r} (AES?) unsupported")
+    om, um, pm = _O_RE.search(head), _U_RE.search(head), _P_RE.search(head)
+    if not (om and um and pm):
+        raise UnsupportedPdfError("incomplete /Encrypt dictionary")
+    o = _strtok_bytes(om.group(1))
+    u = _strtok_bytes(um.group(1))
+    p = int(pm.group(1))
+    km = _KEYLEN_RE.search(head)
+    nbytes = (int(km.group(1)) if km and v == 2 else 40) // 8
+    idm = _ID_RE.search(data)
+    id0 = bytes.fromhex(
+        re.sub(rb"\s", b"", idm.group(1)).decode("ascii")) if idm else b""
+    key = hashlib.md5(
+        _PW_PAD + o[:32] + struct.pack("<i", p) + id0).digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:nbytes]).digest()
+    key = key[:nbytes]
+    # verify the EMPTY user password against /U
+    if r == 2:
+        ok = _rc4(key, _PW_PAD) == u[:32]
+    else:
+        x = hashlib.md5(_PW_PAD + id0).digest()
+        x = _rc4(key, x)
+        for i in range(1, 20):
+            x = _rc4(bytes(b ^ i for b in key), x)
+        ok = x == u[:16]
+    if not ok:
+        raise UnsupportedPdfError("password-protected PDF")
+    return _Rc4Crypt(key)
+
+
+# ---------------------------------------------------------------------------
+# CID/Type0 text (ISO 32000-1 §9.7): composite fonts show 2-byte glyph
+# codes; the embedded /ToUnicode CMap (bfchar/bfrange) maps them to text.
+# Simple fonts with a /ToUnicode map get per-byte mapping the same way.
+# ---------------------------------------------------------------------------
+
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_HEX_OR_BRACKET_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>|(\[)|(\])")
+_TYPE0_RE = re.compile(rb"/Subtype\s*/Type0\b")
+_TOUNI_REF_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_RES_REF_RE = re.compile(rb"/Resources\s+(\d+)\s+\d+\s+R")
+_FONTDICT_INLINE_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.DOTALL)
+_FONTDICT_REF_RE = re.compile(rb"/Font\s+(\d+)\s+\d+\s+R")
+_FONTREF_RE = re.compile(rb"/([^\s/\[\]()<>{}]+)\s+(\d+)\s+\d+\s+R")
+
+
+def _u16(hexbytes: bytes) -> str:
+    b = bytes.fromhex(re.sub(rb"\s", b"", hexbytes).decode("ascii"))
+    return b.decode("utf-16-be", "replace")
+
+
+def _parse_tounicode(cmap: bytes) -> dict[int, str]:
+    """/ToUnicode CMap -> {glyph code: unicode string}.  Handles bfchar
+    pairs and both bfrange forms (dst-start increment, dst array)."""
+    out: dict[int, str] = {}
+    for sec in _BFCHAR_RE.findall(cmap):
+        toks = [m.group(1) for m in _HEX_OR_BRACKET_RE.finditer(sec)
+                if m.group(1) is not None]
+        for i in range(0, len(toks) - 1, 2):
+            src = int(re.sub(rb"\s", b"", toks[i]) or b"0", 16)
+            out[src] = _u16(toks[i + 1])
+    for sec in _BFRANGE_RE.findall(cmap):
+        toks = list(_HEX_OR_BRACKET_RE.finditer(sec))
+        i = 0
+        while i + 2 < len(toks):
+            if toks[i].group(1) is None or toks[i + 1].group(1) is None:
+                break  # malformed row: stop rather than misalign
+            lo = int(re.sub(rb"\s", b"", toks[i].group(1)) or b"0", 16)
+            hi = int(re.sub(rb"\s", b"", toks[i + 1].group(1)) or b"0", 16)
+            if hi < lo or hi - lo > 0x10000:
+                break
+            nxt = toks[i + 2]
+            if nxt.group(2) is not None:
+                # [ <dst> <dst> ... ] — one destination per code
+                j = i + 3
+                code = lo
+                while j < len(toks) and toks[j].group(3) is None:
+                    if toks[j].group(1) is not None and code <= hi:
+                        out[code] = _u16(toks[j].group(1))
+                        code += 1
+                    j += 1
+                i = j + 1
+            elif nxt.group(1) is not None:
+                start = _u16(nxt.group(1))
+                for k in range(hi - lo + 1):
+                    if start:
+                        out[lo + k] = start[:-1] + chr(ord(start[-1]) + k)
+                i += 3
+            else:
+                break
+    return out
+
+
+def _page_fonts(head: bytes, objs: dict[int, bytes],
+                crypt=None) -> dict[str, dict]:
+    """Resolve a page's /Resources /Font dict -> {name: {two_byte, map}}.
+    Only fonts that NEED special decoding (Type0 or ToUnicode-mapped) are
+    returned; absent fonts keep the default latin-1 byte semantics."""
+    res = head
+    rm = _RES_REF_RE.search(head)
+    if rm and int(rm.group(1)) in objs:
+        res = objs[int(rm.group(1))]
+    fm = _FONTDICT_INLINE_RE.search(res)
+    if fm:
+        body = fm.group(1)
+    else:
+        fr = _FONTDICT_REF_RE.search(res)
+        body = objs.get(int(fr.group(1))) if fr else None
+    if not body:
+        return {}
+    fonts: dict[str, dict] = {}
+    for name, ref in _FONTREF_RE.findall(body):
+        fobj = objs.get(int(ref))
+        if fobj is None:
+            continue
+        fhead = fobj.split(b"stream", 1)[0]
+        two = _TYPE0_RE.search(fhead) is not None
+        umap = None
+        tm = _TOUNI_REF_RE.search(fhead)
+        if tm and int(tm.group(1)) in objs:
+            try:
+                s = _stream_of(objs[int(tm.group(1))], crypt,
+                               int(tm.group(1)))
+            except UnsupportedPdfError:
+                s = None
+            if s:
+                umap = _parse_tounicode(s)
+        if two or umap:
+            fonts[name.decode("latin-1", "replace")] = {
+                "two_byte": two, "map": umap}
+    return fonts
+
+
+def _text_of_bytes(b: bytes, font: dict | None) -> str:
+    """Shown-string bytes -> text under the current font's semantics."""
+    if font is None:
+        return b.decode("latin-1")
+    if font["two_byte"]:
+        if len(b) % 2:
+            b += b"\x00"
+        m = font["map"]
+        return "".join(
+            (m.get(c) if m else None) or chr(c)
+            for c in ((b[i] << 8) | b[i + 1] for i in range(0, len(b), 2))
+        )
+    m = font["map"]
+    return "".join((m.get(c) if m else None) or chr(c) for c in b)
+
+
+def _page_streams(data: bytes) -> list[tuple[bytes, float, dict]]:
+    """[(content_stream, page_height, special_fonts), ...] in page order.
+    ``special_fonts`` is :func:`_page_fonts`'s map for fonts needing
+    non-latin-1 decode (Type0 / ToUnicode); empty for simple pages.
 
     Page ORDER comes from the page tree's /Kids array (the authoritative
     source — object numbers need not be in page order: incremental updates
     and some generators emit them shuffled); object-number order is only
     the fallback when no /Kids array is present."""
-    objs = _expand_objstm(_objects(data))
+    objs = _objects(data)
+    crypt = _encryption(data, objs)  # raises for AES / real passwords
+    objs = _expand_objstm(objs, crypt)
     page_dicts: dict[int, bytes] = {}
     for num, body in objs.items():
         head = body.split(b"stream", 1)[0]
@@ -365,7 +882,7 @@ def _page_streams(data: bytes) -> list[tuple[bytes, float]]:
             raise UnsupportedPdfError("/ObjStm present but no page objects "
                                       "recovered from it")
         raise UnsupportedPdfError("no /Page objects found")
-    out: list[tuple[bytes, float]] = []
+    out: list[tuple[bytes, float, dict]] = []
     for _, head in pages:
         mb = _MEDIABOX_RE.search(head) or _MEDIABOX_RE.search(data)
         height = 792.0
@@ -385,10 +902,14 @@ def _page_streams(data: bytes) -> list[tuple[bytes, float]]:
         parts = []
         for n in content_nums:
             if n in objs:
-                s = _stream_of(objs[n])
+                s = _stream_of(objs[n], crypt, n)
                 if s is not None:
                     parts.append(s)
-        out.append((b"\n".join(parts), height))
+        try:
+            fonts = _page_fonts(head, objs, crypt)
+        except Exception:  # noqa: BLE001 — hostile bytes: fonts are optional
+            fonts = {}
+        out.append((b"\n".join(parts), height, fonts))
     return out
 
 
@@ -402,10 +923,21 @@ def _num(tok: bytes) -> float | None:
     return float(tok) if _NUM_RE.fullmatch(tok) else None
 
 
-def _extract_page_blocks(content: bytes, height: float, page: int) -> list[dict]:
-    """One page's content stream -> block dicts (text blocks + media)."""
+def _extract_page_blocks(content: bytes, height: float, page: int,
+                         fonts: dict | None = None) -> list[dict]:
+    """One page's content stream -> block dicts (text blocks + media).
+
+    ``fonts`` (from :func:`_page_fonts`) carries the page's Type0/
+    ToUnicode-mapped fonts; shown strings under such a font decode
+    through :func:`_text_of_bytes` (2-byte CID grouping + CMap), all
+    other text keeps the simple-font latin-1 byte semantics."""
     blocks: list[dict] = []
     font_size = 12.0
+    cur_special: dict | None = None  # active font's decode info, if special
+
+    def dec(tok: bytes) -> str:
+        b = _literal_bytes(tok) if tok[:1] == b"(" else _hex_bytes(tok)
+        return _text_of_bytes(b, cur_special)
     # text state inside BT..ET
     in_text = False
     tx = ty = 0.0
@@ -462,6 +994,11 @@ def _extract_page_blocks(content: bytes, height: float, page: int) -> list[dict]
             elif op == b"Tf":
                 if stack and (sz := _num(stack[-1])) is not None:
                     font_size = sz
+                if fonts and len(stack) >= 2 and stack[-2][:1] == b"/":
+                    cur_special = fonts.get(
+                        stack[-2][1:].decode("latin-1", "replace"))
+                elif fonts:
+                    cur_special = None
             elif op in (b"Td", b"TD"):
                 if len(stack) >= 2:
                     dx, dy = _num(stack[-2]), _num(stack[-1])
@@ -496,22 +1033,15 @@ def _extract_page_blocks(content: bytes, height: float, page: int) -> list[dict]
                 tx, ty = line_x, line_y
             elif op == b"Tj":
                 if in_text and stack and stack[-1][:1] in b"(<":
-                    s = stack[-1]
-                    show(_decode_literal(s) if s[:1] == b"(" else _decode_hex(s))
+                    show(dec(stack[-1]))
             elif op in (b"'", b'"'):
                 line_y -= leading if leading else font_size * 1.2
                 tx, ty = line_x, line_y
                 if in_text and stack and stack[-1][:1] in b"(<":
-                    s = stack[-1]
-                    show(" " + (_decode_literal(s) if s[:1] == b"(" else _decode_hex(s)))
+                    show(" " + dec(stack[-1]))
             elif op == b"TJ":
                 if in_text:
-                    parts = []
-                    for s in stack:
-                        if s[:1] == b"(":
-                            parts.append(_decode_literal(s))
-                        elif s[:1] == b"<":
-                            parts.append(_decode_hex(s))
+                    parts = [dec(s) for s in stack if s[:1] in b"(<"]
                     if parts:
                         show("".join(parts))
             elif op == b"Do":
@@ -555,11 +1085,9 @@ def extract_pdf_text(data: bytes) -> list[dict]:
     """
     if not data.startswith(b"%PDF-"):
         raise UnsupportedPdfError("missing %PDF header")
-    if b"/Encrypt" in data:
-        raise UnsupportedPdfError("encrypted PDF")
     blocks: list[dict] = []
-    for i, (content, h) in enumerate(_page_streams(data)):
-        blocks.extend(_extract_page_blocks(content, h, i + 1))
+    for i, (content, h, fonts) in enumerate(_page_streams(data)):
+        blocks.extend(_extract_page_blocks(content, h, i + 1, fonts))
     return blocks
 
 

@@ -73,10 +73,11 @@ def rasterize_minimal(data: bytes, page_width: int = 612) -> list[np.ndarray]:
     from .pdf_min import _extract_page_blocks, _page_streams
 
     pages: list[np.ndarray] = []
-    for pageno, (content, height) in enumerate(_page_streams(bytes(data)), 1):
+    for pageno, (content, height, fonts) in enumerate(
+            _page_streams(bytes(data)), 1):
         page = np.full((max(int(height), 16), page_width), 255, dtype=np.uint8)
         media_n = 0
-        for b in _extract_page_blocks(content, height, pageno):
+        for b in _extract_page_blocks(content, height, pageno, fonts):
             if b["kind"] == "media":
                 _render_payload(page, page_width - 2 - _MEDIA_W,
                                 2 + media_n * (_MEDIA_H + 4),

@@ -566,3 +566,455 @@ class TestXrefFirst:
                                    objstm=True)
         via = _objects_via_xref(packed)
         assert via is not None          # ObjStm members are free rows now
+
+
+def _assemble_pdf(objs: dict, damage_xref: bool = False) -> bytes:
+    """Assemble a spec-valid PDF (objects + classic xref + trailer)."""
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for n in sorted(objs):
+        offsets[n] = len(out)
+        out += b"%d 0 obj\n" % n + objs[n] + b"\nendobj\n"
+    xref_at = len(out)
+    maxn = max(objs)
+    out += b"xref\n0 %d\n" % (maxn + 1) + b"0000000000 65535 f \n"
+    for n in range(1, maxn + 1):
+        out += (b"%010d 00000 n \n" % offsets[n] if n in objs
+                else b"0000000000 65535 f \n")
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (maxn + 1, xref_at))
+    return bytes(out)
+
+
+def _one_page_objs(content_obj: bytes) -> dict:
+    return {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        3: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        4: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>"),
+        5: content_obj,
+    }
+
+
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """Known-good naive LZW encoder (test-side twin of _lzw_decode)."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    codes = [(256, width)]
+    w = b""
+    n_emitted = 0
+
+    def bump(wd: int, emitted: int) -> int:
+        # decoder table length after `emitted` data codes = 258+(emitted-1)
+        if emitted >= 1 and (258 + emitted - 1) + early - 1 >= (1 << wd) - 1 \
+                and wd < 12:
+            return wd + 1
+        return wd
+
+    for b in data:
+        c = bytes([b])
+        if w + c in table:
+            w += c
+            continue
+        codes.append((table[w], width))
+        n_emitted += 1
+        width = bump(width, n_emitted)
+        table[w + c] = next_code
+        next_code += 1
+        w = c
+    if w:
+        codes.append((table[w], width))
+        n_emitted += 1
+        width = bump(width, n_emitted)
+    codes.append((257, width))
+    bits = "".join(format(code, f"0{wd}b") for code, wd in codes)
+    bits += "0" * (-len(bits) % 8)
+    return bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+
+
+class TestStreamFilters:
+    """ISO 32000-1 §7.4 filters beyond Flate (round-3 'What's missing' #3):
+    ASCIIHex / ASCII85 / RunLength / LZW content streams and filter
+    chains decode; image codecs stay fault-isolated."""
+
+    OPS = b"BT /F1 12 Tf 1 0 0 1 50 700 Tm (filter works) Tj ET"
+
+    def _extract(self, content_obj: bytes):
+        from pdf_extraction_tests_spark.sources.pdf_min import (
+            extract_pdf_text)
+
+        blocks = extract_pdf_text(_assemble_pdf(_one_page_objs(content_obj)))
+        return [b["text"] for b in blocks if b["kind"] == "text_block"]
+
+    def test_ascii_hex(self):
+        enc = self.OPS.hex().encode() + b">"
+        obj = (b"<< /Length %d /Filter /ASCIIHexDecode >>\nstream\n" % len(enc)
+               + enc + b"\nendstream")
+        assert self._extract(obj) == ["filter works"]
+
+    def test_ascii85(self):
+        import base64
+
+        enc = base64.a85encode(self.OPS) + b"~>"
+        obj = (b"<< /Length %d /Filter /ASCII85Decode >>\nstream\n" % len(enc)
+               + enc + b"\nendstream")
+        assert self._extract(obj) == ["filter works"]
+
+    def test_run_length(self):
+        # encode: literal runs of <=128 bytes + EOD
+        enc = bytearray()
+        for i in range(0, len(self.OPS), 96):
+            chunk = self.OPS[i:i + 96]
+            enc += bytes([len(chunk) - 1]) + chunk
+        enc.append(128)
+        obj = (b"<< /Length %d /Filter /RunLengthDecode >>\nstream\n"
+               % len(enc) + bytes(enc) + b"\nendstream")
+        assert self._extract(obj) == ["filter works"]
+
+    def test_run_length_repeats(self):
+        from pdf_extraction_tests_spark.sources.pdf_min import _rle_decode
+
+        assert _rle_decode(bytes([254, 65, 0, 66, 128])) == b"AAAB"
+
+    def test_lzw_content_stream(self):
+        enc = _lzw_encode(self.OPS)
+        obj = (b"<< /Length %d /Filter /LZWDecode >>\nstream\n" % len(enc)
+               + enc + b"\nendstream")
+        assert self._extract(obj) == ["filter works"]
+
+    def test_lzw_roundtrip_with_width_growth(self):
+        from pdf_extraction_tests_spark.sources.pdf_min import _lzw_decode
+
+        # ~6 KB of semi-repetitive text forces the table past 512 and 1024
+        payload = (b"the quick brown fox jumps over the lazy dog 0123456789 "
+                   * 120)
+        assert _lzw_decode(_lzw_encode(payload)) == payload
+        # spec example: b'-----A---B' (ISO 32000-1 §7.4.4.2 sample data)
+        sample = bytes([45, 45, 45, 45, 45, 65, 45, 45, 45, 66])
+        assert _lzw_decode(_lzw_encode(sample)) == sample
+
+    def test_filter_chain_hex_then_flate(self):
+        import zlib
+
+        enc = zlib.compress(self.OPS).hex().encode() + b">"
+        obj = (b"<< /Length %d /Filter [/ASCIIHexDecode /FlateDecode] >>"
+               b"\nstream\n" % len(enc) + enc + b"\nendstream")
+        assert self._extract(obj) == ["filter works"]
+
+    def test_flate_with_png_predictor(self):
+        import zlib
+
+        # predictor 12 (PNG Up), columns 8: forward-transform then inflate
+        cols = 8
+        data = self.OPS + b" " * (-len(self.OPS) % cols)
+        rows = [data[i:i + cols] for i in range(0, len(data), cols)]
+        enc_rows = bytearray()
+        prior = bytes(cols)
+        for r in rows:
+            enc_rows += bytes([2]) + bytes((r[j] - prior[j]) & 0xFF
+                                           for j in range(cols))
+            prior = r
+        z = zlib.compress(bytes(enc_rows))
+        obj = (b"<< /Length %d /Filter /FlateDecode /DecodeParms "
+               b"<< /Predictor 12 /Columns 8 >> >>\nstream\n" % len(z)
+               + z + b"\nendstream")
+        assert self._extract(obj) == ["filter works"]
+
+    def test_image_codec_filter_fault_isolates(self):
+        from pdf_extraction_tests_spark.sources.binary_docs import (
+            bytes_to_spans)
+
+        obj = (b"<< /Length 4 /Filter /DCTDecode >>\nstream\n\xff\xd8\xff\xe0"
+               b"\nendstream")
+        data = _assemble_pdf(_one_page_objs(obj))
+        spans = bytes_to_spans(data)
+        assert [s["text"] for s in spans] == ["UNSUPPORTED_BINARY"]
+
+    def test_paeth_and_sub_predictors_roundtrip(self):
+        import numpy as np
+
+        from pdf_extraction_tests_spark.sources.pdf_min import _png_unpredict
+
+        rng = np.random.default_rng(7)
+        cols = 5
+        raw = rng.integers(0, 256, size=30, dtype=np.uint8).tobytes()
+        rows = [bytearray(raw[i:i + cols]) for i in range(0, 30, cols)]
+        enc = bytearray()
+        prior = bytearray(cols)
+        for ft, row in zip([1, 4, 0, 2, 3, 4], rows):
+            e = bytearray(row)
+            for j in reversed(range(cols)):
+                a = row[j - 1] if j >= 1 else 0
+                b = prior[j]
+                c = prior[j - 1] if j >= 1 else 0
+                if ft == 1:
+                    e[j] = (row[j] - a) & 0xFF
+                elif ft == 2:
+                    e[j] = (row[j] - b) & 0xFF
+                elif ft == 3:
+                    e[j] = (row[j] - ((a + b) >> 1)) & 0xFF
+                elif ft == 4:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    e[j] = (row[j] - pred) & 0xFF
+            enc += bytes([ft]) + bytes(e)
+            prior = row
+        assert _png_unpredict(bytes(enc), columns=cols) == raw
+
+
+class TestXrefStream:
+    """PDF 1.5 cross-reference STREAMS (/Type /XRef, W-packed binary rows,
+    optionally Flate + PNG predictor) resolve offsets xref-first too."""
+
+    @staticmethod
+    def _build(predictor: bool, damage: bool = False) -> bytes:
+        import zlib
+
+        objs = _one_page_objs(
+            b"<< /Length 66 >>\nstream\n"
+            b"BT /F1 12 Tf 1 0 0 1 50 700 Tm (xref stream works) Tj ET"
+            b"\nendstream")
+        out = bytearray(b"%PDF-1.5\n")
+        offsets = {}
+        for n in sorted(objs):
+            offsets[n] = len(out)
+            out += b"%d 0 obj\n" % n + objs[n] + b"\nendobj\n"
+        xref_at = len(out)
+        offsets[6] = xref_at
+        rows = bytearray()
+        rows += bytes([0]) + (0).to_bytes(2, "big") + bytes([255])  # obj 0 free
+        for n in range(1, 7):
+            off = offsets[n]
+            if damage and n == 5:
+                off += 3  # lie about the content stream's position
+            rows += bytes([1]) + off.to_bytes(2, "big") + bytes([0])
+        if predictor:
+            cols = 4
+            enc = bytearray()
+            prior = bytes(cols)
+            for i in range(0, len(rows), cols):
+                r = rows[i:i + cols]
+                enc += bytes([2]) + bytes((r[j] - prior[j]) & 0xFF
+                                          for j in range(cols))
+                prior = r
+            payload = zlib.compress(bytes(enc))
+            extra = b" /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 4 >>"
+        else:
+            payload = bytes(rows)
+            extra = b""
+        out += (b"6 0 obj\n<< /Type /XRef /Size 7 /W [1 2 1] /Index [0 7] "
+                b"/Root 1 0 R /Length %d%s >>\nstream\n" % (len(payload), extra)
+                + payload + b"\nendstream\nendobj\n")
+        out += b"startxref\n%d\n%%%%EOF\n" % xref_at
+        return bytes(out)
+
+    @pytest.mark.parametrize("predictor", [False, True])
+    def test_decodes_via_xref_stream(self, predictor):
+        from pdf_extraction_tests_spark.sources.pdf_min import (
+            _objects_via_xref, extract_pdf_text)
+
+        data = self._build(predictor)
+        via = _objects_via_xref(data)
+        assert via is not None and set(via) >= {1, 2, 3, 4, 5}
+        blocks = extract_pdf_text(data)
+        assert [b["text"] for b in blocks
+                if b["kind"] == "text_block"] == ["xref stream works"]
+
+    def test_damaged_stream_falls_back_to_scan(self):
+        from pdf_extraction_tests_spark.sources.pdf_min import (
+            _objects_via_xref, extract_pdf_text)
+
+        data = self._build(predictor=True, damage=True)
+        assert _objects_via_xref(data) is None
+        blocks = extract_pdf_text(data)
+        assert [b["text"] for b in blocks
+                if b["kind"] == "text_block"] == ["xref stream works"]
+
+
+class TestType0ToUnicode:
+    """CID/Type0 composite-font text (round-3 'What's missing' #3): 2-byte
+    glyph codes decode through the embedded /ToUnicode CMap — bfchar,
+    both bfrange forms, and the simple-font ToUnicode case."""
+
+    CMAP = (b"/CIDInit /ProcSet findresource begin\n"
+            b"begincmap\n"
+            b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+            b"2 beginbfchar\n"
+            b"<0003> <0043>\n"          # 3 -> 'C'
+            b"<0004> <0049>\n"          # 4 -> 'I'
+            b"endbfchar\n"
+            b"1 beginbfrange\n"
+            b"<0010> <0012> <0044>\n"   # 16,17,18 -> 'D','E','F'
+            b"endbfrange\n"
+            b"1 beginbfrange\n"
+            b"<0020> <0021> [<0074006500780074> <0021>]\n"  # 32->'text' 33->'!'
+            b"endbfrange\n"
+            b"endcmap end\n")
+
+    def _pdf(self) -> bytes:
+        # shows <0003 0004 0010 0020 0021> = 'C' 'I' 'D' 'text' '!'
+        ops = (b"BT /F1 12 Tf 1 0 0 1 50 700 Tm "
+               b"<00030004001000200021> Tj ET")
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+            3: (b"<< /Type /Font /Subtype /Type0 /BaseFont /Fake-Identity-H "
+                b"/Encoding /Identity-H /ToUnicode 6 0 R >>"),
+            4: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>"),
+            5: (b"<< /Length %d >>\nstream\n" % len(ops) + ops
+                + b"\nendstream"),
+            6: (b"<< /Length %d >>\nstream\n" % len(self.CMAP) + self.CMAP
+                + b"\nendstream"),
+        }
+        return _assemble_pdf(objs)
+
+    def test_cid_text_decodes_via_tounicode(self):
+        from pdf_extraction_tests_spark.sources.pdf_min import (
+            extract_pdf_text)
+
+        blocks = extract_pdf_text(self._pdf())
+        texts = [b["text"] for b in blocks if b["kind"] == "text_block"]
+        assert texts == ["CIDtext!"]
+
+    def test_unmapped_code_falls_back_to_chr(self):
+        from pdf_extraction_tests_spark.sources.pdf_min import _text_of_bytes
+
+        font = {"two_byte": True, "map": {3: "C"}}
+        assert _text_of_bytes(b"\x00\x03\x00\x41", font) == "CA"
+
+    def test_simple_font_with_tounicode_maps_per_byte(self):
+        from pdf_extraction_tests_spark.sources.pdf_min import _text_of_bytes
+
+        font = {"two_byte": False, "map": {0x41: "Α"}}  # A -> Alpha
+        assert _text_of_bytes(b"AB", font) == "ΑB"
+
+    def test_parse_tounicode_bfrange_increment(self):
+        from pdf_extraction_tests_spark.sources.pdf_min import (
+            _parse_tounicode)
+
+        m = _parse_tounicode(self.CMAP)
+        assert m[0x10] == "D" and m[0x11] == "E" and m[0x12] == "F"
+        assert m[0x20] == "text" and m[0x21] == "!"
+
+    def test_fonts_do_not_disturb_simple_pages(self):
+        from pdf_extraction_tests_spark.sources.pdf_min import (
+            extract_pdf_text, write_minimal_pdf)
+
+        data = write_minimal_pdf([[("text", 10, 10, 12, "plain ok")]])
+        assert [b["text"] for b in extract_pdf_text(data)
+                if b["kind"] == "text_block"] == ["plain ok"]
+
+
+class TestRc4Encryption:
+    """RC4 standard-security-handler PDFs (V1/R2 40-bit and V2/R3 128-bit)
+    with an empty user password decode end to end; AES revisions and real
+    passwords fault-isolate as parse failures."""
+
+    @staticmethod
+    def _encrypt_build(r: int = 3, keybits: int = 128,
+                       user_pw: bytes = b"") -> bytes:
+        """Spec-faithful test-side encryptor (ISO 32000-1 §7.6.3): builds
+        a one-page PDF whose streams are RC4-encrypted per object."""
+        import hashlib
+        import struct
+
+        from pdf_extraction_tests_spark.sources.pdf_min import (
+            _PW_PAD, _rc4)
+
+        def pad(pw: bytes) -> bytes:
+            return (pw + _PW_PAD)[:32]
+
+        nbytes = keybits // 8 if r == 3 else 5
+        id0 = bytes(range(16))
+        p = -44
+
+        # /O from an EMPTY owner password (falls back to user pw rules)
+        h = hashlib.md5(pad(b"")).digest()
+        if r == 3:
+            for _ in range(50):
+                h = hashlib.md5(h).digest()
+        okey = h[:nbytes]
+        o = _rc4(okey, pad(user_pw))
+        if r == 3:
+            for i in range(1, 20):
+                o = _rc4(bytes(b ^ i for b in okey), o)
+
+        key = hashlib.md5(
+            pad(user_pw) + o + struct.pack("<i", p) + id0).digest()
+        if r == 3:
+            for _ in range(50):
+                key = hashlib.md5(key[:nbytes]).digest()
+        key = key[:nbytes]
+
+        if r == 2:
+            u = _rc4(key, _PW_PAD)
+        else:
+            u = hashlib.md5(_PW_PAD + id0).digest()
+            u = _rc4(key, u)
+            for i in range(1, 20):
+                u = _rc4(bytes(b ^ i for b in key), u)
+            u += b"\x00" * 16
+
+        def objkey(num: int) -> bytes:
+            return hashlib.md5(
+                key + num.to_bytes(3, "little") + (0).to_bytes(2, "little")
+            ).digest()[:min(nbytes + 5, 16)]
+
+        import zlib
+        ops = (b"BT /F1 12 Tf 1 0 0 1 50 700 Tm (rc4 secret text) Tj ET")
+        z = zlib.compress(ops)
+        enc_stream = _rc4(objkey(5), z)
+        esc = lambda b: (b.replace(b"\\", rb"\\").replace(b"(", rb"\(")  # noqa: E731
+                         .replace(b")", rb"\)").replace(b"\r", rb"\r"))
+        v = 2 if r == 3 else 1
+        length_entry = b" /Length %d" % keybits if r == 3 else b""
+        objs = _one_page_objs(
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(enc_stream)
+            + enc_stream + b"\nendstream")
+        objs[7] = (b"<< /Filter /Standard /V %d /R %d%s /O (%s) /U (%s) "
+                   b"/P %d >>" % (v, r, length_entry, esc(o), esc(u), p))
+        out = bytearray(b"%PDF-1.4\n")
+        offsets = {}
+        for n in sorted(objs):
+            offsets[n] = len(out)
+            out += b"%d 0 obj\n" % n + objs[n] + b"\nendobj\n"
+        xref_at = len(out)
+        maxn = max(objs)
+        out += b"xref\n0 %d\n" % (maxn + 1) + b"0000000000 65535 f \n"
+        for n in range(1, maxn + 1):
+            out += (b"%010d 00000 n \n" % offsets[n] if n in offsets
+                    else b"0000000000 65535 f \n")
+        out += (b"trailer\n<< /Size %d /Root 1 0 R /Encrypt 7 0 R "
+                b"/ID [<%s> <%s>] >>\nstartxref\n%d\n%%%%EOF\n"
+                % (maxn + 1, id0.hex().encode(), id0.hex().encode(), xref_at))
+        return bytes(out)
+
+    @pytest.mark.parametrize("r,bits", [(2, 40), (3, 128)])
+    def test_empty_password_rc4_decodes(self, r, bits):
+        from pdf_extraction_tests_spark.sources.pdf_min import (
+            extract_pdf_text)
+
+        blocks = extract_pdf_text(self._encrypt_build(r=r, keybits=bits))
+        assert [b["text"] for b in blocks
+                if b["kind"] == "text_block"] == ["rc4 secret text"]
+
+    def test_real_password_fault_isolates(self):
+        from pdf_extraction_tests_spark.sources.binary_docs import (
+            bytes_to_spans)
+
+        data = self._encrypt_build(r=3, keybits=128, user_pw=b"hunter2")
+        spans = bytes_to_spans(data)
+        assert [s["text"] for s in spans] == ["UNSUPPORTED_BINARY"]
+
+    def test_aes_v4_fault_isolates(self):
+        from pdf_extraction_tests_spark.sources.binary_docs import (
+            bytes_to_spans)
+
+        data = self._encrypt_build()
+        data = data.replace(b"/V 2 /R 3", b"/V 4 /R 4")
+        spans = bytes_to_spans(data)
+        assert [s["text"] for s in spans] == ["UNSUPPORTED_BINARY"]
