@@ -1,0 +1,63 @@
+"""Sequence packing: assign documents to fixed token-length training
+sequences (the "concat-and-chunk" packing used to build LLM pretraining
+batches — documents are concatenated in a deterministic order and sliced
+into ``seq_len``-token sequences; each document records which sequence its
+first token lands in and at what offset).
+
+Spark-first at 100 TB: the exclusive prefix sum over token counts reuses
+the q45 two-level shape — NO global-ordered window over the corpus (that
+funnels every row through one task):
+
+1. sub-bucket = floor(doc_id / sub_width) — monotone in the (doc_id)
+   concatenation order, so per-bucket order + bucket order = total order;
+2. per-bucket token totals (one hash aggregate);
+3. exclusive bucket offsets via an ordered window over the TOTALS frame
+   only (corpus_size / sub_width rows — the small sequential pass of a
+   parallel prefix sum; widen ``sub_width`` at scale to keep it tiny);
+4. broadcast offsets back; per-bucket PARTITIONED exclusive running sum.
+
+Plan shape pinned in tests/test_plans.py; value parity vs a DuckDB global
+window in q49's oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def sequence_pack(docs: DataFrame, seq_len: int = 2048,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  sub_width: int = 64) -> DataFrame:
+    """-> (doc_id, n_tokens, seq_id, seq_offset) for every non-NULL-text
+    document, under whitespace tokenization and doc_id concatenation
+    order.  ``seq_id`` is the fixed-length sequence containing the doc's
+    first token; ``seq_offset`` its position inside that sequence (docs
+    straddle boundaries, exactly like concat-and-chunk)."""
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    scored = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.floor(F.col(id_col) / sub_width).alias("_sub"),
+    )
+    totals = scored.groupBy("_sub").agg(F.sum("_toks").alias("_bt"))
+    off_w = W.orderBy(F.asc("_sub")).rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_sub",
+        F.coalesce(F.sum("_bt").over(off_w), F.lit(0).cast("long"))
+        .alias("_off"),
+    )
+    run_w = (
+        W.partitionBy("_sub").orderBy(F.asc(id_col))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prior = F.col("_off") + F.coalesce(
+        F.sum("_toks").over(run_w), F.lit(0).cast("long"))
+    return (
+        scored.join(F.broadcast(offsets), ["_sub"])
+        .select(
+            id_col,
+            F.col("_toks").alias("n_tokens"),
+            F.floor(prior / seq_len).cast("long").alias("seq_id"),
+            (prior % seq_len).cast("long").alias("seq_offset"),
+        )
+    )

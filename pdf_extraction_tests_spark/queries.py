@@ -1337,6 +1337,37 @@ def q46(spark, sf_dir):
     )
 
 
+@query(
+    "q49_sequence_pack",
+    r"""
+    SELECT doc_id, n_tokens,
+           CAST(floor(prior / 2048) AS BIGINT) AS seq_id,
+           CAST(prior % 2048 AS BIGINT) AS seq_offset
+    FROM (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens,
+             CAST(coalesce(
+               sum(len(regexp_split_to_array(trim(text), '\s+')))
+                 OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS prior
+      FROM documents WHERE text IS NOT NULL) t
+    """,
+)
+def q49(spark, sf_dir):
+    """Sequence packing (concat-and-chunk): each doc's first token lands
+    in sequence ``seq_id`` at ``seq_offset`` under doc_id concatenation
+    order and 2048-token sequences — the packing step that turns a curated
+    corpus into fixed-length training batches.  Distributed form is the
+    q45 two-level prefix sum (operators/packing.py — partitioned running
+    sums, ordered window only over the tiny bucket-totals frame); the
+    oracle is DuckDB's global window, value-identical."""
+    from .operators.packing import sequence_pack
+
+    return sequence_pack(load(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

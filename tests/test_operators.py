@@ -655,3 +655,34 @@ class TestMinhashJaccardEstimate:
         assert set(est) == set(exact)
         mae = sum(abs(exact[p] - est[p]) for p in exact) / len(exact)
         assert mae <= 0.25, mae            # k=8 => sd ~0.17 at J=0.5
+
+
+class TestSequencePack:
+    def test_concat_and_chunk_semantics(self, spark):
+        """Hand-computed packing: docs of 3/2046/4 tokens at seq_len 2048 —
+        doc 2 starts at offset 3 of seq 0, doc 3 straddles into seq 1."""
+        import pandas as pd
+
+        from pdf_extraction_tests_spark.operators.packing import (
+            sequence_pack)
+
+        pdf = pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": ["a b c", " ".join(["w"] * 2046), "x y z w"],
+        })
+        rows = {r.doc_id: r for r in sequence_pack(
+            spark.createDataFrame(pdf), seq_len=2048).collect()}
+        assert (rows[1].seq_id, rows[1].seq_offset, rows[1].n_tokens) == (0, 0, 3)
+        assert (rows[2].seq_id, rows[2].seq_offset) == (0, 3)
+        # doc 3's first token lands at absolute position 2049 -> seq 1
+        assert (rows[3].seq_id, rows[3].seq_offset) == (1, 1)
+
+    def test_null_text_rows_excluded(self, spark):
+        import pandas as pd
+
+        from pdf_extraction_tests_spark.operators.packing import (
+            sequence_pack)
+
+        pdf = pd.DataFrame({"doc_id": [1, 2], "text": ["a b", None]})
+        got = sequence_pack(spark.createDataFrame(pdf)).collect()
+        assert [r.doc_id for r in got] == [1]

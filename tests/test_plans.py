@@ -224,3 +224,33 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_sequence_pack_no_global_corpus_window(spark):
+    """q49: the packing prefix sum must be partitioned (per sub-bucket);
+    the only single-partition exchange feeds the tiny bucket-totals
+    window, and the offsets side broadcasts back."""
+    plan = formatted_plan(queries()["q49_sequence_pack"](spark, SF))
+    assert "partitionBy=[_sub" in plan.replace(" ", "") or \
+        "hashpartitioning(_sub" in plan, plan
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    assert has_broadcast_join(plan), plan
+
+
+def test_asof_join_is_single_key_shuffle(spark):
+    """operators/asof.py claims ONE shuffle on the key (union + partitioned
+    window, no interval cross-join): the plan must contain exactly one
+    exchange hash-partitioned on the by-key and no cartesian/range join."""
+    from pyspark.sql import functions as F
+
+    from pdf_extraction_tests_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id")
+    right = ev.filter(F.col("event_type") == "signup").select(
+        "ts", "user_id", F.col("value").alias("signup_value"))
+    plan = formatted_plan(asof_join(left, right))
+    flat = plan.replace(" ", "")
+    assert flat.count("hashpartitioning(_by") == 1, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
