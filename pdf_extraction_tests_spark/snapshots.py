@@ -1,0 +1,182 @@
+"""Snapshot tables: Iceberg-style semantics on plain Parquet.
+
+The north rule targets Iceberg tables; the sandbox has no
+``iceberg-spark-runtime`` jar, so :mod:`.tables` falls back to bare
+parquet directories.  This module upgrades that fallback with the table-
+format PROPERTIES the engine actually depends on, using only a filesystem
+with atomic rename/link (POSIX, HDFS, and object stores with a rename
+shim):
+
+* **atomic commit / snapshot isolation** — a snapshot is a JSON manifest
+  listing immutable data directories; it becomes visible via one atomic
+  ``os.link`` publish.  Readers resolve the ``current`` pointer once and
+  then read only directories listed in that manifest: a crashed or
+  in-flight write is invisible (its data dir is simply unreferenced).
+* **append / overwrite** — append manifests inherit the parent's data
+  dirs; overwrite manifests start fresh.  Data files are never mutated.
+* **time travel** — ``read_snapshot(spark, t, version=N)`` reads any
+  retained snapshot; ``list_snapshots`` shows the history.
+* **optimistic concurrency** — two committers racing for the same
+  version: one ``os.link`` wins, the loser gets
+  :class:`ConcurrentCommitError` and retries on the fresh parent (same
+  contract as Iceberg's optimistic commit).
+* **expiry** — ``expire_snapshots`` drops old manifests and deletes data
+  dirs no retained manifest references (orphans from failed commits
+  included).
+
+On a real cluster with the Iceberg runtime, ``tables.write_table`` takes
+the catalog path instead; this module is the self-contained stand-in that
+keeps checkpoint/lineage semantics honest in CI.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another committer published this version first — reload and retry."""
+
+
+def _meta(table_dir: str) -> str:
+    return os.path.join(table_dir, "metadata")
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(_meta(table_dir), f"v{version}.json")
+
+
+def current_version(table_dir: str) -> int:
+    """Latest published snapshot version; 0 when the table is empty."""
+    try:
+        with open(os.path.join(_meta(table_dir), "current")) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return 0
+
+
+def _load_manifest(table_dir: str, version: int) -> dict:
+    with open(_manifest_path(table_dir, version)) as f:
+        return json.load(f)
+
+
+def commit_snapshot(df: DataFrame, table_dir: str, mode: str = "append",
+                    partition_by: list[str] | None = None) -> int:
+    """Write ``df`` as a new snapshot; returns the published version.
+
+    The data directory is written FIRST (unique name, never referenced
+    until publish), then the manifest is published with an atomic
+    ``os.link`` — the only point at which the snapshot becomes visible.
+    Raises :class:`ConcurrentCommitError` when another committer wins the
+    version; the caller re-reads state and retries.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode {mode!r}")
+    os.makedirs(_meta(table_dir), exist_ok=True)
+    parent_v = current_version(table_dir)
+    new_v = parent_v + 1
+    data_dir = os.path.join(
+        table_dir, "data", f"s{new_v}-{uuid.uuid4().hex[:8]}")
+    w = df.write.mode("errorifexists")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(data_dir)
+
+    parent_dirs: list[str] = []
+    if mode == "append" and parent_v:
+        parent_dirs = _load_manifest(table_dir, parent_v)["data_dirs"]
+    manifest = {
+        "version": new_v,
+        "parent": parent_v or None,
+        "mode": mode,
+        "data_dirs": [*parent_dirs, data_dir],
+        "schema": df.schema.jsonValue(),
+        "partition_by": list(partition_by or []),
+    }
+    tmp = os.path.join(_meta(table_dir),
+                       f".tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    try:
+        os.link(tmp, _manifest_path(table_dir, new_v))  # atomic publish
+    except FileExistsError as e:
+        os.unlink(tmp)
+        # the data dir is orphaned garbage; expire_snapshots collects it
+        raise ConcurrentCommitError(
+            f"version {new_v} of {table_dir} was committed concurrently"
+        ) from e
+    os.unlink(tmp)
+    # advance the pointer (atomic rename; publish order manifest->pointer
+    # means a reader holding the new pointer always finds the manifest)
+    ptr_tmp = os.path.join(_meta(table_dir), f".cur-{uuid.uuid4().hex[:8]}")
+    with open(ptr_tmp, "w") as f:
+        f.write(str(new_v))
+    os.replace(ptr_tmp, os.path.join(_meta(table_dir), "current"))
+    return new_v
+
+
+def read_snapshot(spark: SparkSession, table_dir: str,
+                  version: int | None = None) -> DataFrame | None:
+    """Read a snapshot (default: current).  None when the table is empty
+    or the requested version has been expired."""
+    v = current_version(table_dir) if version is None else version
+    if v <= 0:
+        return None
+    try:
+        m = _load_manifest(table_dir, v)
+    except FileNotFoundError:
+        return None
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(m["schema"])
+    dirs = [d for d in m["data_dirs"] if os.path.exists(d)]
+    if not dirs:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*dirs)
+
+
+def list_snapshots(table_dir: str) -> list[dict]:
+    """Manifest summaries, oldest first (expired versions omitted)."""
+    meta = _meta(table_dir)
+    if not os.path.isdir(meta):
+        return []
+    out = []
+    for name in sorted(os.listdir(meta)):
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                m = json.loads(open(os.path.join(meta, name)).read())
+            except (OSError, ValueError):
+                continue
+            out.append({"version": m["version"], "parent": m["parent"],
+                        "mode": m["mode"], "n_data_dirs": len(m["data_dirs"])})
+    return sorted(out, key=lambda m: m["version"])
+
+
+def expire_snapshots(table_dir: str, keep_last: int = 2) -> list[str]:
+    """Drop all but the newest ``keep_last`` manifests and delete every
+    data directory no retained manifest references — including orphans
+    from crashed/lost commits.  Returns the deleted data dirs."""
+    snaps = list_snapshots(table_dir)
+    if not snaps:
+        return []
+    keep = {m["version"] for m in snaps[-keep_last:]}
+    referenced: set[str] = set()
+    for v in keep:
+        referenced.update(_load_manifest(table_dir, v)["data_dirs"])
+    for m in snaps:
+        if m["version"] not in keep:
+            os.unlink(_manifest_path(table_dir, m["version"]))
+    deleted = []
+    data_root = os.path.join(table_dir, "data")
+    if os.path.isdir(data_root):
+        for name in sorted(os.listdir(data_root)):
+            d = os.path.join(data_root, name)
+            if d not in referenced:
+                shutil.rmtree(d, ignore_errors=True)
+                deleted.append(d)
+    return deleted

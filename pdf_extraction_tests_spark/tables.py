@@ -6,6 +6,11 @@ directories behind the same three-call interface; swapping in Iceberg on a
 real cluster is a config change (catalog + ``USE_ICEBERG=1``), not a code
 change.  Replaces the reference's per-document ``.RData`` side-effect files
 (Document_Processor_DocLayout_YOLO_Code_v10.R:194-207, 738-739).
+
+When the table-format PROPERTIES matter (atomic commit, snapshot
+isolation, time travel, optimistic concurrency, expiry), use
+:mod:`.snapshots` — Iceberg-style manifest snapshots over the same
+parquet fallback, tested in tests/test_snapshots.py.
 """
 
 from __future__ import annotations

@@ -1,0 +1,100 @@
+"""Snapshot-table semantics (Iceberg-style properties on parquet):
+atomic commit, snapshot isolation, time travel, optimistic concurrency,
+expiry collecting orphans."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from pdf_extraction_tests_spark import snapshots as S
+
+
+def _df(spark, ids):
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(ids), "text": [f"t{i}" for i in ids]}))
+
+
+class TestSnapshots:
+    def test_append_and_overwrite_lineage(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        v1 = S.commit_snapshot(_df(spark, [1, 2]), t)
+        v2 = S.commit_snapshot(_df(spark, [3]), t, mode="append")
+        assert (v1, v2) == (1, 2)
+        assert sorted(r.doc_id for r in S.read_snapshot(spark, t).collect()) \
+            == [1, 2, 3]
+        v3 = S.commit_snapshot(_df(spark, [9]), t, mode="overwrite")
+        assert v3 == 3
+        assert [r.doc_id for r in S.read_snapshot(spark, t).collect()] == [9]
+
+    def test_time_travel_reads_history(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        S.commit_snapshot(_df(spark, [1]), t)
+        S.commit_snapshot(_df(spark, [2]), t)
+        S.commit_snapshot(_df(spark, [9]), t, mode="overwrite")
+        assert sorted(r.doc_id
+                      for r in S.read_snapshot(spark, t, 2).collect()) == [1, 2]
+        assert [m["version"] for m in S.list_snapshots(t)] == [1, 2, 3]
+        assert [m["mode"] for m in S.list_snapshots(t)] \
+            == ["append", "append", "overwrite"]
+
+    def test_unpublished_write_is_invisible(self, spark, tmp_path):
+        """Snapshot isolation: a data dir without a published manifest (a
+        crashed commit) must never be read."""
+        t = str(tmp_path / "tbl")
+        S.commit_snapshot(_df(spark, [1]), t)
+        # simulate a crash after the data write, before publish
+        orphan = os.path.join(t, "data", "s2-deadbeef")
+        _df(spark, [666]).write.parquet(orphan)
+        got = [r.doc_id for r in S.read_snapshot(spark, t).collect()]
+        assert got == [1]
+
+    def test_concurrent_commit_loses_cleanly(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        S.commit_snapshot(_df(spark, [1]), t)
+        # a racing committer publishes v2 first
+        m = {"version": 2, "parent": 1, "mode": "append", "data_dirs": [],
+             "schema": _df(spark, [1]).schema.jsonValue(), "partition_by": []}
+        with open(S._manifest_path(t, 2), "w") as f:
+            json.dump(m, f)
+        with pytest.raises(S.ConcurrentCommitError):
+            S.commit_snapshot(_df(spark, [2]), t)
+        # the loser's data dir is orphaned, not referenced
+        assert S.current_version(t) == 1
+
+    def test_expire_drops_history_and_orphans(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        S.commit_snapshot(_df(spark, [1]), t)
+        S.commit_snapshot(_df(spark, [2]), t)
+        S.commit_snapshot(_df(spark, [3]), t)
+        orphan = os.path.join(t, "data", "s9-orphan")
+        _df(spark, [666]).write.parquet(orphan)
+        deleted = S.expire_snapshots(t, keep_last=2)
+        assert any(d.endswith("s9-orphan") for d in deleted)
+        # v1's own data dir is still referenced by append lineage (v2/v3
+        # inherit it), so it survives; the orphan is gone
+        assert [m["version"] for m in S.list_snapshots(t)] == [2, 3]
+        assert S.read_snapshot(spark, t, 1) is None          # expired
+        assert sorted(r.doc_id for r in
+                      S.read_snapshot(spark, t).collect()) == [1, 2, 3]
+
+    def test_expire_after_overwrite_frees_old_data(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        S.commit_snapshot(_df(spark, [1, 2]), t)
+        S.commit_snapshot(_df(spark, [9]), t, mode="overwrite")
+        deleted = S.expire_snapshots(t, keep_last=1)
+        assert len(deleted) == 1                              # v1's data dir
+        assert [r.doc_id for r in S.read_snapshot(spark, t).collect()] == [9]
+
+    def test_partitioned_snapshot_roundtrip(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        df = spark.createDataFrame(pd.DataFrame(
+            {"doc_id": [1, 2, 3], "lang": ["en", "de", "en"],
+             "text": ["a", "b", "c"]}))
+        S.commit_snapshot(df, t, partition_by=["lang"])
+        got = S.read_snapshot(spark, t)
+        assert sorted((r.doc_id, r.lang) for r in got.collect()) \
+            == [(1, "en"), (2, "de"), (3, "en")]
