@@ -122,3 +122,103 @@ def cms_build_sql(shingle_n: int = 3, depth: int = DEFAULT_DEPTH,
         {branches})
     SELECT d, cell, count(*) AS cnt FROM dc GROUP BY d, cell
     """
+
+
+def _local_top_shingles(local_m: int, cap_mult: int = 500,
+                        keep_mult: int = 100):
+    """Per-partition candidate generator for :func:`heavy_hitters`: a
+    bounded lossy counter in the Manku-Motwani style, emitting the
+    partition's top ``local_m`` shingles by estimated count.
+
+    State is capped at ``cap_mult * local_m`` entries (~a few MB per task
+    regardless of partition size); when the cap trips, the counter prunes
+    to ``keep_mult * local_m`` and remembers the largest count it ever
+    dropped (``floor``).  A key (re-)entering after a prune is credited
+    ``+floor`` — at most what it could have lost — so estimates stay
+    one-sided (est >= true partition count) and a heavy shingle whose
+    occurrences arrive late can never be silently zeroed by an early
+    prune (the round-4 bug: plain top-N pruning dropped df=7 hitters that
+    were count-1 at prune time).  Vectorized (pandas value_counts), no
+    per-row Python."""
+    import pandas as pd  # local: runs on executors
+
+    def gen(batches):
+        from collections import Counter
+
+        c: Counter = Counter()
+        floor = 0
+        for pdf in batches:
+            vc = pdf["shingle"].value_counts().to_dict()
+            if floor:
+                for s in vc.keys() - c.keys():
+                    vc[s] += floor
+            c.update(vc)
+            if len(c) > cap_mult * local_m:
+                kept = c.most_common(keep_mult * local_m)
+                # everything dropped had count <= the kept minimum
+                floor = max(floor, kept[-1][1])
+                c = Counter(dict(kept))
+        top = c.most_common(local_m)
+        yield pd.DataFrame({"shingle": [s for s, _ in top]})
+
+    return gen
+
+
+def heavy_hitters(docs: DataFrame, k: int = 20, shingle_n: int = 3,
+                  exact: bool = True, depth: int = DEFAULT_DEPTH,
+                  width: int = DEFAULT_WIDTH, local_m: int | None = None,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Top-``k`` shingles by document frequency -> (shingle, df).
+
+    ``exact=True`` (the size switch's small side): one count shuffle over
+    the distinct-shingle stream + TakeOrdered — exact, and the q42
+    oracle's twin.  ``exact=False`` (the 100 TB side) is the classic
+    two-pass heavy-hitter shape — no per-shingle global group ever forms:
+
+    1. candidates: per-partition bounded local top-``local_m``
+       (mapInPandas lossy counter, no shuffle);
+    2. prune: count-min sketch estimates (:func:`cms_build` /
+       :func:`cms_estimate`, depth*width state) keep the top
+       ``max(64k, 1024)`` candidates — one-sided est >= true, so a true
+       top-k hitter is only lost if 64x its rank's worth of candidates
+       over-estimate ABOVE it (collision noise of order N/width; size
+       width accordingly).  The margin is deliberately wide: the prune
+       only exists to bound the pass-3 broadcast when partitions are
+       many, and a few thousand strings broadcast for free;
+    3. verify: EXACT counts for just those shingles via a broadcast
+       semi-join on the shingle stream (corpus side never shuffles;
+       groupBy state bounded by the candidate count).
+
+    Pass 3 makes the output's counts and (df desc, shingle) tiebreaks
+    identical to ``exact=True`` whenever coverage holds — tie plateaus
+    don't reorder under estimate noise.  Coverage needs every global
+    heavy hitter to be locally heavy in at least one partition — true for
+    boilerplate-style hitters; raise ``local_m`` (default 8k) to harden.
+    Sketch-vs-exact agreement is pinned in
+    tests/test_operators.py::TestCountMinSketch.
+    """
+    sh = with_shingles(docs, shingle_n, text_col, id_col)
+    if exact:
+        return (
+            sh.groupBy("shingle").agg(F.count("*").alias("df"))
+            .orderBy(F.desc("df"), F.asc("shingle"))
+            .limit(k)
+        )
+    sketch = cms_build(docs, shingle_n, depth, width, text_col, id_col)
+    cand = (
+        sh.select("shingle")
+        .mapInPandas(_local_top_shingles(local_m or 8 * k), "shingle string")
+        .distinct()
+    )
+    pruned = (
+        cms_estimate(sketch, cand)
+        .orderBy(F.desc("est"), F.asc("shingle"))
+        .limit(max(64 * k, 1024))
+        .select("shingle")
+    )
+    return (
+        sh.join(F.broadcast(pruned), "shingle")
+        .groupBy("shingle").agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("shingle"))
+        .limit(k)
+    )

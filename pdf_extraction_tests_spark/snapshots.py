@@ -66,14 +66,18 @@ def _load_manifest(table_dir: str, version: int) -> dict:
 
 
 def commit_snapshot(df: DataFrame, table_dir: str, mode: str = "append",
-                    partition_by: list[str] | None = None) -> int:
+                    partition_by: list[str] | None = None,
+                    tag: str | None = None) -> int:
     """Write ``df`` as a new snapshot; returns the published version.
 
     The data directory is written FIRST (unique name, never referenced
     until publish), then the manifest is published with an atomic
     ``os.link`` — the only point at which the snapshot becomes visible.
     Raises :class:`ConcurrentCommitError` when another committer wins the
-    version; the caller re-reads state and retries.
+    version; the caller re-reads state and retries.  ``tag`` is an opaque
+    idempotence label recorded in the manifest (e.g. a streaming epoch id
+    — see :func:`committed_tags`): a replayed writer checks it before
+    re-committing.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode {mode!r}")
@@ -97,6 +101,7 @@ def commit_snapshot(df: DataFrame, table_dir: str, mode: str = "append",
         "data_dirs": [*parent_dirs, data_dir],
         "schema": df.schema.jsonValue(),
         "partition_by": list(partition_by or []),
+        "tag": tag,
     }
     tmp = os.path.join(_meta(table_dir),
                        f".tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}")
@@ -153,8 +158,16 @@ def list_snapshots(table_dir: str) -> list[dict]:
             except (OSError, ValueError):
                 continue
             out.append({"version": m["version"], "parent": m["parent"],
-                        "mode": m["mode"], "n_data_dirs": len(m["data_dirs"])})
+                        "mode": m["mode"], "n_data_dirs": len(m["data_dirs"]),
+                        "tag": m.get("tag")})
     return sorted(out, key=lambda m: m["version"])
+
+
+def committed_tags(table_dir: str) -> set:
+    """Tags of all retained snapshots — the idempotence check for
+    replayable writers (streaming foreachBatch epochs)."""
+    return {m["tag"] for m in list_snapshots(table_dir)
+            if m.get("tag") is not None}
 
 
 def expire_snapshots(table_dir: str, keep_last: int = 2) -> list[str]:

@@ -83,14 +83,21 @@ def _literal_bytes(tok: bytes) -> bytes:
                 out += _ESCAPES[nxt]
                 i += 2
                 continue
-            if nxt.isdigit():  # octal escape, 1-3 digits
+            if nxt in b"01234567" and nxt != b"":  # octal escape, 1-3 digits
+                # ONLY 0-7: b"\\8".isdigit() is True but int(_, 8) raises —
+                # spec says \8 is an unknown escape (drop the backslash)
                 j = i + 1
-                while j < min(i + 4, len(body)) and body[j:j + 1].isdigit():
+                while (j < min(i + 4, len(body))
+                       and body[j:j + 1] in b"01234567"
+                       and body[j:j + 1] != b""):
                     j += 1
                 out.append(int(body[i + 1:j], 8) & 0xFF)
                 i = j
                 continue
-            i += 2  # unknown escape: drop the backslash
+            # unknown escape: the spec ignores the REVERSE SOLIDUS and
+            # keeps the character (ISO 32000-1 s7.3.4.2)
+            out += nxt
+            i += 2
             continue
         out += c
         i += 1
@@ -705,9 +712,17 @@ def _encryption(data: bytes, objs: dict[int, bytes]) -> _Rc4Crypt | None:
     p = int(pm.group(1))
     km = _KEYLEN_RE.search(head)
     nbytes = (int(km.group(1)) if km and v == 2 else 40) // 8
+    if not 5 <= nbytes <= 16:
+        raise UnsupportedPdfError(f"encryption key length {nbytes * 8}")
+    id0 = b""
     idm = _ID_RE.search(data)
-    id0 = bytes.fromhex(
-        re.sub(rb"\s", b"", idm.group(1)).decode("ascii")) if idm else b""
+    if idm:
+        h = re.sub(rb"\s", b"", idm.group(1))
+        if len(h) % 2:  # hostile: odd-length hex must not ValueError out
+            h += b"0"
+        id0 = bytes.fromhex(h.decode("ascii"))
+    if not -(1 << 31) <= p < (1 << 31):  # hostile: /P outside int32
+        raise UnsupportedPdfError("encryption /P out of range")
     key = hashlib.md5(
         _PW_PAD + o[:32] + struct.pack("<i", p) + id0).digest()
     if r >= 3:
@@ -784,7 +799,8 @@ def _parse_tounicode(cmap: bytes) -> dict[int, str]:
             elif nxt.group(1) is not None:
                 start = _u16(nxt.group(1))
                 for k in range(hi - lo + 1):
-                    if start:
+                    # hostile: increment past U+10FFFF would ValueError
+                    if start and ord(start[-1]) + k <= 0x10FFFF:
                         out[lo + k] = start[:-1] + chr(ord(start[-1]) + k)
                 i += 3
             else:

@@ -270,3 +270,66 @@ def test_bytes_to_spans_total(payload, prefix):
     assert isinstance(spans, list)
     for sp in spans:
         assert set(sp) == {"kind", "text", "media_ref", "offset"}
+
+
+_HARD_PDFS = None
+
+
+def _hard_profile_pdfs():
+    """Valid PDFs exercising the round-4 decoder surface: filter chains,
+    an xref stream with PNG predictor, RC4 encryption, and a Type0 font
+    with a ToUnicode CMap."""
+    global _HARD_PDFS
+    if _HARD_PDFS is None:
+        import zlib
+
+        from tests.test_sources import (
+            TestRc4Encryption,
+            TestType0ToUnicode,
+            TestXrefStream,
+            _assemble_pdf,
+            _one_page_objs,
+        )
+
+        ops = b"BT /F1 12 Tf 1 0 0 1 50 700 Tm (fuzz target) Tj ET"
+        enc = zlib.compress(ops).hex().encode() + b">"
+        chain = _assemble_pdf(_one_page_objs(
+            b"<< /Length %d /Filter [/ASCIIHexDecode /FlateDecode] >>"
+            b"\nstream\n" % len(enc) + enc + b"\nendstream"))
+        _HARD_PDFS = [
+            chain,
+            TestXrefStream._build(predictor=True),
+            TestRc4Encryption._encrypt_build(),
+            TestType0ToUnicode()._pdf(),
+        ]
+    return _HARD_PDFS
+
+
+@settings(max_examples=160, deadline=None)
+@given(
+    st.integers(0, 2**31 - 1),
+    st.integers(1, 16),
+    st.integers(0, 3),
+)
+def test_hard_profile_pdfs_total_under_mutation(seed, n_mut, which):
+    """Totality over the round-4 surface (filters / xref streams / RC4 /
+    Type0 CMaps): any byte mutation either decodes or raises
+    UnsupportedPdfError — never ValueError/IndexError/struct.error/
+    zlib.error out of an Arrow batch."""
+    import random
+
+    from pdf_extraction_tests_spark.sources.pdf_min import (
+        UnsupportedPdfError,
+        extract_pdf_text,
+    )
+
+    base = _hard_profile_pdfs()[which]
+    rng = random.Random(seed)
+    data = bytearray(base)
+    for _ in range(n_mut):
+        data[rng.randrange(len(data))] = rng.randrange(256)
+    try:
+        blocks = extract_pdf_text(bytes(data))
+        assert isinstance(blocks, list)
+    except UnsupportedPdfError:
+        pass

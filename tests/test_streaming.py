@@ -92,3 +92,49 @@ def test_streaming_dedup_matches_batch(spark, tmp_path):
     batch = (spark.read.parquet(src)
              .select(F.md5("text").alias("digest")).distinct().count())
     assert got.select("digest").distinct().count() == batch == 10
+
+
+def test_snapshot_sink_matches_batch_and_travels(spark, corpus_path, tmp_path):
+    """stream_extract_snapshot: exactly-once into an atomic snapshot table;
+    each micro-batch is one epoch-tagged snapshot, history time-travels."""
+    from pdf_extraction_tests_spark import snapshots as S
+    from pdf_extraction_tests_spark.streaming.incremental import (
+        stream_extract_snapshot)
+
+    path, pdf = corpus_path
+    table = str(tmp_path / "snap_tbl")
+    ckpt = str(tmp_path / "snap_ckpt")
+    q = stream_extract_snapshot(spark, path, table, ckpt, num_parts=4,
+                                max_files_per_trigger=1)
+    q.awaitTermination()
+    got = {r.doc_id for r in S.read_snapshot(spark, table).collect()}
+    assert got == set(pdf["doc_id"])
+    snaps = S.list_snapshots(table)
+    assert len(snaps) >= 2                      # one snapshot per micro-batch
+    assert all(m["tag"].startswith("epoch-") for m in snaps)
+    # time travel: the first epoch alone holds a strict subset
+    first = {r.doc_id
+             for r in S.read_snapshot(spark, table, snaps[0]["version"]).collect()}
+    assert first < got
+
+
+def test_snapshot_sink_replayed_epoch_is_noop(spark, corpus_path, tmp_path):
+    """The exactly-once hole the plain append sink has: a replayed epoch
+    (crash between sink write and checkpoint commit) must not duplicate
+    rows — the epoch tag makes the second commit a no-op."""
+    from pdf_extraction_tests_spark import snapshots as S
+    from pdf_extraction_tests_spark.schema import DOCS
+    from pdf_extraction_tests_spark.streaming.incremental import (
+        snapshot_batch_committer)
+
+    path, pdf = corpus_path
+    table = str(tmp_path / "replay_tbl")
+    commit = snapshot_batch_committer(table, num_parts=4)
+    batch = spark.read.schema(DOCS).parquet(path)
+    commit(batch, 0)
+    n1 = S.read_snapshot(spark, table).count()
+    commit(batch, 0)                            # replay after simulated crash
+    assert S.read_snapshot(spark, table).count() == n1
+    assert len(S.list_snapshots(table)) == 1
+    commit(batch, 1)                            # a NEW epoch still appends
+    assert S.read_snapshot(spark, table).count() == 2 * n1
