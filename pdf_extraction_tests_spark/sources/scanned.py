@@ -34,15 +34,6 @@ LAYOUT_CONF_MIN = 0.2          # v10.R:41 conf=0.2
 MEDIA_CLASSES = {"figure", "image", "isolate_formula", "table"}
 
 
-def _missing_stage(name: str, ref: str) -> Callable:
-    def raiser(*_a, **_k):
-        raise NotImplementedError(
-            f"scanned-PDF stage '{name}' ({ref}) needs binaries absent from "
-            "this image — inject a real callable in production"
-        )
-    return raiser
-
-
 def _default_stage(which: int) -> Callable:
     """Default stages: the pure-Python in-band raster stack (:mod:`.raster`)
     — rasterize/layout/OCR run end to end with zero binaries on this
