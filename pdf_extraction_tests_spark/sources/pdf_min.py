@@ -939,6 +939,48 @@ def _num(tok: bytes) -> float | None:
     return float(tok) if _NUM_RE.fullmatch(tok) else None
 
 
+_BI_RE = re.compile(rb"(?:(?<=[\s])|\A)BI(?=[\s/])")
+_EI_RE = re.compile(rb"(?<=[\s])EI(?=[\s]|\Z)")
+
+
+def _strip_inline_images(content: bytes) -> bytes:
+    """Replace BI..ID..EI inline-image segments with an XObject-style draw.
+
+    The inline binary payload would otherwise hit the content tokenizer —
+    bytes that happen to look like ``(string) Tj`` would emit garbage
+    blocks.  Each segment becomes ``/InlineImg Do`` so the existing Do
+    handling yields a media placeholder; an unterminated BI (hostile
+    bytes) drops the remainder of the stream."""
+    if b"BI" not in content:
+        return content
+    res = bytearray()
+    pos = 0
+    while True:
+        m = _BI_RE.search(content, pos)
+        if not m:
+            res += content[pos:]
+            break
+        res += content[pos:m.start()]
+        e = _EI_RE.search(content, m.end())
+        res += b" /InlineImg Do "
+        if not e:
+            break
+        pos = e.end()
+    return bytes(res)
+
+
+def _mat_mul(m1, m2):
+    """Row-vector affine composition: apply ``m1`` then ``m2``."""
+    a1, b1, c1, d1, e1, f1 = m1
+    a2, b2, c2, d2, e2, f2 = m2
+    return (a1 * a2 + b1 * c2, a1 * b2 + b1 * d2,
+            c1 * a2 + d1 * c2, c1 * b2 + d1 * d2,
+            e1 * a2 + f1 * c2 + e2, e1 * b2 + f1 * d2 + f2)
+
+
+_IDENTITY = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
 def _extract_page_blocks(content: bytes, height: float, page: int,
                          fonts: dict | None = None) -> list[dict]:
     """One page's content stream -> block dicts (text blocks + media).
@@ -948,8 +990,15 @@ def _extract_page_blocks(content: bytes, height: float, page: int,
     through :func:`_text_of_bytes` (2-byte CID grouping + CMap), all
     other text keeps the simple-font latin-1 byte semantics."""
     blocks: list[dict] = []
+    content = _strip_inline_images(content)
     font_size = 12.0
     cur_special: dict | None = None  # active font's decode info, if special
+    # graphics state: the CTM (translation/scale from cm, saved by q/Q) —
+    # text positions are Tm composed with the CTM, effective font size
+    # scales with the CTM's vertical axis (many real generators position
+    # whole blocks with `cm` instead of Tm)
+    ctm = _IDENTITY
+    gs_stack: list[tuple] = []
 
     def dec(tok: bytes) -> str:
         b = _literal_bytes(tok) if tok[:1] == b"(" else _hex_bytes(tok)
@@ -984,7 +1033,10 @@ def _extract_page_blocks(content: bytes, height: float, page: int,
     def show(s: str) -> None:
         nonlocal started, cur_x, cur_y, cur_size
         if not started:
-            cur_x, cur_y, cur_size = tx, ty, font_size
+            a, b, c, d, e, f = ctm
+            cur_x = a * tx + c * ty + e
+            cur_y = b * tx + d * ty + f
+            cur_size = font_size * (c * c + d * d) ** 0.5
             started = True
         cur_text.append(s)
 
@@ -1060,6 +1112,16 @@ def _extract_page_blocks(content: bytes, height: float, page: int,
                     parts = [dec(s) for s in stack if s[:1] in b"(<"]
                     if parts:
                         show("".join(parts))
+            elif op == b"q":
+                gs_stack.append(ctm)
+            elif op == b"Q":
+                if gs_stack:  # unbalanced Q on hostile bytes: keep identity
+                    ctm = gs_stack.pop()
+            elif op == b"cm":
+                if len(stack) >= 6:
+                    vals = [_num(t) for t in stack[-6:]]
+                    if all(v is not None for v in vals):
+                        ctm = _mat_mul(tuple(vals), ctm)
             elif op == b"Do":
                 if stack and stack[-1][:1] == b"/":
                     name = stack[-1][1:].decode("latin-1", "replace")

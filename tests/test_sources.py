@@ -1018,3 +1018,57 @@ class TestRc4Encryption:
         data = data.replace(b"/V 2 /R 3", b"/V 4 /R 4")
         spans = bytes_to_spans(data)
         assert [s["text"] for s in spans] == ["UNSUPPORTED_BINARY"]
+
+
+class TestCtmAndInlineImages:
+    """Graphics-state fidelity: cm/q/Q transform text geometry (many real
+    generators position blocks with cm, and y-band predicates depend on
+    y); BI..ID..EI inline images must never reach the text tokenizer."""
+
+    @staticmethod
+    def _blocks(content: bytes):
+        from pdf_extraction_tests_spark.sources.pdf_min import (
+            _extract_page_blocks)
+
+        return _extract_page_blocks(content, 792.0, 1)
+
+    def test_translation_cm_shifts_text_geometry(self):
+        base = self._blocks(b"BT /F1 12 Tf 1 0 0 1 50 700 Tm (t) Tj ET")[0]
+        moved = self._blocks(
+            b"1 0 0 1 100 50 cm BT /F1 12 Tf 1 0 0 1 50 700 Tm (t) Tj ET")[0]
+        assert (moved["x"], moved["y"]) == (base["x"] + 100, base["y"] - 50)
+
+    def test_q_restores_ctm(self):
+        blocks = self._blocks(
+            b"q 1 0 0 1 100 0 cm BT /F1 12 Tf 1 0 0 1 50 700 Tm (in) Tj ET Q "
+            b"BT /F1 12 Tf 1 0 0 1 50 600 Tm (out) Tj ET")
+        assert [(b["text"], b["x"]) for b in blocks] \
+            == [("in", 150), ("out", 50)]
+
+    def test_scale_cm_scales_effective_font_size(self):
+        blocks = self._blocks(
+            b"2 0 0 2 0 0 cm BT /F1 8 Tf 1 0 0 1 50 350 Tm "
+            b"(Scaled Up Header) Tj ET")
+        assert blocks[0]["etype"] == "title"  # 8pt x2 = 16 >= 14
+
+    def test_unbalanced_Q_is_harmless(self):
+        blocks = self._blocks(
+            b"Q Q BT /F1 12 Tf 1 0 0 1 50 700 Tm (still fine) Tj ET")
+        assert blocks[0]["text"] == "still fine"
+
+    def test_inline_image_binary_never_reaches_tokenizer(self):
+        blocks = self._blocks(
+            b"BT /F1 12 Tf 1 0 0 1 50 700 Tm (real) Tj ET\n"
+            b"BI /W 2 /H 2 /BPC 8 /CS /G ID \x00(fake) Tj BT\xff\x01 EI\n"
+            b"BT /F1 12 Tf 1 0 0 1 50 600 Tm (after) Tj ET")
+        assert [b["text"] for b in blocks if b["kind"] == "text_block"] \
+            == ["real", "after"]
+        assert [b["ref"] for b in blocks if b["kind"] == "media"] \
+            == ["pdf:xobj:InlineImg"]
+
+    def test_unterminated_inline_image_drops_tail_only(self):
+        blocks = self._blocks(
+            b"BT /F1 12 Tf 1 0 0 1 50 700 Tm (kept) Tj ET\n"
+            b"BI /W 2 /H 2 ID \x00\x01(junk) Tj")
+        assert [b["text"] for b in blocks if b["kind"] == "text_block"] \
+            == ["kept"]
