@@ -7,7 +7,8 @@ Cluster usage (north rule)::
   spark-submit --py-files pipeline.zip job.py \\
       --input  <docs table path or catalog id> \\
       --output <output root (extracted/ + checkpoint/ land under it)> \\
-      [--run-id RID] [--num-parts P] [--no-resume] [--synthesize-from SF_DIR]
+      [--run-id RID] [--num-parts P] [--no-resume] [--synthesize-from SF_DIR] \\
+      [--publish-snapshot TABLE_DIR]
 
 Local smoke::
 
@@ -32,6 +33,11 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--oversize-chars", type=int, default=1_000_000)
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--master", default=None)
+    ap.add_argument(
+        "--publish-snapshot", default=None, metavar="TABLE_DIR",
+        help="after the run, publish its COMMITTED extracted view into a "
+             "snapshot table (snapshots.py: atomic manifest commit, tagged "
+             "run-<run_id> so a re-submitted run publishes exactly once)")
     args = ap.parse_args(argv)
 
     from pdf_extraction_tests_spark.corpus import corpus_spark
@@ -55,6 +61,18 @@ def main(argv: list[str] | None = None) -> None:
         oversize_chars=args.oversize_chars,
         resume=not args.no_resume,
     )
+    if args.publish_snapshot:
+        from pdf_extraction_tests_spark import snapshots as S
+        from pdf_extraction_tests_spark.pipeline import read_extracted
+
+        tag = f"run-{metrics['run_id']}"
+        if tag in S.committed_tags(args.publish_snapshot):
+            metrics["snapshot_version"] = None  # already published: no-op
+        else:
+            committed = read_extracted(spark, args.output)
+            metrics["snapshot_version"] = S.commit_snapshot(
+                committed.drop("run_id", "attempt_id"),
+                args.publish_snapshot, mode="append", tag=tag)
     print(json.dumps(metrics))
     spark.stop()
 

@@ -38,6 +38,7 @@ def test_spark_submit_py_files(tmp_path):
             SPARK_SUBMIT, "--master", "local[4]", "--py-files", zip_path,
             job_copy, "--synthesize-from", "/root/testdata/sf0.001",
             "--output", out_dir, "--run-id", "submit_test",
+            "--publish-snapshot", str(tmp_path / "lake_tbl"),
         ],
         capture_output=True, text=True, timeout=360, cwd=str(tmp_path),
         env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
@@ -49,3 +50,9 @@ def test_spark_submit_py_files(tmp_path):
     assert metrics["run_id"] == "submit_test"
     assert os.path.exists(os.path.join(out_dir, "extracted"))
     assert os.path.exists(os.path.join(out_dir, "checkpoint"))
+    # the run published its committed view as one run-tagged snapshot
+    from pdf_extraction_tests_spark import snapshots as S
+
+    tbl = str(tmp_path / "lake_tbl")
+    assert metrics["snapshot_version"] == 1
+    assert S.committed_tags(tbl) == {"run-submit_test"}
