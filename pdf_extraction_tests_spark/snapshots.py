@@ -193,3 +193,23 @@ def expire_snapshots(table_dir: str, keep_last: int = 2) -> list[str]:
                 shutil.rmtree(d, ignore_errors=True)
                 deleted.append(d)
     return deleted
+
+
+def compact_snapshots(spark: SparkSession, table_dir: str,
+                      target_partitions: int = 8) -> int:
+    """Rewrite the CURRENT snapshot's data into one coalesced directory
+    and publish it as an overwrite snapshot (Iceberg's
+    rewrite_data_files shape).
+
+    The natural companion to the streaming sink: one snapshot per
+    micro-batch epoch accumulates many small data dirs/files; compaction
+    collapses the current view into ``target_partitions`` files while
+    history (and time travel to pre-compaction versions) stays intact
+    until ``expire_snapshots`` reclaims it.  Returns the new version.
+    """
+    cur = read_snapshot(spark, table_dir)
+    if cur is None:
+        raise ValueError(f"{table_dir}: nothing to compact")
+    v = current_version(table_dir)
+    return commit_snapshot(cur.coalesce(target_partitions), table_dir,
+                           mode="overwrite", tag=f"compaction-of-v{v}")

@@ -53,10 +53,11 @@ def test_query_matches_oracle(spark, spec):
     assert got == want, f"{spec.name}: value mismatch"
 
 
-@pytest.mark.parametrize("spec", [s for s in REGISTRY if not s.sql], ids=lambda s: s.name)
-def test_rows_only_queries_run(spark, spec):
-    df = spec.fn(spark, SF_DIR)
-    assert df.count() >= 0
+def test_every_registry_query_is_oracled():
+    """The registry carries no rows-only entries: every registered query
+    has a DuckDB oracle (rows-only surfaces live in the entry extras,
+    covered below)."""
+    assert all(s.sql for s in REGISTRY)
 
 
 # ---------------------------------------------------------------------------

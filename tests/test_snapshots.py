@@ -98,3 +98,25 @@ class TestSnapshots:
         got = S.read_snapshot(spark, t)
         assert sorted((r.doc_id, r.lang) for r in got.collect()) \
             == [(1, "en"), (2, "de"), (3, "en")]
+
+
+class TestCompaction:
+    def test_compaction_preserves_rows_and_history(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        for i in range(4):           # four tiny appends: the small-file shape
+            S.commit_snapshot(_df(spark, [i]), t)
+        before = sorted(r.doc_id for r in S.read_snapshot(spark, t).collect())
+        v = S.compact_snapshots(spark, t, target_partitions=1)
+        assert v == 5
+        after = S.read_snapshot(spark, t)
+        assert sorted(r.doc_id for r in after.collect()) == before
+        assert after.rdd.getNumPartitions() == 1
+        # one data dir now backs the current view; history still travels
+        assert S.list_snapshots(t)[-1]["n_data_dirs"] == 1
+        assert sorted(r.doc_id for r in
+                      S.read_snapshot(spark, t, 2).collect()) == [0, 1]
+        # expiry then reclaims the pre-compaction dirs
+        deleted = S.expire_snapshots(t, keep_last=1)
+        assert len(deleted) == 4
+        assert sorted(r.doc_id
+                      for r in S.read_snapshot(spark, t).collect()) == before
