@@ -19,11 +19,12 @@ What it extracts, per page:
   (``media_ref='pdf:xobj:<name>'``) at its reading position.
 
 Out of scope (raise UnsupportedPdfError -> fault-isolated upstream):
-AES encryption (/V 4|5), genuinely password-protected files, and
+AES-256 encryption (/V 5), genuinely password-protected files, and
 image-codec filters (DCT/JPX/CCITT/JBIG2 — pixels, not text).  IN scope
-beyond the basics: RC4 standard-security encryption with an empty user
-password (/V 1|2, /R 2|3 — :func:`_encryption`, the "encrypted but
-readable by anyone" files); object streams (``/ObjStm``, PDF
+beyond the basics: standard-security encryption with an empty user
+password — RC4 (/V 1|2, /R 2|3) and AES-128-CBC (/V 4 /AESV2, /R 4;
+FIPS-197-pinned core in :mod:`._aes`) via :func:`_encryption`, the
+"encrypted but readable by anyone" files; object streams (``/ObjStm``, PDF
 1.5+ — :func:`_expand_objstm`), the text-capable stream filters (Flate,
 LZW, ASCIIHex, ASCII85, RunLength, chains, PNG predictors —
 :func:`_decode_filters`), xref-first object resolution from classic
@@ -622,11 +623,12 @@ def _stream_of(obj_body: bytes, crypt=None, num: int = 0,
 
 
 # ---------------------------------------------------------------------------
-# Encryption: the RC4 standard security handler (ISO 32000-1 §7.6.3,
-# /V 1|2, /R 2|3) with an EMPTY user password — the "encrypted but
-# readable by anyone" files common in the wild.  Pure stdlib (hashlib.md5
-# + a 15-line RC4).  AES (/V 4|5) and genuinely password-protected files
-# stay UnsupportedPdfError -> parse-failure spans.
+# Encryption: the standard security handler (ISO 32000-1 §7.6.3) with an
+# EMPTY user password — the "encrypted but readable by anyone" files
+# common in the wild.  RC4 for /V 1|2 (R 2|3) and AES-128-CBC for /V 4
+# /AESV2 (R 4; AES core FIPS-197-pinned in sources/_aes.py).  /V 5
+# (AES-256, R 6) and genuinely password-protected files stay
+# UnsupportedPdfError -> parse-failure spans.
 # ---------------------------------------------------------------------------
 
 _PW_PAD = bytes([
@@ -666,25 +668,35 @@ def _strtok_bytes(tok: bytes) -> bytes:
     return _literal_bytes(tok) if tok[:1] == b"(" else _hex_bytes(tok)
 
 
-class _Rc4Crypt:
-    """Per-object RC4 decryptor for the standard handler (empty user pw)."""
+class _StdCrypt:
+    """Per-object decryptor for the standard handler (empty user pw):
+    RC4 (V1/V2) or AES-128-CBC (V4 /AESV2, the per-object-key +sAlT
+    variant)."""
 
-    def __init__(self, key: bytes):
+    def __init__(self, key: bytes, aes: bool = False):
         self._key = key
+        self._aes = aes
 
     def decrypt(self, num: int, gen: int, data: bytes) -> bytes:
         import hashlib
 
+        salt = b"sAlT" if self._aes else b""
         ok = hashlib.md5(
             self._key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+            + salt
         ).digest()[:min(len(self._key) + 5, 16)]
+        if self._aes:
+            from ._aes import aes128_cbc_decrypt
+
+            return aes128_cbc_decrypt(ok, bytes(data))
         return _rc4(ok, data)
 
 
-def _encryption(data: bytes, objs: dict[int, bytes]) -> _Rc4Crypt | None:
-    """Trailer /Encrypt -> verified empty-user-password RC4 decryptor, or
-    None when the file is not encrypted.  Raises UnsupportedPdfError for
-    AES revisions, non-Standard handlers, and real passwords."""
+def _encryption(data: bytes, objs: dict[int, bytes]) -> _StdCrypt | None:
+    """Trailer /Encrypt -> verified empty-user-password decryptor (RC4 or
+    AES-128), or None when the file is not encrypted.  Raises
+    UnsupportedPdfError for AES-256 (/V 5), non-Standard handlers, and
+    real passwords."""
     import hashlib
     import struct
 
@@ -702,8 +714,15 @@ def _encryption(data: bytes, objs: dict[int, bytes]) -> _Rc4Crypt | None:
     vm, rm = _V_RE.search(head), _R_RE.search(head)
     v = int(vm.group(1)) if vm else 0
     r = int(rm.group(1)) if rm else 2
-    if v not in (1, 2) or r not in (2, 3):
-        raise UnsupportedPdfError(f"encryption V={v} R={r} (AES?) unsupported")
+    aes = False
+    if v == 4 and r == 4:
+        if b"/AESV2" in head:
+            aes = True
+        elif b"/CFM" in head and b"/V2" not in head:
+            raise UnsupportedPdfError("V4 crypt filter is not AESV2/V2")
+    elif v not in (1, 2) or r not in (2, 3):
+        raise UnsupportedPdfError(
+            f"encryption V={v} R={r} (AES-256?) unsupported")
     om, um, pm = _O_RE.search(head), _U_RE.search(head), _P_RE.search(head)
     if not (om and um and pm):
         raise UnsupportedPdfError("incomplete /Encrypt dictionary")
@@ -711,7 +730,8 @@ def _encryption(data: bytes, objs: dict[int, bytes]) -> _Rc4Crypt | None:
     u = _strtok_bytes(um.group(1))
     p = int(pm.group(1))
     km = _KEYLEN_RE.search(head)
-    nbytes = (int(km.group(1)) if km and v == 2 else 40) // 8
+    nbytes = (int(km.group(1)) if km and v in (2, 4) else
+              (128 if v == 4 else 40)) // 8
     if not 5 <= nbytes <= 16:
         raise UnsupportedPdfError(f"encryption key length {nbytes * 8}")
     id0 = b""
@@ -723,8 +743,10 @@ def _encryption(data: bytes, objs: dict[int, bytes]) -> _Rc4Crypt | None:
         id0 = bytes.fromhex(h.decode("ascii"))
     if not -(1 << 31) <= p < (1 << 31):  # hostile: /P outside int32
         raise UnsupportedPdfError("encryption /P out of range")
-    key = hashlib.md5(
-        _PW_PAD + o[:32] + struct.pack("<i", p) + id0).digest()
+    seed = _PW_PAD + o[:32] + struct.pack("<i", p) + id0
+    if r >= 4 and re.search(rb"/EncryptMetadata\s+false", head):
+        seed += b"\xff\xff\xff\xff"
+    key = hashlib.md5(seed).digest()
     if r >= 3:
         for _ in range(50):
             key = hashlib.md5(key[:nbytes]).digest()
@@ -740,7 +762,7 @@ def _encryption(data: bytes, objs: dict[int, bytes]) -> _Rc4Crypt | None:
         ok = x == u[:16]
     if not ok:
         raise UnsupportedPdfError("password-protected PDF")
-    return _Rc4Crypt(key)
+    return _StdCrypt(key, aes=aes)
 
 
 # ---------------------------------------------------------------------------

@@ -301,6 +301,7 @@ def _hard_profile_pdfs():
             TestXrefStream._build(predictor=True),
             TestRc4Encryption._encrypt_build(),
             TestType0ToUnicode()._pdf(),
+            TestRc4Encryption._encrypt_build(aes=True),
         ]
     return _HARD_PDFS
 
@@ -309,7 +310,7 @@ def _hard_profile_pdfs():
 @given(
     st.integers(0, 2**31 - 1),
     st.integers(1, 16),
-    st.integers(0, 3),
+    st.integers(0, 4),
 )
 def test_hard_profile_pdfs_total_under_mutation(seed, n_mut, which):
     """Totality over the round-4 surface (filters / xref streams / RC4 /

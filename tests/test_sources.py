@@ -916,9 +916,10 @@ class TestRc4Encryption:
 
     @staticmethod
     def _encrypt_build(r: int = 3, keybits: int = 128,
-                       user_pw: bytes = b"") -> bytes:
+                       user_pw: bytes = b"", aes: bool = False) -> bytes:
         """Spec-faithful test-side encryptor (ISO 32000-1 §7.6.3): builds
-        a one-page PDF whose streams are RC4-encrypted per object."""
+        a one-page PDF whose streams are RC4- (V1/V2) or AES-128-CBC-
+        (V4 /AESV2) encrypted per object."""
         import hashlib
         import struct
 
@@ -928,24 +929,26 @@ class TestRc4Encryption:
         def pad(pw: bytes) -> bytes:
             return (pw + _PW_PAD)[:32]
 
-        nbytes = keybits // 8 if r == 3 else 5
+        if aes:
+            r, keybits = 4, 128
+        nbytes = keybits // 8 if r >= 3 else 5
         id0 = bytes(range(16))
         p = -44
 
         # /O from an EMPTY owner password (falls back to user pw rules)
         h = hashlib.md5(pad(b"")).digest()
-        if r == 3:
+        if r >= 3:
             for _ in range(50):
                 h = hashlib.md5(h).digest()
         okey = h[:nbytes]
         o = _rc4(okey, pad(user_pw))
-        if r == 3:
+        if r >= 3:
             for i in range(1, 20):
                 o = _rc4(bytes(b ^ i for b in okey), o)
 
         key = hashlib.md5(
             pad(user_pw) + o + struct.pack("<i", p) + id0).digest()
-        if r == 3:
+        if r >= 3:
             for _ in range(50):
                 key = hashlib.md5(key[:nbytes]).digest()
         key = key[:nbytes]
@@ -960,23 +963,33 @@ class TestRc4Encryption:
             u += b"\x00" * 16
 
         def objkey(num: int) -> bytes:
+            salt = b"sAlT" if aes else b""
             return hashlib.md5(
                 key + num.to_bytes(3, "little") + (0).to_bytes(2, "little")
+                + salt
             ).digest()[:min(nbytes + 5, 16)]
 
         import zlib
         ops = (b"BT /F1 12 Tf 1 0 0 1 50 700 Tm (rc4 secret text) Tj ET")
         z = zlib.compress(ops)
-        enc_stream = _rc4(objkey(5), z)
+        if aes:
+            from pdf_extraction_tests_spark.sources._aes import (
+                aes128_cbc_encrypt)
+
+            enc_stream = aes128_cbc_encrypt(objkey(5), bytes(range(16)), z)
+        else:
+            enc_stream = _rc4(objkey(5), z)
         esc = lambda b: (b.replace(b"\\", rb"\\").replace(b"(", rb"\(")  # noqa: E731
                          .replace(b")", rb"\)").replace(b"\r", rb"\r"))
-        v = 2 if r == 3 else 1
-        length_entry = b" /Length %d" % keybits if r == 3 else b""
+        v = 4 if aes else (2 if r == 3 else 1)
+        length_entry = b" /Length %d" % keybits if r >= 3 else b""
+        cf = (b" /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen >> >>"
+              b" /StmF /StdCF /StrF /StdCF") if aes else b""
         objs = _one_page_objs(
             b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(enc_stream)
             + enc_stream + b"\nendstream")
-        objs[7] = (b"<< /Filter /Standard /V %d /R %d%s /O (%s) /U (%s) "
-                   b"/P %d >>" % (v, r, length_entry, esc(o), esc(u), p))
+        objs[7] = (b"<< /Filter /Standard /V %d /R %d%s%s /O (%s) /U (%s) "
+                   b"/P %d >>" % (v, r, length_entry, cf, esc(o), esc(u), p))
         out = bytearray(b"%PDF-1.4\n")
         offsets = {}
         for n in sorted(objs):
@@ -1010,12 +1023,14 @@ class TestRc4Encryption:
         spans = bytes_to_spans(data)
         assert [s["text"] for s in spans] == ["UNSUPPORTED_BINARY"]
 
-    def test_aes_v4_fault_isolates(self):
+    def test_v4_with_unknown_crypt_filter_fault_isolates(self):
+        """V4 is supported for /AESV2 (and the RC4-style /V2 CFM); any
+        OTHER crypt-filter method must fault-isolate, not mis-decrypt."""
         from pdf_extraction_tests_spark.sources.binary_docs import (
             bytes_to_spans)
 
-        data = self._encrypt_build()
-        data = data.replace(b"/V 2 /R 3", b"/V 4 /R 4")
+        data = self._encrypt_build(aes=True)
+        data = data.replace(b"/CFM /AESV2", b"/CFM /IDENTITY8")
         spans = bytes_to_spans(data)
         assert [s["text"] for s in spans] == ["UNSUPPORTED_BINARY"]
 
@@ -1072,3 +1087,48 @@ class TestCtmAndInlineImages:
             b"BI /W 2 /H 2 ID \x00\x01(junk) Tj")
         assert [b["text"] for b in blocks if b["kind"] == "text_block"] \
             == ["kept"]
+
+
+class TestAesEncryption:
+    """AES-128 (/V 4 /AESV2, R 4) with an empty user password: the AES
+    core is pinned to the FIPS-197 known-answer vector, the PDF layer to
+    a spec-faithful test-side encryptor."""
+
+    def test_fips_197_known_answer(self):
+        from pdf_extraction_tests_spark.sources._aes import (
+            aes128_decrypt_block, aes128_encrypt_block)
+
+        key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+        pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+        ct = aes128_encrypt_block(key, pt)
+        assert ct == bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a")
+        assert aes128_decrypt_block(key, ct) == pt
+
+    def test_cbc_roundtrip_and_damage_leniency(self):
+        from pdf_extraction_tests_spark.sources._aes import (
+            aes128_cbc_decrypt, aes128_cbc_encrypt)
+
+        key = bytes(range(16))
+        data = b"arbitrary-length pdf stream payload" * 3
+        assert aes128_cbc_decrypt(key, aes128_cbc_encrypt(
+            key, bytes(16), data)) == data
+        assert aes128_cbc_decrypt(key, b"short") == b""  # hostile: no raise
+
+    def test_empty_password_aesv2_decodes(self):
+        from pdf_extraction_tests_spark.sources.pdf_min import (
+            extract_pdf_text)
+
+        data = TestRc4Encryption._encrypt_build(aes=True)
+        blocks = extract_pdf_text(data)
+        assert [b["text"] for b in blocks
+                if b["kind"] == "text_block"] == ["rc4 secret text"]
+
+    def test_aes256_v5_still_fault_isolates(self):
+        from pdf_extraction_tests_spark.sources.binary_docs import (
+            bytes_to_spans)
+
+        data = TestRc4Encryption._encrypt_build(aes=True)
+        data = data.replace(b"/V 4 /R 4", b"/V 5 /R 6").replace(
+            b"/AESV2", b"/AESV3")
+        assert [s["text"] for s in bytes_to_spans(data)] \
+            == ["UNSUPPORTED_BINARY"]
