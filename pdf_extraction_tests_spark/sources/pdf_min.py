@@ -19,12 +19,13 @@ What it extracts, per page:
   (``media_ref='pdf:xobj:<name>'``) at its reading position.
 
 Out of scope (raise UnsupportedPdfError -> fault-isolated upstream):
-AES-256 encryption (/V 5), genuinely password-protected files, and
-image-codec filters (DCT/JPX/CCITT/JBIG2 — pixels, not text).  IN scope
-beyond the basics: standard-security encryption with an empty user
-password — RC4 (/V 1|2, /R 2|3) and AES-128-CBC (/V 4 /AESV2, /R 4;
-FIPS-197-pinned core in :mod:`._aes`) via :func:`_encryption`, the
-"encrypted but readable by anyone" files; object streams (``/ObjStm``, PDF
+genuinely password-protected files and image-codec filters
+(DCT/JPX/CCITT/JBIG2 — pixels, not text).  IN scope beyond the basics:
+standard-security encryption with an empty user password across ALL
+standard revisions — RC4 (/V 1|2, /R 2|3), AES-128 (/V 4 /AESV2, /R 4),
+AES-256 (/V 5 /AESV3, /R 5|6 — Algorithm 2.B hash + /UE key unwrap);
+FIPS-197-pinned core in :mod:`._aes` (:func:`_encryption`, the
+"encrypted but readable by anyone" files); object streams (``/ObjStm``, PDF
 1.5+ — :func:`_expand_objstm`), the text-capable stream filters (Flate,
 LZW, ASCIIHex, ASCII85, RunLength, chains, PNG predictors —
 :func:`_decode_filters`), xref-first object resolution from classic
@@ -625,9 +626,10 @@ def _stream_of(obj_body: bytes, crypt=None, num: int = 0,
 # ---------------------------------------------------------------------------
 # Encryption: the standard security handler (ISO 32000-1 §7.6.3) with an
 # EMPTY user password — the "encrypted but readable by anyone" files
-# common in the wild.  RC4 for /V 1|2 (R 2|3) and AES-128-CBC for /V 4
-# /AESV2 (R 4; AES core FIPS-197-pinned in sources/_aes.py).  /V 5
-# (AES-256, R 6) and genuinely password-protected files stay
+# common in the wild.  RC4 for /V 1|2 (R 2|3), AES-128-CBC for /V 4
+# /AESV2 (R 4), and AES-256-CBC for /V 5 /AESV3 (R 5|6 — Algorithm 2.B
+# password hash, UE file-key unwrap).  The AES core is FIPS-197-pinned in
+# sources/_aes.py.  Genuinely password-protected files stay
 # UnsupportedPdfError -> parse-failure spans.
 # ---------------------------------------------------------------------------
 
@@ -641,6 +643,7 @@ _ID_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>")
 _STRTOK_RE_T = rb"(\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>)"
 _O_RE = re.compile(rb"/O\s*" + _STRTOK_RE_T, re.DOTALL)
 _U_RE = re.compile(rb"/U\s*" + _STRTOK_RE_T, re.DOTALL)
+_UE_RE = re.compile(rb"/UE\s*" + _STRTOK_RE_T, re.DOTALL)
 _P_RE = re.compile(rb"/P\s+(-?\d+)")
 _V_RE = re.compile(rb"/V\s+(\d+)")
 _R_RE = re.compile(rb"/R\s+(\d+)")
@@ -670,26 +673,62 @@ def _strtok_bytes(tok: bytes) -> bytes:
 
 class _StdCrypt:
     """Per-object decryptor for the standard handler (empty user pw):
-    RC4 (V1/V2) or AES-128-CBC (V4 /AESV2, the per-object-key +sAlT
-    variant)."""
+    RC4 (V1/V2), AES-128-CBC with per-object +sAlT keys (V4 /AESV2), or
+    AES-256-CBC with the single file key (V5 /AESV3)."""
 
-    def __init__(self, key: bytes, aes: bool = False):
+    def __init__(self, key: bytes, aes: bool = False, v5: bool = False):
         self._key = key
         self._aes = aes
+        self._v5 = v5
 
     def decrypt(self, num: int, gen: int, data: bytes) -> bytes:
         import hashlib
 
+        if self._v5:  # V5: no per-object keys, the file key crypts all
+            from ._aes import aes_cbc_decrypt
+
+            return aes_cbc_decrypt(self._key, bytes(data))
         salt = b"sAlT" if self._aes else b""
         ok = hashlib.md5(
             self._key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
             + salt
         ).digest()[:min(len(self._key) + 5, 16)]
         if self._aes:
-            from ._aes import aes128_cbc_decrypt
+            from ._aes import aes_cbc_decrypt
 
-            return aes128_cbc_decrypt(ok, bytes(data))
+            return aes_cbc_decrypt(ok, bytes(data))
         return _rc4(ok, data)
+
+
+def _v5_crypt(head: bytes) -> _StdCrypt:
+    """AES-256 standard handler (ISO 32000-2, /V 5 /AESV3, R 5|6) with an
+    EMPTY user password: validate the password against /U's hash+salts,
+    then unwrap the 256-bit file key from /UE.  R6 uses Algorithm 2.B
+    (hash_2b); the deprecated R5 uses a single SHA-256."""
+    import hashlib
+
+    from ._aes import cbc_decrypt_nopad, hash_2b
+
+    rm = _R_RE.search(head)
+    r = int(rm.group(1)) if rm else 6
+    um, uem = _U_RE.search(head), _UE_RE.search(head)
+    if not (um and uem):
+        raise UnsupportedPdfError("V5 /Encrypt missing /U or /UE")
+    u = _strtok_bytes(um.group(1))
+    ue = _strtok_bytes(uem.group(1))
+    if len(u) < 48 or len(ue) < 32:
+        raise UnsupportedPdfError("V5 /U or /UE truncated")
+    vsalt, ksalt = u[32:40], u[40:48]
+    if r == 6:
+        check = hash_2b(b"", vsalt)
+        inter = hash_2b(b"", ksalt)
+    else:  # R5 (deprecated Adobe variant): plain SHA-256
+        check = hashlib.sha256(b"" + vsalt).digest()
+        inter = hashlib.sha256(b"" + ksalt).digest()
+    if check != u[:32]:
+        raise UnsupportedPdfError("password-protected PDF (V5)")
+    file_key = cbc_decrypt_nopad(inter, bytes(16), ue[:32])
+    return _StdCrypt(file_key, aes=True, v5=True)
 
 
 def _encryption(data: bytes, objs: dict[int, bytes]) -> _StdCrypt | None:
@@ -714,6 +753,8 @@ def _encryption(data: bytes, objs: dict[int, bytes]) -> _StdCrypt | None:
     vm, rm = _V_RE.search(head), _R_RE.search(head)
     v = int(vm.group(1)) if vm else 0
     r = int(rm.group(1)) if rm else 2
+    if v == 5 and r in (5, 6):
+        return _v5_crypt(head)
     aes = False
     if v == 4 and r == 4:
         if b"/AESV2" in head:
@@ -722,7 +763,7 @@ def _encryption(data: bytes, objs: dict[int, bytes]) -> _StdCrypt | None:
             raise UnsupportedPdfError("V4 crypt filter is not AESV2/V2")
     elif v not in (1, 2) or r not in (2, 3):
         raise UnsupportedPdfError(
-            f"encryption V={v} R={r} (AES-256?) unsupported")
+            f"encryption V={v} R={r} unsupported")
     om, um, pm = _O_RE.search(head), _U_RE.search(head), _P_RE.search(head)
     if not (om and um and pm):
         raise UnsupportedPdfError("incomplete /Encrypt dictionary")

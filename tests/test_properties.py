@@ -302,6 +302,8 @@ def _hard_profile_pdfs():
             TestRc4Encryption._encrypt_build(),
             TestType0ToUnicode()._pdf(),
             TestRc4Encryption._encrypt_build(aes=True),
+            __import__("tests.test_sources", fromlist=["x"])
+            .TestAes256V5Encryption._build(r=6),
         ]
     return _HARD_PDFS
 
@@ -310,7 +312,7 @@ def _hard_profile_pdfs():
 @given(
     st.integers(0, 2**31 - 1),
     st.integers(1, 16),
-    st.integers(0, 4),
+    st.integers(0, 5),
 )
 def test_hard_profile_pdfs_total_under_mutation(seed, n_mut, which):
     """Totality over the round-4 surface (filters / xref streams / RC4 /

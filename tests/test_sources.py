@@ -1123,12 +1123,105 @@ class TestAesEncryption:
         assert [b["text"] for b in blocks
                 if b["kind"] == "text_block"] == ["rc4 secret text"]
 
-    def test_aes256_v5_still_fault_isolates(self):
+    def test_malformed_v5_dict_fault_isolates(self):
+        """A V5 label on a dict without proper 48-byte /U + /UE (here: a
+        relabeled V4 dict) must fault-isolate, never mis-decrypt."""
         from pdf_extraction_tests_spark.sources.binary_docs import (
             bytes_to_spans)
 
         data = TestRc4Encryption._encrypt_build(aes=True)
         data = data.replace(b"/V 4 /R 4", b"/V 5 /R 6").replace(
             b"/AESV2", b"/AESV3")
+        assert [s["text"] for s in bytes_to_spans(data)] \
+            == ["UNSUPPORTED_BINARY"]
+
+
+class TestAes256V5Encryption:
+    """AES-256 (/V 5 /AESV3, R5 and R6) with an empty user password:
+    Algorithm 2.B hash, /U validation, /UE file-key unwrap, file-key CBC
+    streams.  FIPS-197 C.3 pins the 256-bit core."""
+
+    @staticmethod
+    def _build(r: int = 6, user_pw: bytes = b"") -> bytes:
+        import hashlib
+        import zlib
+
+        from pdf_extraction_tests_spark.sources._aes import (
+            aes_cbc_encrypt, cbc_encrypt_nopad, hash_2b)
+
+        file_key = bytes(range(32))
+        vsalt, ksalt = b"VSALTvs!", b"KSALTks!"
+        if r == 6:
+            uhash = hash_2b(user_pw, vsalt)
+            inter = hash_2b(user_pw, ksalt)
+        else:
+            uhash = hashlib.sha256(user_pw + vsalt).digest()
+            inter = hashlib.sha256(user_pw + ksalt).digest()
+        u = uhash + vsalt + ksalt
+        ue = cbc_encrypt_nopad(inter, bytes(16), file_key)
+        # owner entries (computed over U per spec; parser doesn't need them
+        # but real files carry them)
+        ovs, oks = b"OVSALTo!", b"OKSALTo!"
+        if r == 6:
+            o = hash_2b(b"", ovs, u) + ovs + oks
+            oe = cbc_encrypt_nopad(hash_2b(b"", oks, u), bytes(16), file_key)
+        else:
+            o = hashlib.sha256(b"" + ovs + u).digest() + ovs + oks
+            oe = cbc_encrypt_nopad(hashlib.sha256(b"" + oks + u).digest(),
+                                   bytes(16), file_key)
+
+        esc = lambda b: (b.replace(b"\\", rb"\\").replace(b"(", rb"\(")  # noqa: E731
+                         .replace(b")", rb"\)").replace(b"\r", rb"\r"))
+        ops = b"BT /F1 12 Tf 1 0 0 1 50 700 Tm (aes256 secret) Tj ET"
+        enc_stream = aes_cbc_encrypt(file_key, bytes(range(16)),
+                                     zlib.compress(ops))
+        objs = _one_page_objs(
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n"
+            % len(enc_stream) + enc_stream + b"\nendstream")
+        objs[7] = (b"<< /Filter /Standard /V 5 /R %d /Length 256"
+                   b" /CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen"
+                   b" /Length 32 >> >> /StmF /StdCF /StrF /StdCF"
+                   b" /U (%s) /UE (%s) /O (%s) /OE (%s) /P -44 >>"
+                   % (r, esc(u), esc(ue), esc(o), esc(oe)))
+        out = bytearray(b"%PDF-1.7\n")
+        offsets = {}
+        for n in sorted(objs):
+            offsets[n] = len(out)
+            out += b"%d 0 obj\n" % n + objs[n] + b"\nendobj\n"
+        xref_at = len(out)
+        maxn = max(objs)
+        out += b"xref\n0 %d\n" % (maxn + 1) + b"0000000000 65535 f \n"
+        for n in range(1, maxn + 1):
+            out += (b"%010d 00000 n \n" % offsets[n] if n in offsets
+                    else b"0000000000 65535 f \n")
+        out += (b"trailer\n<< /Size %d /Root 1 0 R /Encrypt 7 0 R "
+                b"/ID [<11223344> <11223344>] >>\nstartxref\n%d\n%%%%EOF\n"
+                % (maxn + 1, xref_at))
+        return bytes(out)
+
+    def test_fips_197_aes256_known_answer(self):
+        from pdf_extraction_tests_spark.sources._aes import (
+            aes_decrypt_block, aes_encrypt_block)
+
+        key = bytes(range(32))
+        pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+        ct = aes_encrypt_block(key, pt)
+        assert ct == bytes.fromhex("8ea2b7ca516745bfeafc49904b496089")
+        assert aes_decrypt_block(key, ct) == pt
+
+    @pytest.mark.parametrize("r", [5, 6])
+    def test_empty_password_v5_decodes(self, r):
+        from pdf_extraction_tests_spark.sources.pdf_min import (
+            extract_pdf_text)
+
+        blocks = extract_pdf_text(self._build(r=r))
+        assert [b["text"] for b in blocks
+                if b["kind"] == "text_block"] == ["aes256 secret"]
+
+    def test_real_password_v5_fault_isolates(self):
+        from pdf_extraction_tests_spark.sources.binary_docs import (
+            bytes_to_spans)
+
+        data = self._build(r=6, user_pw=b"hunter2")
         assert [s["text"] for s in bytes_to_spans(data)] \
             == ["UNSUPPORTED_BINARY"]
