@@ -52,12 +52,32 @@ def _manifest_path(table_dir: str, version: int) -> str:
 
 
 def current_version(table_dir: str) -> int:
-    """Latest published snapshot version; 0 when the table is empty."""
+    """Latest PUBLISHED snapshot version; 0 when the table is empty.
+
+    The atomic ``os.link`` of the manifest is the publish point, so the
+    truth is the highest ``vN.json`` present; the ``current`` pointer is
+    only a fast path.  Taking the max of both heals the crash window
+    between publish and pointer advance — without it, a committer dying
+    in that window would wedge the table (every later commit would race
+    the orphaned version number and lose forever)."""
+    meta = _meta(table_dir)
+    ptr = 0
     try:
-        with open(os.path.join(_meta(table_dir), "current")) as f:
-            return int(f.read().strip())
+        with open(os.path.join(meta, "current")) as f:
+            ptr = int(f.read().strip())
     except (FileNotFoundError, ValueError):
-        return 0
+        pass
+    newest = ptr
+    try:
+        for name in os.listdir(meta):
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    newest = max(newest, int(name[1:-5]))
+                except ValueError:
+                    continue
+    except FileNotFoundError:
+        pass
+    return newest
 
 
 def _load_manifest(table_dir: str, version: int) -> dict:

@@ -52,18 +52,27 @@ class TestSnapshots:
         got = [r.doc_id for r in S.read_snapshot(spark, t).collect()]
         assert got == [1]
 
-    def test_concurrent_commit_loses_cleanly(self, spark, tmp_path):
+    def test_concurrent_commit_loses_cleanly(self, spark, tmp_path,
+                                             monkeypatch):
+        """The true race window: both committers read the same version,
+        one publishes first — the other's atomic link must fail cleanly.
+        Simulated by pinning the loser's version read to the stale value
+        (a pre-published manifest is otherwise correctly ADOPTED as
+        current since the publish/pointer crash-window fix)."""
         t = str(tmp_path / "tbl")
         S.commit_snapshot(_df(spark, [1]), t)
-        # a racing committer publishes v2 first
         m = {"version": 2, "parent": 1, "mode": "append", "data_dirs": [],
-             "schema": _df(spark, [1]).schema.jsonValue(), "partition_by": []}
+             "schema": _df(spark, [1]).schema.jsonValue(), "partition_by": [],
+             "tag": None}
         with open(S._manifest_path(t, 2), "w") as f:
             json.dump(m, f)
+        monkeypatch.setattr(S, "current_version", lambda _t: 1)  # stale read
         with pytest.raises(S.ConcurrentCommitError):
             S.commit_snapshot(_df(spark, [2]), t)
-        # the loser's data dir is orphaned, not referenced
-        assert S.current_version(t) == 1
+        monkeypatch.undo()
+        # the loser's data dir is orphaned, not referenced; the winner's
+        # published v2 is current
+        assert S.current_version(t) == 2
 
     def test_expire_drops_history_and_orphans(self, spark, tmp_path):
         t = str(tmp_path / "tbl")
@@ -120,3 +129,24 @@ class TestCompaction:
         assert len(deleted) == 4
         assert sorted(r.doc_id
                       for r in S.read_snapshot(spark, t).collect()) == before
+
+
+class TestCrashBetweenPublishAndPointer:
+    def test_published_but_unpointed_manifest_is_current(self, spark, tmp_path):
+        """A commit that crashed AFTER the atomic manifest link but BEFORE
+        the pointer advance is already durable: readers must see it and
+        the next committer must build on it instead of racing its version
+        number forever."""
+        t = str(tmp_path / "tbl")
+        S.commit_snapshot(_df(spark, [1]), t)
+        # publish v2 by hand, but 'crash' before advancing the pointer
+        m = dict(S._load_manifest(t, 1))
+        m.update({"version": 2, "parent": 1, "tag": "crashed"})
+        with open(S._manifest_path(t, 2), "w") as f:
+            json.dump(m, f)
+        assert S.current_version(t) == 2                 # manifest wins
+        assert [r.doc_id for r in S.read_snapshot(spark, t).collect()] == [1]
+        v3 = S.commit_snapshot(_df(spark, [3]), t)       # no eternal race
+        assert v3 == 3
+        assert sorted(r.doc_id
+                      for r in S.read_snapshot(spark, t).collect()) == [1, 3]
