@@ -1172,7 +1172,18 @@ def _extract_page_blocks(content: bytes, height: float, page: int,
                     show(" " + dec(stack[-1]))
             elif op == b"TJ":
                 if in_text:
-                    parts = [dec(s) for s in stack if s[:1] in b"(<"]
+                    # walk operands IN ORDER: a large negative kern number
+                    # between strings is how justified text encodes an
+                    # inter-word gap (thousandths of an em; pdfminer-style
+                    # threshold) — without this, words run together
+                    parts = []
+                    for t2 in stack:
+                        if t2[:1] in b"(<":
+                            parts.append(dec(t2))
+                        elif parts and ((kn := _num(t2)) is not None
+                                        and kn < -180):
+                            if not parts[-1].endswith(" "):
+                                parts.append(" ")
                     if parts:
                         show("".join(parts))
             elif op == b"q":
@@ -1198,8 +1209,10 @@ def _extract_page_blocks(content: bytes, height: float, page: int,
         # keep stack bounded between operators WITHOUT dropping text: real
         # justified-text PDFs emit TJ arrays with thousands of interleaved
         # (string, kern-number) operands — compaction keeps every string/hex
-        # token (relative order preserved, which is all TJ consumes) and only
-        # the last 8 non-string tokens (Tm needs at most 6 operands).
+        # token (relative order preserved) and only the last 8 non-string
+        # tokens (Tm needs at most 6 operands; a kern number dropped here
+        # can cost a TJ word gap, but only past 512 non-string operands in
+        # ONE array — text itself is never lost).
         # Truncating strings here was silent text loss (round-2 review).
         # The trigger counts NON-string tokens only: strings legitimately
         # accumulate, and a length trigger would re-scan the whole (string-

@@ -1225,3 +1225,24 @@ class TestAes256V5Encryption:
         data = self._build(r=6, user_pw=b"hunter2")
         assert [s["text"] for s in bytes_to_spans(data)] \
             == ["UNSUPPORTED_BINARY"]
+
+
+class TestTJKernSpacing:
+    def test_large_negative_kern_is_a_word_gap(self):
+        from pdf_extraction_tests_spark.sources.pdf_min import (
+            _extract_page_blocks)
+
+        c = (b"BT /F1 12 Tf 1 0 0 1 50 700 Tm "
+             b"[(hello) -250 (world) -40 (!)] TJ ET")
+        blocks = _extract_page_blocks(c, 792.0, 1)
+        # -250/1000 em = inter-word gap -> space; -40 = kerning -> none
+        assert blocks[0]["text"] == "hello world!"
+
+    def test_leading_kern_and_positive_kerns_ignored(self):
+        from pdf_extraction_tests_spark.sources.pdf_min import (
+            _extract_page_blocks)
+
+        c = (b"BT /F1 12 Tf 1 0 0 1 50 700 Tm "
+             b"[-300 (a) 200 (b) -999 (c)] TJ ET")
+        blocks = _extract_page_blocks(c, 792.0, 1)
+        assert blocks[0]["text"] == "ab c"
