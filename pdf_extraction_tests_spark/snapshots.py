@@ -193,7 +193,12 @@ def committed_tags(table_dir: str) -> set:
 def expire_snapshots(table_dir: str, keep_last: int = 2) -> list[str]:
     """Drop all but the newest ``keep_last`` manifests and delete every
     data directory no retained manifest references — including orphans
-    from crashed/lost commits.  Returns the deleted data dirs."""
+    from crashed/lost commits.  Returns the deleted data dirs.
+
+    Safe against streaming replay: Structured Streaming can only ever
+    replay the NEWEST epoch (its checkpoint commits monotonically), and
+    ``keep_last >= 1`` always retains the newest manifest — so an
+    idempotence tag needed by a future replay is never expired."""
     snaps = list_snapshots(table_dir)
     if not snaps:
         return []
