@@ -270,13 +270,15 @@ def _objects_via_xref(data: bytes) -> dict[int, bytes] | None:
             return None
         items = sorted((off, num) for num, off in offsets.items())
         bounds = sorted({off for off, _ in items} | {len(data)})
+        # O(1) next-offset lookup (bounds.index per object was quadratic
+        # on files with thousands of objects)
+        next_of = dict(zip(bounds, bounds[1:]))
         out: dict[int, bytes] = {}
         for off, num in items:
             hm = _OBJ_AT_RE.match(data, off)
             if hm is None or int(hm.group(1)) != num:
                 return None  # damaged table: offsets lie — use the scan
-            nxt = bounds[bounds.index(off) + 1]
-            body = data[hm.end():nxt]
+            body = data[hm.end():next_of[off]]
             t = body.rfind(b"endobj")
             if t >= 0:
                 body = body[:t]
