@@ -336,3 +336,34 @@ def test_hard_profile_pdfs_total_under_mutation(seed, n_mut, which):
         assert isinstance(blocks, list)
     except UnsupportedPdfError:
         pass
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(
+    # x <= 120: widest block (60 chars x 16pt x 0.5) stays inside the
+    # 612px page — a clipped render would differ from the unclipped
+    # decode geometry by design
+    st.tuples(st.integers(40, 120), st.integers(40, 700),
+              st.sampled_from([9.0, 11.0, 16.0]), _pdf_text),
+    min_size=1, max_size=5))
+def test_inband_raster_loop_matches_direct_decode(items):
+    """Property form of the zero-binary scanned loop: for ANY generated
+    one-page document, write_minimal_pdf -> default raster stack yields
+    the same (etype, text, geometry) blocks as the direct pdf_min decode."""
+    from pdf_extraction_tests_spark.sources.pdf_min import (
+        extract_pdf_text, write_minimal_pdf)
+    from pdf_extraction_tests_spark.sources.scanned import (
+        extract_scanned_pdf)
+
+    # lay blocks out on a non-overlapping vertical grid (overlapping rects
+    # merge under XY-cut by design — not the property under test)
+    page = [("text", x, 40 + i * 120, size, text)
+            for i, (x, _y, size, text) in enumerate(items)]
+    data = write_minimal_pdf([page])
+    direct = sorted(
+        (b["page"], b["etype"], b["text"], b["x"], b["y"], b["w"], b["h"])
+        for b in extract_pdf_text(data) if b["kind"] == "text_block")
+    scanned = sorted(
+        (b["page"], b["etype"], b["text"], b["x"], b["y"], b["w"], b["h"])
+        for b in extract_scanned_pdf(data) if b["kind"] == "text_block")
+    assert scanned == direct

@@ -150,3 +150,26 @@ class TestCrashBetweenPublishAndPointer:
         assert v3 == 3
         assert sorted(r.doc_id
                       for r in S.read_snapshot(spark, t).collect()) == [1, 3]
+
+
+class TestSnapshotSequencesMatchModel:
+    def test_random_append_overwrite_sequences(self, spark, tmp_path):
+        """Model check: any interleaving of appends and overwrites must
+        read back exactly like a list-of-rows model, at every version."""
+        import random
+
+        rng = random.Random(42)
+        t = str(tmp_path / "tbl")
+        model: list[list[int]] = []   # model[v-1] = expected ids at version v+0
+        next_id = 0
+        for _step in range(8):
+            ids = [next_id + k for k in range(rng.randint(1, 3))]
+            next_id += len(ids)
+            mode = "overwrite" if rng.random() < 0.3 else "append"
+            S.commit_snapshot(_df(spark, ids), t, mode=mode)
+            base = [] if (mode == "overwrite" or not model) else model[-1]
+            model.append([*base, *ids])
+        for v, want in enumerate(model, start=1):
+            got = sorted(r.doc_id
+                         for r in S.read_snapshot(spark, t, v).collect())
+            assert got == sorted(want), f"version {v}"
