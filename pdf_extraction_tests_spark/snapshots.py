@@ -160,6 +160,15 @@ def read_snapshot(spark: SparkSession, table_dir: str,
 
     schema = StructType.fromJson(m["schema"])
     dirs = [d for d in m["data_dirs"] if os.path.exists(d)]
+    if len(dirs) < len(m["data_dirs"]):
+        # a retained manifest referencing missing data is corruption
+        # (e.g. an expire racing a committer) — never drop rows silently
+        import warnings
+        missing = sorted(set(m["data_dirs"]) - set(dirs))
+        warnings.warn(
+            f"snapshot v{m['version']} of {table_dir}: "
+            f"{len(missing)} referenced data dir(s) missing "
+            f"(first: {missing[0]}); reading the rest", RuntimeWarning)
     if not dirs:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*dirs)
@@ -190,15 +199,23 @@ def committed_tags(table_dir: str) -> set:
             if m.get("tag") is not None}
 
 
-def expire_snapshots(table_dir: str, keep_last: int = 2) -> list[str]:
+def expire_snapshots(table_dir: str, keep_last: int = 2,
+                     orphan_grace_sec: float = 3600.0) -> list[str]:
     """Drop all but the newest ``keep_last`` manifests and delete every
     data directory no retained manifest references — including orphans
     from crashed/lost commits.  Returns the deleted data dirs.
+
+    ``commit_snapshot`` writes its data dir BEFORE the manifest publish,
+    so an expire running concurrently would see the in-flight dir as an
+    orphan; unreferenced dirs younger than ``orphan_grace_sec`` are
+    therefore left alone (Iceberg's remove_orphan_files has the same
+    ``older_than`` guard).  Pass 0 only when no committer can be live.
 
     Safe against streaming replay: Structured Streaming can only ever
     replay the NEWEST epoch (its checkpoint commits monotonically), and
     ``keep_last >= 1`` always retains the newest manifest — so an
     idempotence tag needed by a future replay is never expired."""
+    import time
     snaps = list_snapshots(table_dir)
     if not snaps:
         return []
@@ -210,13 +227,21 @@ def expire_snapshots(table_dir: str, keep_last: int = 2) -> list[str]:
         if m["version"] not in keep:
             os.unlink(_manifest_path(table_dir, m["version"]))
     deleted = []
+    now = time.time()
     data_root = os.path.join(table_dir, "data")
     if os.path.isdir(data_root):
         for name in sorted(os.listdir(data_root)):
             d = os.path.join(data_root, name)
-            if d not in referenced:
-                shutil.rmtree(d, ignore_errors=True)
-                deleted.append(d)
+            if d in referenced:
+                continue
+            try:
+                age = now - os.path.getmtime(d)
+            except OSError:
+                continue  # vanished under us (concurrent expire)
+            if age < orphan_grace_sec:
+                continue  # possibly an in-flight commit's data
+            shutil.rmtree(d, ignore_errors=True)
+            deleted.append(d)
     return deleted
 
 

@@ -96,6 +96,14 @@ def _literal_bytes(tok: bytes) -> bytes:
                 out.append(int(body[i + 1:j], 8) & 0xFF)
                 i = j
                 continue
+            if nxt in (b"\r", b"\n"):
+                # backslash-EOL line continuation: BOTH bytes are dropped
+                # (ISO 32000-1 s7.3.4.2); CRLF after the backslash counts
+                # as one EOL, so skip a LF that follows a CR
+                i += 2
+                if nxt == b"\r" and body[i:i + 1] == b"\n":
+                    i += 1
+                continue
             # unknown escape: the spec ignores the REVERSE SOLIDUS and
             # keeps the character (ISO 32000-1 s7.3.4.2)
             out += nxt
@@ -650,6 +658,26 @@ _P_RE = re.compile(rb"/P\s+(-?\d+)")
 _V_RE = re.compile(rb"/V\s+(\d+)")
 _R_RE = re.compile(rb"/R\s+(\d+)")
 _KEYLEN_RE = re.compile(rb"/Length\s+(\d+)")
+
+
+def _without_cf_dict(head: bytes) -> bytes:
+    """``head`` with the balanced ``/CF <<...>>`` value span blanked.
+
+    The /CF crypt-filter dictionary nests its own /Length (in BYTES);
+    deriving the file key length from it instead of the top-level
+    /Length (in BITS) mis-sizes the key when a writer emits /CF first."""
+    m = re.search(rb"/CF\s*<<", head)
+    if not m:
+        return head
+    depth, i = 1, m.end()
+    while i < len(head) and depth:
+        if head[i:i + 2] == b"<<":
+            depth, i = depth + 1, i + 2
+        elif head[i:i + 2] == b">>":
+            depth, i = depth - 1, i + 2
+        else:
+            i += 1
+    return head[:m.start()] + head[i:]
 _FILTER_STD_RE = re.compile(rb"/Filter\s*/Standard")
 
 
@@ -772,7 +800,10 @@ def _encryption(data: bytes, objs: dict[int, bytes]) -> _StdCrypt | None:
     o = _strtok_bytes(om.group(1))
     u = _strtok_bytes(um.group(1))
     p = int(pm.group(1))
-    km = _KEYLEN_RE.search(head)
+    # the TOP-LEVEL /Length only: a /CF << /StdCF << /Length 16 >> >> crypt
+    # filter dict may precede it (key order is arbitrary), and its /Length
+    # is in BYTES, not bits — mask the /CF value span before searching
+    km = _KEYLEN_RE.search(_without_cf_dict(head))
     nbytes = (int(km.group(1)) if km and v in (2, 4) else
               (128 if v == 4 else 40)) // 8
     if not 5 <= nbytes <= 16:

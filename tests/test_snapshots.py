@@ -81,7 +81,7 @@ class TestSnapshots:
         S.commit_snapshot(_df(spark, [3]), t)
         orphan = os.path.join(t, "data", "s9-orphan")
         _df(spark, [666]).write.parquet(orphan)
-        deleted = S.expire_snapshots(t, keep_last=2)
+        deleted = S.expire_snapshots(t, keep_last=2, orphan_grace_sec=0)
         assert any(d.endswith("s9-orphan") for d in deleted)
         # v1's own data dir is still referenced by append lineage (v2/v3
         # inherit it), so it survives; the orphan is gone
@@ -94,7 +94,7 @@ class TestSnapshots:
         t = str(tmp_path / "tbl")
         S.commit_snapshot(_df(spark, [1, 2]), t)
         S.commit_snapshot(_df(spark, [9]), t, mode="overwrite")
-        deleted = S.expire_snapshots(t, keep_last=1)
+        deleted = S.expire_snapshots(t, keep_last=1, orphan_grace_sec=0)
         assert len(deleted) == 1                              # v1's data dir
         assert [r.doc_id for r in S.read_snapshot(spark, t).collect()] == [9]
 
@@ -125,10 +125,44 @@ class TestCompaction:
         assert sorted(r.doc_id for r in
                       S.read_snapshot(spark, t, 2).collect()) == [0, 1]
         # expiry then reclaims the pre-compaction dirs
-        deleted = S.expire_snapshots(t, keep_last=1)
+        deleted = S.expire_snapshots(t, keep_last=1, orphan_grace_sec=0)
         assert len(deleted) == 4
         assert sorted(r.doc_id
                       for r in S.read_snapshot(spark, t).collect()) == before
+
+
+class TestExpireGracePeriod:
+    def test_fresh_orphan_survives_default_grace(self, spark, tmp_path):
+        """commit_snapshot writes data BEFORE the manifest publish, so a
+        concurrent expire must not reclaim a young unreferenced dir —
+        it may be an in-flight commit."""
+        t = str(tmp_path / "tbl")
+        S.commit_snapshot(_df(spark, [1]), t)
+        inflight = os.path.join(t, "data", "s9-inflight")
+        _df(spark, [666]).write.parquet(inflight)
+        deleted = S.expire_snapshots(t, keep_last=1)   # default grace
+        assert deleted == []
+        assert os.path.isdir(inflight)
+        # backdating past the grace window makes it a true orphan
+        old = os.path.getmtime(inflight) - 7200
+        os.utime(inflight, (old, old))
+        deleted = S.expire_snapshots(t, keep_last=1)
+        assert [os.path.basename(d) for d in deleted] == ["s9-inflight"]
+
+    def test_missing_referenced_dir_warns(self, spark, tmp_path):
+        import shutil as _sh
+        import warnings as _w
+        t = str(tmp_path / "tbl")
+        S.commit_snapshot(_df(spark, [1]), t)
+        S.commit_snapshot(_df(spark, [2]), t)
+        first = S._load_manifest(t, 1)["data_dirs"][0]
+        _sh.rmtree(first)
+        with _w.catch_warnings(record=True) as caught:
+            _w.simplefilter("always")
+            got = S.read_snapshot(spark, t)
+            rows = sorted(r.doc_id for r in got.collect())
+        assert rows == [2]
+        assert any("missing" in str(c.message) for c in caught)
 
 
 class TestCrashBetweenPublishAndPointer:

@@ -93,6 +93,18 @@ class TestMinimalPdfDecoder:
         blocks = extract_pdf_text(data)
         assert blocks[0]["text"] == r"parens () and backslash \ inside"
 
+    def test_literal_backslash_eol_continuation(self):
+        """ISO 32000-1 s7.3.4.2: backslash-EOL inside a literal string is
+        a line continuation — BOTH bytes vanish (CRLF after the backslash
+        counts as one EOL); an unknown escape keeps only the char."""
+        from pdf_extraction_tests_spark.sources.pdf_min import _literal_bytes
+
+        assert _literal_bytes(b"(wrap\\\nped)") == b"wrapped"
+        assert _literal_bytes(b"(wrap\\\rped)") == b"wrapped"
+        assert _literal_bytes(b"(wrap\\\r\nped)") == b"wrapped"
+        assert _literal_bytes(b"(a\\zb)") == b"azb"      # unknown escape
+        assert _literal_bytes(b"(a\nb)") == b"a\nb"       # bare EOL kept
+
     def test_unsupported_raises(self):
         with pytest.raises(UnsupportedPdfError):
             extract_pdf_text(b"not a pdf")
@@ -916,7 +928,8 @@ class TestRc4Encryption:
 
     @staticmethod
     def _encrypt_build(r: int = 3, keybits: int = 128,
-                       user_pw: bytes = b"", aes: bool = False) -> bytes:
+                       user_pw: bytes = b"", aes: bool = False,
+                       cf_first: bool = False) -> bytes:
         """Spec-faithful test-side encryptor (ISO 32000-1 §7.6.3): builds
         a one-page PDF whose streams are RC4- (V1/V2) or AES-128-CBC-
         (V4 /AESV2) encrypted per object."""
@@ -983,13 +996,22 @@ class TestRc4Encryption:
                          .replace(b")", rb"\)").replace(b"\r", rb"\r"))
         v = 4 if aes else (2 if r == 3 else 1)
         length_entry = b" /Length %d" % keybits if r >= 3 else b""
-        cf = (b" /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen >> >>"
-              b" /StmF /StdCF /StrF /StdCF") if aes else b""
+        if aes:
+            # cf_first models writers that emit the /CF dict (with its
+            # own BYTE-count /Length) BEFORE the top-level bit /Length
+            cf = (b" /CF << /StdCF << /CFM /AESV2 /Length 16"
+                  b" /AuthEvent /DocOpen >> >>"
+                  b" /StmF /StdCF /StrF /StdCF") if cf_first else \
+                 (b" /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen >> >>"
+                  b" /StmF /StdCF /StrF /StdCF")
+        else:
+            cf = b""
+        enc_head = (cf + length_entry) if cf_first else (length_entry + cf)
         objs = _one_page_objs(
             b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(enc_stream)
             + enc_stream + b"\nendstream")
-        objs[7] = (b"<< /Filter /Standard /V %d /R %d%s%s /O (%s) /U (%s) "
-                   b"/P %d >>" % (v, r, length_entry, cf, esc(o), esc(u), p))
+        objs[7] = (b"<< /Filter /Standard /V %d /R %d%s /O (%s) /U (%s) "
+                   b"/P %d >>" % (v, r, enc_head, esc(o), esc(u), p))
         out = bytearray(b"%PDF-1.4\n")
         offsets = {}
         for n in sorted(objs):
@@ -1123,6 +1145,20 @@ class TestAesEncryption:
         assert [b["text"] for b in blocks
                 if b["kind"] == "text_block"] == ["rc4 secret text"]
 
+    def test_cf_dict_before_toplevel_length_decodes(self):
+        """Key order in the /Encrypt dict is arbitrary: a writer that
+        emits /CF << /StdCF << /Length 16 >> >> (BYTES) before the
+        top-level /Length 128 (BITS) must not mis-derive a 2-byte key
+        (advice round 4: first-/Length match grabbed the nested one)."""
+        from pdf_extraction_tests_spark.sources.pdf_min import (
+            extract_pdf_text)
+
+        data = TestRc4Encryption._encrypt_build(aes=True, cf_first=True)
+        assert data.index(b"/CF") < data.index(b"/Length 128")
+        blocks = extract_pdf_text(data)
+        assert [b["text"] for b in blocks
+                if b["kind"] == "text_block"] == ["rc4 secret text"]
+
     def test_malformed_v5_dict_fault_isolates(self):
         """A V5 label on a dict without proper 48-byte /U + /UE (here: a
         relabeled V4 dict) must fault-isolate, never mis-decrypt."""
@@ -1208,6 +1244,57 @@ class TestAes256V5Encryption:
         ct = aes_encrypt_block(key, pt)
         assert ct == bytes.fromhex("8ea2b7ca516745bfeafc49904b496089")
         assert aes_decrypt_block(key, ct) == pt
+
+    def test_hash_2b_independent_spec_implementation(self):
+        """Pin Algorithm 2.B against a second implementation written
+        directly from ISO 32000-2 §7.6.4.3.4 — different loop structure
+        (round counter checked BEFORE each round), different mod-3 pick
+        (big-endian integer, not the byte-sum congruence), CBC chaining
+        hand-rolled over the FIPS-197-pinned block primitive.  The V5
+        fixture alone is self-referential: it builds /U//UE with the
+        same hash_2b under test, so a termination off-by-one would pass
+        the round-trip while failing every real-world R6 PDF."""
+        import hashlib
+
+        from pdf_extraction_tests_spark.sources._aes import (
+            aes_encrypt_block, hash_2b)
+
+        def spec_2b(pw, salt, udata=b""):
+            k = hashlib.sha256(pw + salt + udata).digest()
+            rnd, e = 0, b"\xff"
+            while rnd < 64 or e[-1] > rnd - 32:
+                k1 = (pw + k + udata) * 64
+                # AES-128-CBC, no padding, key=K[:16], iv=K[16:32]
+                key, prev, out = k[:16], k[16:32], bytearray()
+                for off in range(0, len(k1), 16):
+                    blk = bytes(a ^ b
+                                for a, b in zip(k1[off:off + 16], prev))
+                    prev = aes_encrypt_block(key, blk)
+                    out += prev
+                e = bytes(out)
+                pick = int.from_bytes(e[:16], "big") % 3
+                k = (hashlib.sha256, hashlib.sha384,
+                     hashlib.sha512)[pick](e).digest()
+                rnd += 1
+            return k[:32]
+
+        for pw, salt, udata in [
+            (b"", b"\x01" * 8, b""),
+            (b"", b"saltsalt", b"U" * 48),
+            (b"hunter2", b"\xde\xad\xbe\xef\x00\x11\x22\x33", b""),
+            (b"long password " * 8, b"12345678", b"\x00" * 48),
+        ]:
+            assert hash_2b(pw, salt, udata) == spec_2b(pw, salt, udata)
+
+    def test_hash_2b_frozen_digest(self):
+        """Regression literal for a fixed input (computed once from the
+        independent spec implementation above) — catches any future
+        drift in either implementation."""
+        from pdf_extraction_tests_spark.sources._aes import hash_2b
+
+        got = hash_2b(b"", b"\x01\x02\x03\x04\x05\x06\x07\x08")
+        assert got.hex() == ("8d1efb4f1bdbb651341704c2139de4f6"
+                             "be05d6d4609af56916b21646ed74825c")
 
     @pytest.mark.parametrize("r", [5, 6])
     def test_empty_password_v5_decodes(self, r):
