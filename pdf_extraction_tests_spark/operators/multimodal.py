@@ -126,9 +126,11 @@ def _gray_histogram(gray: np.ndarray) -> np.ndarray:
 
 def _decode(content: bytes | None,
             media_type: str) -> tuple[np.ndarray | None, str | None]:
-    """Feature decode -> (vector, kind): REAL pixel parse ('pixel') for the
-    codec-free image formats (binary PGM 'P5', uncompressed BMP 'BM'),
-    digest-seeded stub ('stub') otherwise, (None, None) for NULL content.
+    """Feature decode -> (vector, kind): REAL pixel parse ('pixel') for
+    binary PGM ('P5'), uncompressed BMP ('BM'), and baseline JPEG
+    (FF D8 — the dominant embedded-image codec, decoded by the pure-numpy
+    ``sources._jpeg``), digest-seeded stub ('stub') otherwise, (None,
+    None) for NULL content.
 
     The stub fallback (rather than decode_ok=False) is deliberate: an
     unknown codec is a sanctioned environment boundary, not a corrupt
@@ -144,6 +146,10 @@ def _decode(content: bytes | None,
                 return _gray_histogram(_parse_pgm(bytes(content))), "pixel"
             if content[:2] == b"BM":
                 return _gray_histogram(_parse_bmp(bytes(content))), "pixel"
+            if content[:2] == b"\xff\xd8":
+                from ..sources._jpeg import decode_jpeg_gray
+                return (_gray_histogram(
+                    decode_jpeg_gray(bytes(content)).ravel()), "pixel")
         except ValueError:
             pass
     stub = _decode_stub(content, media_type)

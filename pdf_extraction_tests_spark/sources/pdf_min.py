@@ -944,6 +944,73 @@ def _page_fonts(head: bytes, objs: dict[int, bytes],
     return fonts
 
 
+_XOBJDICT_INLINE_RE = re.compile(rb"/XObject\s*<<(.*?)>>", re.DOTALL)
+_XOBJDICT_REF_RE = re.compile(rb"/XObject\s+(\d+)\s+\d+\s+R")
+_SUBTYPE_IMAGE_RE = re.compile(rb"/Subtype\s*/Image\b")
+_WIDTH_RE = re.compile(rb"/Width\s+(\d+)(?!\s+\d+\s+R)")
+_HEIGHT_RE = re.compile(rb"/Height\s+(\d+)(?!\s+\d+\s+R)")
+_DCT_FILTER_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/(?:DCTDecode|DCT)\b")
+
+
+def _raw_stream_of(obj_body: bytes, crypt=None, num: int = 0,
+                   gen: int = 0) -> bytes | None:
+    """Stream payload with decryption applied but the /Filter chain NOT —
+    how image-codec streams (DCTDecode JPEG bytes) are accessed."""
+    m = _STREAM_RE.match(obj_body)
+    if not m:
+        return None
+    head, rest = m.group(1), m.group(2)
+    end = rest.rfind(b"endstream")
+    raw = rest[:end if end >= 0 else len(rest)]
+    lnm = _LENGTH_LIT_RE.search(head)
+    raw = (raw[:int(lnm.group(1))] if lnm else _strip_one_eol(raw))
+    if crypt is not None:
+        raw = crypt.decrypt(num, gen, raw)
+    return raw
+
+
+def _page_xobjects(head: bytes, objs: dict[int, bytes],
+                   crypt=None) -> dict[str, dict]:
+    """Resolve a page's /Resources /XObject dict -> {name: {width,
+    height}} for IMAGE XObjects, so media placeholders carry real
+    dimensions.  /Width //Height come from the image dict; for DCTDecode
+    streams the embedded JPEG's own SOF frame header is authoritative
+    when it parses (what the pixels say beats what the dict claims)."""
+    res = head
+    rm = _RES_REF_RE.search(head)
+    if rm and int(rm.group(1)) in objs:
+        res = objs[int(rm.group(1))]
+    xm = _XOBJDICT_INLINE_RE.search(res)
+    if xm:
+        body = xm.group(1)
+    else:
+        xr = _XOBJDICT_REF_RE.search(res)
+        body = objs.get(int(xr.group(1))) if xr else None
+    if not body:
+        return {}
+    out: dict[str, dict] = {}
+    for name, ref in _FONTREF_RE.findall(body):
+        xobj = objs.get(int(ref))
+        if xobj is None:
+            continue
+        xhead = xobj.split(b"stream", 1)[0]
+        if not _SUBTYPE_IMAGE_RE.search(xhead):
+            continue
+        wm, hm = _WIDTH_RE.search(xhead), _HEIGHT_RE.search(xhead)
+        w = int(wm.group(1)) if wm else None
+        h = int(hm.group(1)) if hm else None
+        if _DCT_FILTER_RE.search(xhead):
+            try:
+                raw = _raw_stream_of(xobj, crypt, int(ref))
+                if raw:
+                    from ._jpeg import jpeg_dimensions
+                    w, h = jpeg_dimensions(raw)
+            except (ValueError, UnsupportedPdfError):
+                pass  # keep the dict's claim; dims are best-effort
+        out[name.decode("latin-1", "replace")] = {"width": w, "height": h}
+    return out
+
+
 def _text_of_bytes(b: bytes, font: dict | None) -> str:
     """Shown-string bytes -> text under the current font's semantics."""
     if font is None:
@@ -960,8 +1027,10 @@ def _text_of_bytes(b: bytes, font: dict | None) -> str:
     return "".join((m.get(c) if m else None) or chr(c) for c in b)
 
 
-def _page_streams(data: bytes) -> list[tuple[bytes, float, dict]]:
-    """[(content_stream, page_height, special_fonts), ...] in page order.
+def _page_streams(data: bytes) -> list[tuple[bytes, float, dict, dict]]:
+    """[(content_stream, page_height, special_fonts, image_xobjects),
+    ...] in page order.  ``image_xobjects`` maps resource names to
+    best-effort {width, height} (:func:`_page_xobjects`).
     ``special_fonts`` is :func:`_page_fonts`'s map for fonts needing
     non-latin-1 decode (Type0 / ToUnicode); empty for simple pages.
 
@@ -1021,7 +1090,11 @@ def _page_streams(data: bytes) -> list[tuple[bytes, float, dict]]:
             fonts = _page_fonts(head, objs, crypt)
         except Exception:  # noqa: BLE001 — hostile bytes: fonts are optional
             fonts = {}
-        out.append((b"\n".join(parts), height, fonts))
+        try:
+            xobjs = _page_xobjects(head, objs, crypt)
+        except Exception:  # noqa: BLE001 — dims are best-effort metadata
+            xobjs = {}
+        out.append((b"\n".join(parts), height, fonts, xobjs))
     return out
 
 
@@ -1078,7 +1151,8 @@ _IDENTITY = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
 
 
 def _extract_page_blocks(content: bytes, height: float, page: int,
-                         fonts: dict | None = None) -> list[dict]:
+                         fonts: dict | None = None,
+                         xobjs: dict | None = None) -> list[dict]:
     """One page's content stream -> block dicts (text blocks + media).
 
     ``fonts`` (from :func:`_page_fonts`) carries the page's Type0/
@@ -1232,10 +1306,17 @@ def _extract_page_blocks(content: bytes, height: float, page: int,
             elif op == b"Do":
                 if stack and stack[-1][:1] == b"/":
                     name = stack[-1][1:].decode("latin-1", "replace")
-                    blocks.append({
+                    blk = {
                         "kind": "media", "page": page,
                         "ref": f"pdf:xobj:{name}",
-                    })
+                    }
+                    dims = (xobjs or {}).get(name)
+                    if dims:  # real dimensions (dict /Width //Height,
+                        # SOF-verified for DCTDecode) — metadata only,
+                        # never part of the span-equality surface
+                        blk["width"] = dims["width"]
+                        blk["height"] = dims["height"]
+                    blocks.append(blk)
             stack = []
             n_nonstr = 0
             continue
@@ -1273,8 +1354,8 @@ def extract_pdf_text(data: bytes) -> list[dict]:
     if not data.startswith(b"%PDF-"):
         raise UnsupportedPdfError("missing %PDF header")
     blocks: list[dict] = []
-    for i, (content, h, fonts) in enumerate(_page_streams(data)):
-        blocks.extend(_extract_page_blocks(content, h, i + 1, fonts))
+    for i, (content, h, fonts, xobjs) in enumerate(_page_streams(data)):
+        blocks.extend(_extract_page_blocks(content, h, i + 1, fonts, xobjs))
     return blocks
 
 
@@ -1290,7 +1371,10 @@ def write_minimal_pdf(pages: list[list[tuple]], compress: bool = True,
     """Build a valid one-font PDF.
 
     ``pages`` is a list of pages; each page a list of items:
-    ``("text", x, y_top, size, text)`` or ``("image", name)``.
+    ``("text", x, y_top, size, text)``, ``("image", name)``, or
+    ``("jpeg", name, jpeg_bytes, dict_w, dict_h)`` — the latter embeds a
+    /DCTDecode image XObject whose DICT claims (dict_w, dict_h) while the
+    stream carries real JPEG bytes (fixture for SOF-verified dims).
     y is given TOP-left (engine convention) and converted to PDF user space.
     ``objstm=True`` packs the page-tree dict objects into a FlateDecode
     ``/ObjStm`` (the PDF 1.5+ layout) — the reader-side fixture for
@@ -1303,10 +1387,18 @@ def write_minimal_pdf(pages: list[list[tuple]], compress: bool = True,
                  .replace(")", r"\)")).encode("latin-1", "replace")
 
     # layout: 1 catalog, 2 pages-root, 3 font, then per page: page obj,
-    # then all content streams, then image xobjects (one shared)
+    # then all content streams, then image xobjects (one shared gray +
+    # one per distinct jpeg item name)
     page_ids = [4 + i for i in range(len(pages))]
     content_ids = [4 + len(pages) + i for i in range(len(pages))]
     xobj_id = 4 + 2 * len(pages)
+    jpeg_items: dict[str, tuple] = {}
+    for pg in pages:
+        for it in pg:
+            if it[0] == "jpeg":
+                jpeg_items.setdefault(it[1], it)
+    jpeg_ids = {name: xobj_id + 1 + i
+                for i, name in enumerate(jpeg_items)}
 
     body = {}
     body[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
@@ -1317,8 +1409,13 @@ def write_minimal_pdf(pages: list[list[tuple]], compress: bool = True,
     needs_xobj = any(it[0] == "image" for pg in pages for it in pg)
     for i, pg in enumerate(pages):
         res = b"/Font << /F1 3 0 R >>"
-        if needs_xobj:
-            res += b" /XObject << /Im0 %d 0 R >>" % xobj_id
+        if needs_xobj or jpeg_ids:
+            ents = b""
+            if needs_xobj:
+                ents += b" /Im0 %d 0 R" % xobj_id
+            for name, oid in jpeg_ids.items():
+                ents += b" /%s %d 0 R" % (name.encode(), oid)
+            res += b" /XObject <<" + ents + b" >>"
         body[page_ids[i]] = (
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 %d] "
             b"/Resources << %s >> /Contents %d 0 R >>"
@@ -1353,6 +1450,14 @@ def write_minimal_pdf(pages: list[list[tuple]], compress: bool = True,
             b"<< /Type /XObject /Subtype /Image /Width 2 /Height 2 "
             b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length %d >>"
             b"\nstream\n" % len(img) + img + b"\nendstream"
+        )
+    for name, it in jpeg_items.items():
+        _, _, jpg, dict_w, dict_h = it
+        body[jpeg_ids[name]] = (
+            b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+            b"/Filter /DCTDecode /Length %d >>\nstream\n"
+            % (dict_w, dict_h, len(jpg)) + jpg + b"\nendstream"
         )
 
     if objstm:
