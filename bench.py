@@ -81,6 +81,18 @@ def _session(master: str):
     # right — this is a small-input artifact, not a pipeline setting.
     spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
     spark.conf.set("spark.sql.files.openCostInBytes", "64k")
+    # BENCH-ONLY log hygiene: q45/q49/packing deliberately run an
+    # unpartitioned window over their TINY totals frame (corpus_size/64
+    # rows — the small sequential pass of a two-level prefix sum), and
+    # WindowExec WARN-spams "No Partition Defined" for each.  Silencing it
+    # here keeps the warning alive in dev/test sessions, where a global
+    # corpus window would be a real bug.
+    try:
+        spark._jvm.org.apache.log4j.LogManager.getLogger(
+            "org.apache.spark.sql.execution.window.WindowExec"
+        ).setLevel(spark._jvm.org.apache.log4j.Level.ERROR)
+    except Exception:  # noqa: BLE001 — cosmetic; log4j bridge may change
+        pass
     return spark
 
 
@@ -369,6 +381,42 @@ def kernel_ab(ref: str, rounds: int = 3) -> dict:
     }
 
 
+def regression_flags(per_query: dict, prior: dict,
+                     threshold: float = 1.5) -> list[dict]:
+    """Per-query regression gate (round-4 verdict item 8): queries whose
+    time grew past ``threshold``x the prior round's record.  Pure function
+    so the gate is unit-testable; queries new this round (no prior time)
+    are never flagged."""
+    flags = []
+    for name, sec in per_query.items():
+        p = prior.get(name)
+        if p and p > 0 and sec / p > threshold:
+            flags.append({"query": name, "sec": sec, "prior_sec": p,
+                          "ratio": round(sec / p, 3)})
+    return sorted(flags, key=lambda f: -f["ratio"])
+
+
+def _latest_bench_record() -> tuple[str, dict] | None:
+    """Newest BENCH_r*.json's parsed per-query times, for the gate."""
+    import glob
+    import re as _re
+
+    paths = sorted(
+        glob.glob(os.path.join(REPO, "BENCH_r*.json")),
+        key=lambda p: int(_re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    for p in reversed(paths):
+        try:
+            with open(p) as f:
+                rec = json.load(f)
+            q = rec.get("parsed", rec).get("queries")
+            if q:
+                return os.path.basename(p), q
+        except (OSError, ValueError, AttributeError):
+            continue
+    return None
+
+
 def _latest_bench_tag() -> str | None:
     """Most recent bench-r* tag — the previous round's recorded kernel."""
     res = subprocess.run(
@@ -464,6 +512,16 @@ def main() -> None:
         "headline_attempts": attempts,
         "total_query_sec": round(sum(per_query.values()), 3),
     }
+    # per-query regression gate vs the previous round's record; a
+    # contended window (steal above the gate) makes slow times expected,
+    # so the flags are marked unreliable rather than suppressed
+    prior = _latest_bench_record()
+    if prior is not None:
+        base_name, base_q = prior
+        result["regression_baseline"] = base_name
+        result["regressions"] = regression_flags(per_query, base_q)
+        if headline_steal > gate:
+            result["regressions_unreliable"] = True
     if scaling is not None:
         # the north-rule scaling evidence ships in every bench record
         result["scaling"] = scaling

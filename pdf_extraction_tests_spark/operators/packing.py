@@ -27,13 +27,20 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 
 def sequence_pack(docs: DataFrame, seq_len: int = 2048,
                   text_col: str = "text", id_col: str = "doc_id",
-                  sub_width: int = 64) -> DataFrame:
+                  sub_width: int = 64,
+                  tokenizer: str = "whitespace") -> DataFrame:
     """-> (doc_id, n_tokens, seq_id, seq_offset) for every non-NULL-text
-    document, under whitespace tokenization and doc_id concatenation
+    document, under the chosen tokenization and doc_id concatenation
     order.  ``seq_id`` is the fixed-length sequence containing the doc's
     first token; ``seq_offset`` its position inside that sequence (docs
-    straddle boundaries, exactly like concat-and-chunk)."""
-    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    straddle boundaries, exactly like concat-and-chunk).
+
+    ``tokenizer='whitespace'`` (default, DuckDB-oracled via q49) or
+    ``'bpe'`` (real subword counts — functions/bpe.py; same prefix-sum
+    machinery, scan-side Arrow kernel for the counts)."""
+    from ..functions.bpe import token_count_col
+
+    toks = token_count_col(text_col, tokenizer)
     scored = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         toks.alias("_toks"),

@@ -7,51 +7,122 @@ beyond any final aggregation the caller adds) with exact DuckDB oracles.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, functions as F
 
-# deterministic marker-word language heuristic (n-gram/stopword style).
-# On real corpora this would be char-trigram frequency profiles; the
-# classifier *shape* (weighted marker hits -> argmax with threshold) is what
-# matters and mirrors the reference's format detector (v10.R:603-675).
-LANG_MARKERS: dict[str, list[str]] = {
-    "en": [" the ", " and ", " of "],
-    "de": [" der ", " und ", " die "],
-    "fr": [" le ", " et ", " les "],
-    "es": [" el ", " y ", " los "],
+# ---------------------------------------------------------------------------
+# Language ID: char-trigram frequency profiles (the standard n-gram LID
+# design, Cavnar & Trenkle 1994 shape) — DISCRIMINATIVE trigrams learned at
+# import from frozen per-language seed paragraphs, so the profiles are
+# reproducible literals and the classifier stays expressible as pure column
+# arithmetic on BOTH engines (occurrence counts via length-replace).  The
+# round-4 marker-word toy is gone; the classifier shape (profile hits ->
+# argmax with threshold, deterministic tie priority) is unchanged and still
+# mirrors the reference's format detector (v10.R:603-675).
+# ---------------------------------------------------------------------------
+
+# frozen seed prose — editing any paragraph CHANGES THE CLASSIFIER.
+_LANG_SEEDS: dict[str, str] = {
+    "en": ("the quick brown fox jumps over the lazy dog and every morning "
+           "the people of the town would gather in the market to talk about "
+           "the weather the news and the price of bread which had been "
+           "rising for many years while the children played in the street "
+           "and the old men watched them with quiet smiles remembering the "
+           "days of their own youth and the things that they had seen"),
+    "de": ("der schnelle braune fuchs springt über den faulen hund und "
+           "jeden morgen versammelten sich die menschen der stadt auf dem "
+           "markt um über das wetter die nachrichten und den preis des "
+           "brotes zu sprechen der seit vielen jahren stieg während die "
+           "kinder auf der straße spielten und die alten männer ihnen mit "
+           "einem stillen lächeln zusahen und sich an die tage ihrer "
+           "eigenen jugend erinnerten"),
+    "fr": ("le rapide renard brun saute par dessus le chien paresseux et "
+           "chaque matin les gens de la ville se réunissaient au marché "
+           "pour parler du temps des nouvelles et du prix du pain qui "
+           "augmentait depuis de nombreuses années pendant que les enfants "
+           "jouaient dans la rue et que les vieux hommes les regardaient "
+           "avec un sourire tranquille en se souvenant des jours de leur "
+           "propre jeunesse"),
+    "es": ("el rápido zorro marrón salta sobre el perro perezoso y cada "
+           "mañana la gente del pueblo se reunía en el mercado para hablar "
+           "del tiempo de las noticias y del precio del pan que había "
+           "subido durante muchos años mientras los niños jugaban en la "
+           "calle y los viejos hombres los miraban con una sonrisa "
+           "tranquila recordando los días de su propia juventud"),
 }
+
+_TRI_OK_RE = re.compile(r"^[a-zà-ÿ ]{3}$")
+N_TRIGRAMS = 24  # per language; equal sizes keep raw counts comparable
+
+
+def _trigram_freqs(text: str) -> dict[str, float]:
+    padded = f" {text} "
+    counts: dict[str, int] = {}
+    for i in range(len(padded) - 2):
+        t = padded[i:i + 3]
+        if _TRI_OK_RE.match(t) and t != "   ":
+            counts[t] = counts.get(t, 0) + 1
+    total = max(sum(counts.values()), 1)
+    return {t: n / total for t, n in counts.items()}
+
+
+def _learn_trigrams(seeds: dict[str, str], k: int) -> dict[str, list[str]]:
+    """Top-k trigrams per language by DISCRIMINATIVE score: own relative
+    frequency minus the max across the other languages (a trigram common
+    everywhere scores ~0 and is dropped).  Deterministic: ties break on
+    the trigram itself."""
+    freqs = {lang: _trigram_freqs(s) for lang, s in seeds.items()}
+    out: dict[str, list[str]] = {}
+    for lang, f in freqs.items():
+        others = [freqs[o] for o in freqs if o != lang]
+        scored = sorted(
+            ((fv - max(o.get(t, 0.0) for o in others), t)
+             for t, fv in f.items()),
+            key=lambda st: (-st[0], st[1]))
+        out[lang] = [t for _, t in scored[:k]]
+    return out
+
+
+LANG_TRIGRAMS: dict[str, list[str]] = _learn_trigrams(_LANG_SEEDS,
+                                                      N_TRIGRAMS)
+_LID_THRESHOLD = 2  # < 2 profile hits -> 'und'
 
 
 def with_language_guess(docs: DataFrame, text_col: str = "text") -> DataFrame:
     padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
     scores = {
         lang: sum(
-            (F.length(padded) - F.length(F.replace(padded, F.lit(m), F.lit(""))))
-            / F.lit(len(m))
-            for m in markers
+            (F.length(padded) - F.length(F.replace(padded, F.lit(t), F.lit(""))))
+            / F.lit(3)
+            for t in tris
         )
-        for lang, markers in LANG_MARKERS.items()
+        for lang, tris in LANG_TRIGRAMS.items()
     }
     best_score = F.greatest(*scores.values())
     guess = F.lit("und")
     # deterministic priority order on ties: en > de > fr > es
-    for lang in reversed(list(LANG_MARKERS)):
+    for lang in reversed(list(LANG_TRIGRAMS)):
         guess = F.when(scores[lang] == best_score, F.lit(lang)).otherwise(guess)
     return docs.withColumn(
-        "lang_guess", F.when(best_score >= 1, guess).otherwise(F.lit("und"))
+        "lang_guess",
+        F.when(best_score >= _LID_THRESHOLD, guess).otherwise(F.lit("und"))
     )
 
 
 def language_guess_sql(table: str = "documents") -> str:
-    def score(markers):
+    def score(tris):
         return " + ".join(
-            f"(length(p) - length(replace(p, '{m}', ''))) / {len(m)}" for m in markers
+            f"(length(p) - length(replace(p, '{t}', ''))) / 3" for t in tris
         )
 
     cases = []
-    for lang in LANG_MARKERS:  # first match wins => priority order en,de,fr,es
-        cases.append(f"WHEN s_{lang} = best AND best >= 1 THEN '{lang}'")
+    for lang in LANG_TRIGRAMS:  # first match wins => priority en,de,fr,es
+        cases.append(
+            f"WHEN s_{lang} = best AND best >= {_LID_THRESHOLD} "
+            f"THEN '{lang}'")
     score_cols = ",\n             ".join(
-        f"({score(m)}) AS s_{lang}" for lang, m in LANG_MARKERS.items()
+        f"({score(t)}) AS s_{lang}" for lang, t in LANG_TRIGRAMS.items()
     )
     return f"""
     SELECT doc_id, CASE {' '.join(cases)} ELSE 'und' END AS lang_guess
@@ -104,15 +175,29 @@ def quality_score_sql(table: str = "documents") -> str:
     """
 
 
-def with_token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Whitespace tokens + BPE-ish subword estimate (word-boundary pieces:
-    runs of letters, digits, or single punctuation — a cheap deterministic
-    proxy for tokenizer load planning)."""
+def with_token_counts(docs: DataFrame, text_col: str = "text",
+                      tokenizer: str = "whitespace") -> DataFrame:
+    """Whitespace tokens + subword-piece count (word-boundary pieces:
+    runs of letters, digits, or single punctuation — the deterministic
+    proxy for tokenizer load planning).  ``tokenizer='bpe'`` ADDS a
+    ``bpe_tokens`` column: real greedy-merge subword counts from
+    :mod:`..functions.bpe` (Arrow-batched kernel, pytest-pinned ==
+    the local implementation; not DuckDB-expressible, so q31 registers
+    the whitespace mode)."""
     t = F.col(text_col)
     ws_tokens = F.size(F.split(F.trim(t), r"\s+"))
     # RE2-compatible (no lookarounds) so the DuckDB oracle is exact
     pieces = F.size(F.expr(rf"regexp_extract_all({text_col}, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]', 0)"))
-    return docs.withColumn("ws_tokens", ws_tokens).withColumn("subword_pieces", pieces)
+    out = docs.withColumn("ws_tokens", ws_tokens).withColumn(
+        "subword_pieces", pieces)
+    if tokenizer == "bpe":
+        from ..functions.bpe import token_count_col
+
+        out = out.withColumn(
+            "bpe_tokens", token_count_col(text_col, "bpe"))
+    elif tokenizer != "whitespace":
+        raise ValueError(f"unknown tokenizer {tokenizer!r}")
+    return out
 
 
 def token_counts_sql(table: str = "documents") -> str:

@@ -760,8 +760,9 @@ def q28(spark, sf_dir):
 
 @query("q29_language_guess", TA.language_guess_sql())
 def q29(spark, sf_dir):
-    """Language-ID heuristic (marker-word scores -> argmax with priority
-    tie-break) — same classifier shape as the reference's format detector."""
+    """Language-ID: char-trigram profile scores (Cavnar-Trenkle shape,
+    profiles learned from frozen seed prose) -> argmax with priority
+    tie-break — same classifier shape as the reference's format detector."""
     return with_lang(load(spark, sf_dir, "documents"))
 
 
@@ -1184,7 +1185,7 @@ def q44(spark, sf_dir):
     WHERE cum_tokens <= 20000
     """,
 )
-def q45(spark, sf_dir):
+def q45(spark, sf_dir, tokenizer: str = "whitespace"):
     """Token-budget head selection: rank docs by quality (desc,
     deterministic doc_id tiebreak), take the prefix whose cumulative
     whitespace-token count fits a 20k budget — the 'best data first' mixing
@@ -1203,11 +1204,15 @@ def q45(spark, sf_dir):
     4. broadcast offsets back; per-bucket PARTITIONED running sum + offset.
 
     At 100 TB: widen the sub-bucket (doc_id/1e6) so step 3 stays tiny;
-    every corpus-sized stage is scan + hash-partitioned window."""
+    every corpus-sized stage is scan + hash-partitioned window.
+
+    ``tokenizer``: 'whitespace' (driver-registered, DuckDB-oracled) or
+    'bpe' (real subword budget — functions/bpe.py; pytest-pinned)."""
+    from .functions.bpe import token_count_col
     from .operators.text_analysis import with_quality_score
 
     d = with_quality_score(load(spark, sf_dir, "documents"))
-    toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    toks = token_count_col("text", tokenizer)
     scored = d.select(
         "doc_id", "quality", toks.alias("_toks"),
         F.floor(F.col("doc_id") / 64).alias("_sub"),
@@ -1323,12 +1328,13 @@ def q48(spark, sf_dir):
 )
 def q46(spark, sf_dir):
     """Classifier evaluation against labels: per-language agreement of the
-    marker-word language-ID (q29) with the corpus's lang column — the
+    char-trigram language-ID (q29) with the corpus's lang column — the
     eval-harness join every heuristic filter needs before it gates a
     training mix.  On this synthetic corpus the non-en labels are metadata
-    only (the text bodies are English-vocabulary shuffles), so agreement is
-    high for en and ~0 elsewhere — the query's value is exactly that
-    visibility."""
+    only (the text bodies are English-vocabulary shuffles), so agreement
+    stays low off-en BY CONSTRUCTION of the data — the query's value is
+    exactly that visibility; near-1 agreement on real multilingual prose is
+    pinned in tests/test_langid.py."""
     d = load(spark, sf_dir, "documents")
     g = TA.with_language_guess(d).select("doc_id", "lang_guess", "lang")
     return g.groupBy("lang").agg(

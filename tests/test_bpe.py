@@ -1,0 +1,149 @@
+"""BPE tokenizer tests (functions/bpe.py) and the tokenizer= switch
+through q31/q45/q49's operators.
+
+Oracle strategy: greedy lowest-rank apply is pinned against the OTHER
+classic formulation (apply merges sequentially in rank order — the
+subword-nmt reference shape), plus hand cases; the Spark kernels are
+pinned against the local pure-Python implementation (the driver can't
+DuckDB-oracle BPE, so whitespace mode stays the registered path).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extraction_tests_spark.functions import bpe as B
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _ref_apply(word: str, merges) -> list[str]:
+    """Reference BPE apply: each merge in rank order, one left-to-right
+    pass — structurally different from the greedy lowest-rank loop."""
+    syms = list(word)
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+class TestLearnMerges:
+    def test_deterministic(self):
+        m1 = B.learn_merges(B._SEED_CORPUS, 96)
+        m2 = B.learn_merges(B._SEED_CORPUS, 96)
+        assert m1 == m2 == B.DEFAULT_MERGES
+        assert len(B.DEFAULT_MERGES) == 96
+
+    def test_learns_english_pairs(self):
+        # 'th'/'he' are the highest-frequency English bigrams; both must
+        # appear very early in any merge table learned from English prose
+        early = B.DEFAULT_MERGES[:10]
+        assert ("t", "h") in early
+        assert ("th", "e") in early or ("h", "e") in early
+
+    def test_tiny_corpus(self):
+        merges = B.learn_merges("ab ab ab ac", 10)
+        assert merges[0] == ("a", "b")  # most frequent pair first
+        assert len(merges) <= 10        # stops when no pairs remain
+
+    def test_tie_break_lexicographic(self):
+        # 'xy' and 'pq' both appear exactly twice: lexicographic wins
+        merges = B.learn_merges("xy xy pq pq", 1)
+        assert merges[0] == ("p", "q")
+
+
+class TestApply:
+    def test_matches_sequential_reference(self):
+        words = ("the quick brown extraordinarily overengineered "
+                 "internationalization straightforwardness 12345 "
+                 "antidisestablishmentarianism xylophone zzz").split()
+        for w in words:
+            assert list(B.bpe_pieces(w)) == _ref_apply(w, B.DEFAULT_MERGES)
+
+    def test_hand_cases(self):
+        assert B.bpe_token_count(None) == 0
+        assert B.bpe_token_count("") == 0
+        assert B.bpe_token_count("   ") == 0
+        # 'the' is a single token under any English merge table
+        assert B.bpe_pieces("the") == ("the",)
+        # unknown script stays character-split
+        assert len(B.bpe_pieces("qqqq")) == 4
+
+    def test_punctuation_and_digits_are_pieces(self):
+        # pre-tokenization: alnum runs + single other chars
+        n = B.bpe_token_count("the, the.")
+        assert n == len(B.bpe_tokenize("the, the.")) == 4  # the , the .
+
+    def test_case_insensitive_counts(self):
+        assert B.bpe_token_count("The THE the") == B.bpe_token_count(
+            "the the the")
+
+    def test_count_never_exceeds_char_count(self):
+        for t in ("hello world", "a b c", "Straße—naïve", "x" * 100):
+            assert 0 < B.bpe_token_count(t) <= len(t)
+
+    def test_unknown_tokenizer_rejected(self):
+        with pytest.raises(ValueError):
+            B.token_count_col("text", "wordpiece")
+
+
+class TestSparkParity:
+    def test_with_token_counts_bpe_matches_local(self, spark, docs):
+        from pdf_extraction_tests_spark.operators.text_analysis import (
+            with_token_counts)
+
+        d = docs.filter(F.col("doc_id") < 80)
+        got = (with_token_counts(d, tokenizer="bpe")
+               .select("doc_id", "text", "bpe_tokens").toPandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        want = got["text"].map(B.bpe_token_count)
+        assert (got["bpe_tokens"] == want).all()
+        # and the whitespace columns are still present and unchanged
+        base = (with_token_counts(d).select("doc_id", "ws_tokens",
+                                            "subword_pieces").toPandas()
+                .sort_values("doc_id").reset_index(drop=True))
+        both = (with_token_counts(d, tokenizer="bpe")
+                .select("doc_id", "ws_tokens", "subword_pieces").toPandas()
+                .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(base, both)
+
+    def test_sequence_pack_bpe_matches_local_prefix_sum(self, spark, docs):
+        from pdf_extraction_tests_spark.operators.packing import (
+            sequence_pack)
+
+        d = docs.filter(F.col("doc_id") < 150)
+        got = (sequence_pack(d, seq_len=64, tokenizer="bpe").toPandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        local = (d.filter(F.col("text").isNotNull())
+                 .select("doc_id", "text").toPandas()
+                 .sort_values("doc_id").reset_index(drop=True))
+        local["n_tokens"] = local["text"].map(B.bpe_token_count)
+        prior = local["n_tokens"].cumsum().shift(fill_value=0)
+        assert (got["n_tokens"] == local["n_tokens"]).all()
+        assert (got["seq_id"] == prior // 64).all()
+        assert (got["seq_offset"] == prior % 64).all()
+
+    def test_q45_bpe_mode_budget_respected(self, spark):
+        from pdf_extraction_tests_spark.queries import q45
+
+        got = (q45(spark, SF, tokenizer="bpe").toPandas()
+               .sort_values("cum_tokens").reset_index(drop=True))
+        assert len(got) > 0
+        assert int(got["cum_tokens"].max()) <= 20000
+        # strictly increasing cumulative counts, no duplicate docs
+        assert got["cum_tokens"].is_monotonic_increasing
+        assert got["doc_id"].is_unique

@@ -563,7 +563,7 @@ class TestTitleScorerWeights:
         assert ec.extract_title(rows) == (rows[1]["text"], 1)
 
     def test_winner_whitespace_collapsed(self):
-        """v10.R:1952-1954: the winning title gets \s+ -> ' ' + trim
+        r"""v10.R:1952-1954: the winning title gets \s+ -> ' ' + trim
         (round-3 advice: the port skipped the final clean step)."""
         rows = [_trow(0, "  A  Title\nWith   Messy\tWhitespace Runs Here ",
                       y=100, etype="title")]
@@ -576,7 +576,7 @@ class TestAbstractScorerWeights:
     """Pin each reference-verbatim abstract weight (v10.R:1285-1300)."""
 
     def test_winner_whitespace_collapsed(self):
-        """v10.R:1331: the winning abstract gets \s+ collapsed."""
+        r"""v10.R:1331: the winning abstract gets \s+ collapsed."""
         body = "Abstract  sentence one.\nIt   continues. " + "word " * 40
         rows = [_trow(0, body, y=100)]
         text, _ = ec.extract_abstract(rows, -1)
