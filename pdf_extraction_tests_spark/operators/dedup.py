@@ -160,15 +160,7 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
     candidate pair.  Shuffle is on (band, band_key) — tiny rows.  The band
     key is the band's hash values concatenated (cross-engine deterministic;
     on a pure-Spark deployment swap in xxhash64(*cols) to shrink the key)."""
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.concat_ws("_", *cols).alias("bh"))
-        )
-    exploded = signatures.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    exploded = banded_keys(signatures, bands, rows_per_band)
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -706,3 +698,82 @@ def minhash_jaccard_estimate(signatures: DataFrame, pairs: DataFrame,
             F.round(matches / F.lit(num_hashes), 6).alias("jaccard_est"),
         )
     )
+# ---------------------------------------------------------------------------
+# incremental LSH: near-dup dedup of a GROWING corpus against a persisted
+# signature index (round-4 verdict item 5).  The index is a snapshot table
+# (snapshots.py) of banded signature keys, so reads pin the PRE-append data
+# dirs via the manifest — the delta never pairs against its own append.
+# ---------------------------------------------------------------------------
+
+
+def banded_keys(signatures: DataFrame, bands: int = 4,
+                rows_per_band: int = 2) -> DataFrame:
+    """Signature frame -> exploded (doc_id, band, bh) band keys — the unit
+    the LSH join and the persisted index share."""
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}")
+                for r in range(rows_per_band)]
+        band_cols.append(F.struct(
+            F.lit(b).alias("band"), F.concat_ws("_", *cols).alias("bh")))
+    return signatures.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"),
+             F.col("bk.bh").alias("bh"))
+
+
+def lsh_index_append(spark, index_dir: str, new_docs: DataFrame,
+                     num_hashes: int = 8, shingle_n: int = 3,
+                     bands: int = 4, rows_per_band: int = 2,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Incrementally dedup ``new_docs`` against a persisted LSH index and
+    append the delta's signatures: returns candidate pairs WITHIN the
+    delta plus delta-vs-index, then commits the delta's band keys as a new
+    snapshot of ``index_dir``.
+
+    Contract (pinned in tests/test_lsh_incremental.py): feeding a corpus
+    in any batch split and unioning each call's pairs equals
+    ``lsh_candidate_pairs`` over the whole corpus in one batch.
+
+    Scale: signatures are scan-side; the index join touches only matching
+    (band, bh) buckets; the index grows by exactly the delta's band keys
+    (bands x delta rows) per call — never recomputed.  The returned frame
+    must be consumed (or checkpointed) by the caller before the NEXT
+    append if lazy evaluation would otherwise outlive the manifest read:
+    read_snapshot pins data dirs, so even that is safe until an
+    ``expire_snapshots`` reclaims the old version.
+    """
+    from ..snapshots import commit_snapshot, read_snapshot
+
+    sigs = minhash_signatures(new_docs, num_hashes, shingle_n,
+                              text_col, id_col)
+    delta = banded_keys(sigs, bands, rows_per_band)
+    old = read_snapshot(spark, index_dir)
+
+    a, b = delta.alias("a"), delta.alias("b")
+    within = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+    )
+    pairs = within
+    if old is not None:
+        n, o = delta.alias("n"), old.alias("o")
+        cross = (
+            n.join(o, (F.col("n.band") == F.col("o.band"))
+                   & (F.col("n.bh") == F.col("o.bh"))
+                   & (F.col("n.doc_id") != F.col("o.doc_id")))
+            .select(
+                F.least(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_a"),
+                F.greatest(F.col("n.doc_id"),
+                           F.col("o.doc_id")).alias("doc_b"))
+        )
+        pairs = pairs.unionByName(cross)
+    # append AFTER building the plans: read_snapshot above already pinned
+    # the pre-append data dirs through its manifest, so the commit cannot
+    # leak the delta into its own candidate join
+    commit_snapshot(delta, index_dir, mode="append", partition_by=["band"])
+    return pairs.distinct()

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 
@@ -41,6 +42,92 @@ from pyspark.sql import DataFrame, SparkSession
 
 class ConcurrentCommitError(RuntimeError):
     """Another committer published this version first — reload and retry."""
+
+
+class SchemaEvolutionError(ValueError):
+    """Append schema is incompatible with the table (type change or
+    dropped column) — only ADDITIVE evolution is supported."""
+
+
+# ---------------------------------------------------------------------------
+# hidden partition transforms (Iceberg §partition-transforms): the table
+# remembers HOW it is partitioned; writers derive the partition value,
+# readers prune by it without ever seeing the hidden column.
+# ---------------------------------------------------------------------------
+
+_BUCKET_RE = re.compile(r"^bucket\(\s*(\d+)\s*,\s*(\w+)\s*\)$")
+_TRUNCATE_RE = re.compile(r"^truncate\(\s*(\d+)\s*,\s*(\w+)\s*\)$")
+
+
+def _parse_transform(spec: str) -> dict:
+    m = _BUCKET_RE.match(spec)
+    if m:
+        n, col = int(m.group(1)), m.group(2)
+        return {"kind": "bucket", "n": n, "col": col,
+                "hidden": f"_pb_{col}"}
+    m = _TRUNCATE_RE.match(spec)
+    if m:
+        w, col = int(m.group(1)), m.group(2)
+        return {"kind": "truncate", "w": w, "col": col,
+                "hidden": f"_pt_{col}"}
+    if not re.match(r"^\w+$", spec):
+        raise ValueError(f"unsupported partition transform {spec!r}")
+    return {"kind": "identity", "col": spec, "hidden": spec}
+
+
+def _bucket_of(value, n: int) -> int:
+    """Cross-layer bucket function: python-computable so readers can prune
+    without Spark, Spark-expressible so writers derive it scan-side.
+    Matches the engine-wide 48-bit md5 hash (CLAUDE.md invariant)."""
+    import hashlib
+    h = int(hashlib.md5(str(value).encode()).hexdigest()[:12], 16)
+    return h % n
+
+
+def _hidden_col(t: dict):
+    from pyspark.sql import functions as F
+    c = t["col"]
+    if t["kind"] == "bucket":
+        h48 = F.expr(
+            f"cast(conv(substr(md5(cast({c} as string)), 1, 12), 16, 10) "
+            f"as bigint)")
+        return F.pmod(h48, F.lit(t["n"])).cast("int")
+    if t["kind"] == "truncate":
+        return F.substring(F.col(c).cast("string"), 1, t["w"])
+    return F.col(c)
+
+
+def _eq_filter(t: dict, value):
+    """Reader-side pruning predicate for ``col == value`` under the
+    transform: the hidden-column equality prunes partitions (lossy for
+    bucket/truncate), the source-column equality keeps exactness."""
+    from pyspark.sql import functions as F
+    if t["kind"] == "bucket":
+        return ((F.col(t["hidden"]) == _bucket_of(value, t["n"]))
+                & (F.col(t["col"]) == value))
+    if t["kind"] == "truncate":
+        return ((F.col(t["hidden"]) == str(value)[:t["w"]])
+                & (F.col(t["col"]) == value))
+    return F.col(t["col"]) == value
+
+
+def _evolved_schema(parent: dict, new: dict) -> dict:
+    """ADDITIVE schema union: parent field order, new-only fields appended
+    as nullable.  Type change or column drop -> SchemaEvolutionError."""
+    new_by_name = {f["name"]: f for f in new["fields"]}
+    fields = []
+    for f in parent["fields"]:
+        nf = new_by_name.get(f["name"])
+        if nf is not None and nf["type"] != f["type"]:
+            raise SchemaEvolutionError(
+                f"column {f['name']!r}: type {f['type']!r} -> "
+                f"{nf['type']!r} is not additive")
+        fields.append(f)
+    parent_names = {f["name"] for f in parent["fields"]}
+    for f in new["fields"]:
+        if f["name"] not in parent_names:
+            fields.append({**f, "nullable": True})
+    return {**parent, "fields": fields}
 
 
 def _meta(table_dir: str) -> str:
@@ -98,6 +185,17 @@ def commit_snapshot(df: DataFrame, table_dir: str, mode: str = "append",
     idempotence label recorded in the manifest (e.g. a streaming epoch id
     — see :func:`committed_tags`): a replayed writer checks it before
     re-committing.
+
+    ``partition_by`` entries may be plain columns (identity) or HIDDEN
+    transforms — ``"bucket(N, col)"`` / ``"truncate(W, col)"`` (Iceberg
+    partition-transform semantics): the writer derives the partition
+    value scan-side, the layout uses the derived column, and readers
+    never see it (:func:`read_snapshot` drops hidden columns and
+    :func:`read_snapshot`'s ``eq`` filters prune by them).
+
+    Schema evolution is ADDITIVE on append: new columns join the table
+    schema as nullable (old data reads NULL for them); a type change or
+    drop raises :class:`SchemaEvolutionError`.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode {mode!r}")
@@ -106,21 +204,41 @@ def commit_snapshot(df: DataFrame, table_dir: str, mode: str = "append",
     new_v = parent_v + 1
     data_dir = os.path.join(
         table_dir, "data", f"s{new_v}-{uuid.uuid4().hex[:8]}")
-    w = df.write.mode("errorifexists")
-    if partition_by:
-        w = w.partitionBy(*partition_by)
+
+    parent_m = _load_manifest(table_dir, parent_v) if parent_v else None
+    spec = [_parse_transform(s) for s in (partition_by or [])]
+    if mode == "append" and parent_m and parent_m.get("partition_by"):
+        if partition_by is None:  # inherit the table's layout
+            spec = [_parse_transform(s) for s in parent_m["partition_by"]]
+            partition_by = parent_m["partition_by"]
+        elif list(partition_by) != parent_m["partition_by"]:
+            raise ValueError(
+                f"append partition spec {list(partition_by)} != table's "
+                f"{parent_m['partition_by']}")
+
+    out = df
+    hidden = [t["hidden"] for t in spec if t["kind"] != "identity"]
+    for t in spec:
+        if t["kind"] != "identity":
+            out = out.withColumn(t["hidden"], _hidden_col(t))
+    w = out.write.mode("errorifexists")
+    if spec:
+        w = w.partitionBy(*[t["hidden"] for t in spec])
     w.parquet(data_dir)
 
+    schema = df.schema.jsonValue()
     parent_dirs: list[str] = []
-    if mode == "append" and parent_v:
-        parent_dirs = _load_manifest(table_dir, parent_v)["data_dirs"]
+    if mode == "append" and parent_m:
+        parent_dirs = parent_m["data_dirs"]
+        schema = _evolved_schema(parent_m["schema"], schema)
     manifest = {
         "version": new_v,
         "parent": parent_v or None,
         "mode": mode,
         "data_dirs": [*parent_dirs, data_dir],
-        "schema": df.schema.jsonValue(),
+        "schema": schema,                      # USER schema (no hidden cols)
         "partition_by": list(partition_by or []),
+        "hidden_cols": hidden,
         "tag": tag,
     }
     tmp = os.path.join(_meta(table_dir),
@@ -146,9 +264,16 @@ def commit_snapshot(df: DataFrame, table_dir: str, mode: str = "append",
 
 
 def read_snapshot(spark: SparkSession, table_dir: str,
-                  version: int | None = None) -> DataFrame | None:
+                  version: int | None = None,
+                  eq: dict | None = None) -> DataFrame | None:
     """Read a snapshot (default: current).  None when the table is empty
-    or the requested version has been expired."""
+    or the requested version has been expired.
+
+    ``eq`` maps column -> value equality predicates; for columns covered
+    by a hidden partition transform the matching partition-column filter
+    is added too, so the scan PRUNES to the matching bucket/truncation
+    directories (PartitionFilters in the plan — pinned in
+    tests/test_plans.py).  Hidden columns never appear in the result."""
     v = current_version(table_dir) if version is None else version
     if v <= 0:
         return None
@@ -156,6 +281,7 @@ def read_snapshot(spark: SparkSession, table_dir: str,
         m = _load_manifest(table_dir, v)
     except FileNotFoundError:
         return None
+    from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(m["schema"])
@@ -171,7 +297,37 @@ def read_snapshot(spark: SparkSession, table_dir: str,
             f"(first: {missing[0]}); reading the rest", RuntimeWarning)
     if not dirs:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*dirs)
+    spec = {t["col"]: t
+            for t in (_parse_transform(s) for s in m.get("partition_by", []))}
+    # hidden partition columns are appended to the read schema so the
+    # scanner recovers them from the directory layout (and can prune on
+    # them); they are dropped before the frame is returned
+    storage = StructType.fromJson(m["schema"])
+    from pyspark.sql.types import IntegerType, StringType, StructField
+    for t in spec.values():
+        if t["kind"] == "bucket":
+            storage = StructType(
+                [*storage.fields,
+                 StructField(t["hidden"], IntegerType(), True)])
+        elif t["kind"] == "truncate":
+            storage = StructType(
+                [*storage.fields, StructField(t["hidden"], StringType(),
+                                              True)])
+    if len(dirs) == 1 or not spec:
+        df = spark.read.schema(storage).parquet(*dirs)
+    else:
+        # several partitioned roots can't share one multi-path read
+        # (CONFLICTING_DIRECTORY_STRUCTURES without a common basePath):
+        # scan each snapshot dir and union — filters (incl. partition
+        # pruning) push through the union into every branch
+        from functools import reduce
+        df = reduce(lambda a, b: a.unionByName(b),
+                    [spark.read.schema(storage).parquet(d) for d in dirs])
+    for col, val in (eq or {}).items():
+        t = spec.get(col)
+        df = df.filter(_eq_filter(t, val) if t is not None
+                       else F.col(col) == val)
+    return df.select(*[f.name for f in schema.fields])
 
 
 def list_snapshots(table_dir: str) -> list[dict]:

@@ -1,0 +1,71 @@
+"""Incremental LSH dedup against a persisted signature index
+(operators/dedup.py::lsh_index_append — round-4 verdict item 5).
+
+Contract: feeding a corpus in ANY batch split and unioning each call's
+candidate pairs equals lsh_candidate_pairs over the whole corpus in one
+batch.  The index is a snapshot table, so each call's candidate join is
+pinned to the PRE-append manifest (its own append can never self-pair).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extraction_tests_spark import snapshots as S
+from pdf_extraction_tests_spark.operators import dedup as D
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").filter(
+        F.col("doc_id") < 200)
+
+
+def _pairs(df) -> set:
+    return {(r.doc_a, r.doc_b) for r in df.collect()}
+
+
+class TestLshIncremental:
+    def test_batch_equals_incremental_union(self, spark, docs, tmp_path):
+        idx = str(tmp_path / "lsh_index")
+        batch = _pairs(D.lsh_candidate_pairs(D.minhash_signatures(docs)))
+
+        a = docs.filter(F.col("doc_id") % 2 == 0)
+        b = docs.filter(F.col("doc_id") % 2 == 1)
+        inc = _pairs(D.lsh_index_append(spark, idx, a))
+        inc |= _pairs(D.lsh_index_append(spark, idx, b))
+        assert inc == batch
+        assert len(batch) > 0  # the corpus actually has near-dups
+
+    def test_three_way_split_order_independent(self, spark, docs, tmp_path):
+        batch = _pairs(D.lsh_candidate_pairs(D.minhash_signatures(docs)))
+        for order in ((0, 1, 2), (2, 0, 1)):
+            idx = str(tmp_path / f"idx_{order[0]}{order[1]}{order[2]}")
+            inc: set = set()
+            for k in order:
+                part = docs.filter(F.col("doc_id") % 3 == k)
+                inc |= _pairs(D.lsh_index_append(spark, idx, part))
+            assert inc == batch
+
+    def test_index_grows_by_delta_only(self, spark, docs, tmp_path):
+        idx = str(tmp_path / "lsh_index")
+        a = docs.filter(F.col("doc_id") < 50)
+        b = docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 80))
+        D.lsh_index_append(spark, idx, a).count()
+        n1 = S.read_snapshot(spark, idx).count()
+        D.lsh_index_append(spark, idx, b).count()
+        n2 = S.read_snapshot(spark, idx).count()
+        n_a = D.minhash_signatures(a).count()
+        n_b = D.minhash_signatures(b).count()
+        assert n1 == 4 * n_a           # bands x docs (docs with signatures)
+        assert n2 - n1 == 4 * n_b      # the append added ONLY the delta
+        # two snapshots: one per ingest — time travel sees the first alone
+        assert [m["version"] for m in S.list_snapshots(idx)] == [1, 2]
+
+    def test_empty_delta_is_safe(self, spark, docs, tmp_path):
+        idx = str(tmp_path / "lsh_index")
+        none = docs.filter(F.lit(False))
+        assert _pairs(D.lsh_index_append(spark, idx, none)) == set()

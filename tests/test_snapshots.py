@@ -207,3 +207,97 @@ class TestSnapshotSequencesMatchModel:
             got = sorted(r.doc_id
                          for r in S.read_snapshot(spark, t, v).collect())
             assert got == sorted(want), f"version {v}"
+
+
+class TestPartitionTransforms:
+    def test_bucket_transform_roundtrip_hides_column(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        df = _df(spark, range(20))
+        S.commit_snapshot(df, t, partition_by=["bucket(4, doc_id)"])
+        got = S.read_snapshot(spark, t)
+        assert sorted(got.columns) == ["doc_id", "text"]  # hidden col gone
+        assert sorted(r.doc_id for r in got.collect()) == list(range(20))
+        # the layout really is bucketed: _pb_doc_id dirs on disk
+        data = S._load_manifest(t, 1)["data_dirs"][0]
+        assert any(n.startswith("_pb_doc_id=") for n in os.listdir(data))
+
+    def test_eq_read_prunes_and_is_exact(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        S.commit_snapshot(_df(spark, range(40)), t,
+                          partition_by=["bucket(4, doc_id)"])
+        got = S.read_snapshot(spark, t, eq={"doc_id": 7})
+        rows = got.collect()
+        assert [r.doc_id for r in rows] == [7]
+        from pdf_extraction_tests_spark.plans.audit import formatted_plan
+        plan = formatted_plan(got)
+        import re as _re
+        m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "_pb_doc_id" in m.group(1), plan  # pruning planned
+
+    def test_truncate_transform(self, spark, tmp_path):
+        import pandas as pd
+        t = str(tmp_path / "tbl")
+        df = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2, 3], "src": ["alpha", "alto", "beta"]}))
+        S.commit_snapshot(df, t, partition_by=["truncate(2, src)"])
+        got = S.read_snapshot(spark, t, eq={"src": "alto"})
+        assert [(r.doc_id, r.src) for r in got.collect()] == [(2, "alto")]
+        assert sorted(got.columns) == ["doc_id", "src"]
+
+    def test_append_inherits_layout_and_rejects_conflicts(self, spark,
+                                                          tmp_path):
+        t = str(tmp_path / "tbl")
+        S.commit_snapshot(_df(spark, [1, 2]), t,
+                          partition_by=["bucket(4, doc_id)"])
+        S.commit_snapshot(_df(spark, [3]), t)  # inherits bucket(4, doc_id)
+        data2 = S._load_manifest(t, 2)["data_dirs"][-1]
+        assert any(n.startswith("_pb_doc_id=") for n in os.listdir(data2))
+        assert sorted(r.doc_id for r in
+                      S.read_snapshot(spark, t).collect()) == [1, 2, 3]
+        with pytest.raises(ValueError, match="partition spec"):
+            S.commit_snapshot(_df(spark, [4]), t,
+                              partition_by=["bucket(8, doc_id)"])
+
+    def test_bucket_function_is_engine_hash(self, spark):
+        # python-side bucket == the engine-wide 48-bit md5 hash mod n
+        import hashlib
+        for v, n in ((7, 4), ("x", 16), (123456, 8)):
+            want = int(hashlib.md5(str(v).encode()).hexdigest()[:12],
+                       16) % n
+            assert S._bucket_of(v, n) == want
+
+
+class TestSchemaEvolution:
+    def test_additive_column_null_fills_old_rows(self, spark, tmp_path):
+        import pandas as pd
+        t = str(tmp_path / "tbl")
+        S.commit_snapshot(_df(spark, [1, 2]), t)
+        evolved = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [3], "text": ["t3"], "lang": ["en"]}))
+        S.commit_snapshot(evolved, t, mode="append")
+        got = S.read_snapshot(spark, t)
+        assert sorted(got.columns) == ["doc_id", "lang", "text"]
+        rows = {r.doc_id: r.lang for r in got.collect()}
+        assert rows == {1: None, 2: None, 3: "en"}
+        # time travel to v1 keeps the OLD schema
+        v1 = S.read_snapshot(spark, t, version=1)
+        assert sorted(v1.columns) == ["doc_id", "text"]
+
+    def test_missing_column_on_append_is_nulled(self, spark, tmp_path):
+        import pandas as pd
+        t = str(tmp_path / "tbl")
+        S.commit_snapshot(spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1], "text": ["a"], "lang": ["en"]})), t)
+        S.commit_snapshot(_df(spark, [2]), t, mode="append")  # no lang
+        rows = {r.doc_id: r.lang
+                for r in S.read_snapshot(spark, t).collect()}
+        assert rows == {1: "en", 2: None}
+
+    def test_type_change_rejected(self, spark, tmp_path):
+        import pandas as pd
+        t = str(tmp_path / "tbl")
+        S.commit_snapshot(_df(spark, [1]), t)
+        bad = spark.createDataFrame(pd.DataFrame(
+            {"doc_id": ["not-an-int"], "text": ["x"]}))
+        with pytest.raises(S.SchemaEvolutionError):
+            S.commit_snapshot(bad, t, mode="append")
