@@ -88,6 +88,14 @@ def learn_merges(corpus: str, n_merges: int) -> list[tuple[str, str]]:
     freqs: dict[str, int] = {}
     for w in _WORD_RE.findall(corpus.lower()):
         freqs[w] = freqs.get(w, 0) + 1
+    return _learn_from_freqs(freqs, n_merges)
+
+
+def _learn_from_freqs(freqs: dict[str, int],
+                      n_merges: int) -> list[tuple[str, str]]:
+    """The merge loop proper, over an aggregated word-frequency table —
+    shared by the local and the Spark trainer (training cost depends on
+    DISTINCT words, never corpus size)."""
     vocab = {tuple(w): n for w, n in freqs.items()}
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
@@ -98,6 +106,38 @@ def learn_merges(corpus: str, n_merges: int) -> list[tuple[str, str]]:
         merges.append(best)
         vocab = _merge_vocab(vocab, best)
     return merges
+
+
+def learn_merges_spark(docs, n_merges: int, text_col: str = "text",
+                       sample: int = 4096) -> list[tuple[str, str]]:
+    """Learn a BPE merge table FROM THE CORPUS with Spark doing the heavy
+    lifting: one distributed word-frequency aggregation, then the classic
+    merge loop over the (tiny, bounded) frequency table on the driver —
+    the shape production tokenizer training uses (word counts are
+    aggregated first precisely because the merge loop's cost depends on
+    distinct words, not corpus size).
+
+    ``sample`` keeps the most frequent distinct words (deterministic
+    tie-break on the word), bounding driver memory at any corpus scale;
+    rare-word tails cannot move the early merges.
+
+    Pinned in tests: equals :func:`_learn_from_freqs` over the same
+    frequency table, and on a small corpus equals plain
+    :func:`learn_merges` over the concatenated text.
+    """
+    from pyspark.sql import functions as F
+
+    rows = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.explode(
+            F.expr(rf"regexp_extract_all(lower({text_col}), "
+                   rf"'[a-z0-9]+|[^a-z0-9\\s]', 0)")).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("w"))
+        .limit(sample)
+        .collect()  # bounded-sample ok: <= `sample` rows by limit()
+    )
+    return _learn_from_freqs({r.w: int(r.n) for r in rows}, n_merges)
 
 
 DEFAULT_MERGES: list[tuple[str, str]] = learn_merges(_SEED_CORPUS, 96)

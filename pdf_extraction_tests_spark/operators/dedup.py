@@ -743,37 +743,52 @@ def lsh_index_append(spark, index_dir: str, new_docs: DataFrame,
     append if lazy evaluation would otherwise outlive the manifest read:
     read_snapshot pins data dirs, so even that is safe until an
     ``expire_snapshots`` reclaims the old version.
+
+    Concurrency: when another ingest wins the snapshot version, the
+    WHOLE read-join-commit cycle retries against the fresh manifest —
+    retrying only the commit would silently miss cross pairs against the
+    winner's delta (the Iceberg optimistic-commit contract, applied to
+    the semantic unit rather than the write alone).
     """
-    from ..snapshots import commit_snapshot, read_snapshot
+    from ..snapshots import (ConcurrentCommitError, commit_snapshot,
+                             read_snapshot)
 
     sigs = minhash_signatures(new_docs, num_hashes, shingle_n,
                               text_col, id_col)
     delta = banded_keys(sigs, bands, rows_per_band)
-    old = read_snapshot(spark, index_dir)
+    for attempt in range(5):
+        old = read_snapshot(spark, index_dir)
 
-    a, b = delta.alias("a"), delta.alias("b")
-    within = (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.bh") == F.col("b.bh"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"))
-    )
-    pairs = within
-    if old is not None:
-        n, o = delta.alias("n"), old.alias("o")
-        cross = (
-            n.join(o, (F.col("n.band") == F.col("o.band"))
-                   & (F.col("n.bh") == F.col("o.bh"))
-                   & (F.col("n.doc_id") != F.col("o.doc_id")))
-            .select(
-                F.least(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_a"),
-                F.greatest(F.col("n.doc_id"),
-                           F.col("o.doc_id")).alias("doc_b"))
+        a, b = delta.alias("a"), delta.alias("b")
+        within = (
+            a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bh") == F.col("b.bh"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
         )
-        pairs = pairs.unionByName(cross)
-    # append AFTER building the plans: read_snapshot above already pinned
-    # the pre-append data dirs through its manifest, so the commit cannot
-    # leak the delta into its own candidate join
-    commit_snapshot(delta, index_dir, mode="append", partition_by=["band"])
-    return pairs.distinct()
+        pairs = within
+        if old is not None:
+            n, o = delta.alias("n"), old.alias("o")
+            cross = (
+                n.join(o, (F.col("n.band") == F.col("o.band"))
+                       & (F.col("n.bh") == F.col("o.bh"))
+                       & (F.col("n.doc_id") != F.col("o.doc_id")))
+                .select(
+                    F.least(F.col("n.doc_id"),
+                            F.col("o.doc_id")).alias("doc_a"),
+                    F.greatest(F.col("n.doc_id"),
+                               F.col("o.doc_id")).alias("doc_b"))
+            )
+            pairs = pairs.unionByName(cross)
+        # append AFTER building the plans: read_snapshot above already
+        # pinned the pre-append data dirs through its manifest, so the
+        # commit cannot leak the delta into its own candidate join
+        try:
+            commit_snapshot(delta, index_dir, mode="append",
+                            partition_by=["band"])
+            return pairs.distinct()
+        except ConcurrentCommitError:
+            continue  # re-read: the winner's delta must join as `old`
+    raise ConcurrentCommitError(
+        f"lsh_index_append lost the commit race 5 times on {index_dir}")

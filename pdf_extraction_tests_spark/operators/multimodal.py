@@ -232,6 +232,50 @@ def media_features_sql(limit: int = 96, table: str = "documents") -> str:
     """
 
 
+def media_from_binary_docs(docs: DataFrame, content_col: str = "content",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Binary documents -> embedded-image MEDIA table: one row per image
+    XObject reference, in MEDIA_SCHEMA — the bridge from the PDF source
+    to :func:`extract_media_features` (embedded JPEGs and gray bitmaps
+    become REAL ``feature_kind='pixel'`` histograms downstream; codec
+    placeholders keep NULL content and stub features).
+
+    media_ref is ``<doc_id>/pdf:xobj:<name>`` — the same reference the
+    doc's media SPANS carry, prefixed by the doc, so features join back
+    to the span stream.  Non-PDF / undecodable docs yield no rows (per-
+    doc fault isolation, same contract as bytes_to_spans).  mapInPandas:
+    decode amortizes per Arrow batch, scan-side, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..sources.pdf_min import extract_pdf_media
+
+        cols = [f.name for f in MEDIA_SCHEMA]
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf[id_col], pdf[content_col]):
+                if content is None:
+                    continue
+                raw = bytes(content)
+                if not raw.startswith(b"%PDF-"):
+                    continue
+                try:
+                    media = extract_pdf_media(raw)
+                except Exception:  # noqa: BLE001 — per-doc fault isolation
+                    continue
+                for m in media:
+                    rows.append({
+                        "media_ref": f"{doc_id}/{m['ref']}",
+                        "media_type": "image",
+                        "content": m["content"],
+                        "width": m["width"],
+                        "height": m["height"],
+                        "duration_ms": None,
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic fake media table for tests/bench."""
     rng = np.random.default_rng(seed)

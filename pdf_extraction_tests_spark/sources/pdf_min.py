@@ -999,15 +999,67 @@ def _page_xobjects(head: bytes, objs: dict[int, bytes],
         wm, hm = _WIDTH_RE.search(xhead), _HEIGHT_RE.search(xhead)
         w = int(wm.group(1)) if wm else None
         h = int(hm.group(1)) if hm else None
+        codec, content = None, None
+        fm = _FILTER_VAL_RE.search(xhead)
+        filt_names = _NAME_TOK_RE.findall(fm.group(1)) if fm else []
+        img_codecs = [n for n in filt_names if n in _IMAGE_CODECS]
         if _DCT_FILTER_RE.search(xhead):
+            # a sole /DCTDecode stream IS a standalone JPEG: carry the
+            # payload (decrypted, unfiltered) and trust its SOF dims
+            codec = "jpeg"
             try:
                 raw = _raw_stream_of(xobj, crypt, int(ref))
                 if raw:
+                    content = raw
                     from ._jpeg import jpeg_dimensions
                     w, h = jpeg_dimensions(raw)
             except (ValueError, UnsupportedPdfError):
                 pass  # keep the dict's claim; dims are best-effort
-        out[name.decode("latin-1", "replace")] = {"width": w, "height": h}
+        elif img_codecs:
+            # codec the sandbox cannot decode: labeled placeholder (same
+            # honesty contract as multimodal feature_kind='stub')
+            codec = img_codecs[0].decode("latin-1", "replace").lower()
+        elif (w and h and re.search(rb"/ColorSpace\s*/DeviceGray\b", xhead)
+              and re.search(rb"/BitsPerComponent\s+8\b", xhead)):
+            # text-capable filters (or none): decode to raw gray pixels
+            # and wrap as binary PGM — a payload the multimodal operator
+            # already pixel-decodes
+            try:
+                px = _stream_of(xobj, crypt, int(ref))
+            except (UnsupportedPdfError, NotImplementedError):
+                px = None
+            if px is not None and len(px) >= w * h:
+                codec = "gray8"
+                content = b"P5\n%d %d\n255\n" % (w, h) + px[: w * h]
+        out[name.decode("latin-1", "replace")] = {
+            "width": w, "height": h, "codec": codec, "content": content}
+    return out
+
+
+def extract_pdf_media(data: bytes) -> list[dict]:
+    """PDF bytes -> embedded image payloads, one row per page-resource
+    image XObject reference: ``{ref, page, codec, content, width,
+    height}``.
+
+    ``content`` carries the DECODABLE payload — the raw (decrypted)
+    JPEG stream for a sole /DCTDecode filter, or the filter-decoded
+    gray bitmap wrapped as binary PGM for uncompressed/Flate 8-bit
+    /DeviceGray images — or None for codecs the sandbox cannot decode
+    (JPX/CCITT/JBIG2, labeled in ``codec``).  ``ref`` matches the media
+    spans :func:`extract_pdf_text` emits (``pdf:xobj:<name>``), so a
+    media table joins back to the span stream by reference.  Raises
+    :class:`UnsupportedPdfError` exactly like the text path; per-image
+    problems degrade to content=None rows instead of raising.
+    """
+    if not data.startswith(b"%PDF-"):
+        raise UnsupportedPdfError("missing %PDF header")
+    out: list[dict] = []
+    for pageno, (_, _, _, xobjs) in enumerate(_page_streams(data), 1):
+        for name, info in xobjs.items():
+            out.append({"ref": f"pdf:xobj:{name}", "page": pageno,
+                        "codec": info.get("codec"),
+                        "content": info.get("content"),
+                        "width": info["width"], "height": info["height"]})
     return out
 
 

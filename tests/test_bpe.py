@@ -147,3 +147,27 @@ class TestSparkParity:
         # strictly increasing cumulative counts, no duplicate docs
         assert got["cum_tokens"].is_monotonic_increasing
         assert got["doc_id"].is_unique
+
+class TestSparkTraining:
+    def test_spark_trainer_matches_local(self, spark, docs):
+        """learn_merges_spark == learn_merges over the same text when the
+        sample covers every distinct word (small corpus)."""
+        d = docs.filter(F.col("doc_id") < 60)
+        local_corpus = " ".join(
+            r.text for r in d.filter(F.col("text").isNotNull())
+            .select("text").collect())
+        want = B.learn_merges(local_corpus, 32)
+        got = B.learn_merges_spark(d, 32, sample=100000)
+        assert got == want
+        assert len(got) == 32
+
+    def test_spark_trainer_deterministic(self, spark, docs):
+        d = docs.filter(F.col("doc_id") < 40)
+        assert (B.learn_merges_spark(d, 16)
+                == B.learn_merges_spark(d, 16))
+
+    def test_sample_bounds_vocabulary(self, spark, docs):
+        # tiny sample: still trains, still deterministic, never collects
+        # more than `sample` rows
+        got = B.learn_merges_spark(docs, 8, sample=50)
+        assert len(got) == 8

@@ -69,3 +69,30 @@ class TestLshIncremental:
         idx = str(tmp_path / "lsh_index")
         none = docs.filter(F.lit(False))
         assert _pairs(D.lsh_index_append(spark, idx, none)) == set()
+
+    def test_commit_race_retries_against_fresh_index(self, spark, docs,
+                                                     tmp_path, monkeypatch):
+        """A lost commit race must re-read the index: retrying only the
+        write would miss cross pairs against the winner's delta."""
+        idx = str(tmp_path / "lsh_index")
+        a = docs.filter(F.col("doc_id") < 60)
+        b = docs.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 120))
+        D.lsh_index_append(spark, idx, a).count()
+
+        real_commit = S.commit_snapshot
+        state = {"raced": False}
+
+        def racing_commit(df, table_dir, **kw):
+            if not state["raced"]:
+                state["raced"] = True
+                raise S.ConcurrentCommitError("simulated race")
+            return real_commit(df, table_dir, **kw)
+
+        monkeypatch.setattr(S, "commit_snapshot", racing_commit)
+        got = _pairs(D.lsh_index_append(spark, idx, b))
+        monkeypatch.undo()
+        assert state["raced"]
+        want = _pairs(D.lsh_candidate_pairs(
+            D.minhash_signatures(docs.filter(F.col("doc_id") < 120))))
+        prior = _pairs(D.lsh_candidate_pairs(D.minhash_signatures(a)))
+        assert prior | got == want
