@@ -726,7 +726,8 @@ def lsh_index_append(spark, index_dir: str, new_docs: DataFrame,
                      num_hashes: int = 8, shingle_n: int = 3,
                      bands: int = 4, rows_per_band: int = 2,
                      text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     tag: str | None = None) -> DataFrame:
     """Incrementally dedup ``new_docs`` against a persisted LSH index and
     append the delta's signatures: returns candidate pairs WITHIN the
     delta plus delta-vs-index, then commits the delta's band keys as a new
@@ -749,15 +750,27 @@ def lsh_index_append(spark, index_dir: str, new_docs: DataFrame,
     retrying only the commit would silently miss cross pairs against the
     winner's delta (the Iceberg optimistic-commit contract, applied to
     the semantic unit rather than the write alone).
+
+    ``tag`` makes the call REPLAY-IDEMPOTENT (streaming foreachBatch
+    epochs): a replayed tag finds its snapshot already committed, skips
+    the append, and computes pairs against that snapshot's PARENT — the
+    exact result of the original call, not a duplicate ingest.
     """
     from ..snapshots import (ConcurrentCommitError, commit_snapshot,
-                             read_snapshot)
+                             list_snapshots, read_snapshot)
 
     sigs = minhash_signatures(new_docs, num_hashes, shingle_n,
                               text_col, id_col)
     delta = banded_keys(sigs, bands, rows_per_band)
     for attempt in range(5):
-        old = read_snapshot(spark, index_dir)
+        replayed = None
+        if tag is not None:
+            replayed = next((m for m in list_snapshots(index_dir)
+                             if m.get("tag") == tag), None)
+        old = (read_snapshot(spark, index_dir, version=replayed["parent"])
+               if replayed is not None and replayed["parent"]
+               else None if replayed is not None
+               else read_snapshot(spark, index_dir))
 
         a, b = delta.alias("a"), delta.alias("b")
         within = (
@@ -781,12 +794,14 @@ def lsh_index_append(spark, index_dir: str, new_docs: DataFrame,
                                F.col("o.doc_id")).alias("doc_b"))
             )
             pairs = pairs.unionByName(cross)
+        if replayed is not None:
+            return pairs.distinct()  # already durable: recompute only
         # append AFTER building the plans: read_snapshot above already
         # pinned the pre-append data dirs through its manifest, so the
         # commit cannot leak the delta into its own candidate join
         try:
             commit_snapshot(delta, index_dir, mode="append",
-                            partition_by=["band"])
+                            partition_by=["band"], tag=tag)
             return pairs.distinct()
         except ConcurrentCommitError:
             continue  # re-read: the winner's delta must join as `old`

@@ -33,7 +33,8 @@ SPDF_MAGIC = b"SPDF\n"
 
 
 def parse_pdf_bytes(content: bytes,
-                    scanned_stack: tuple | None = None) -> list[dict]:
+                    scanned_stack: tuple | None = None,
+                    password: bytes = b"") -> list[dict]:
     """REAL decode for digitally-born PDFs; raster/OCR stack pluggable.
 
     Uses the pure-Python minimal PDF decoder (:mod:`.pdf_min`): plain or
@@ -67,7 +68,7 @@ def parse_pdf_bytes(content: bytes,
             raise NotImplementedError(f"scanned stack failed: {e}") from e
 
     try:
-        blocks = extract_pdf_text(bytes(content))
+        blocks = extract_pdf_text(bytes(content), password=password)
         if scanned_stack is not None and not any(
             b["kind"] == "text_block" for b in blocks
         ):
@@ -119,7 +120,8 @@ def parse_spdf_bytes(content: bytes) -> list[dict]:
 
 
 def bytes_to_spans(content: bytes | None,
-                   scanned_stack: tuple | None = None) -> list[dict]:
+                   scanned_stack: tuple | None = None,
+                   password: bytes = b"") -> list[dict]:
     """Dispatch on content magic; unknown formats yield a parse-failure
     span (fault isolation — never kill the task, v10.R:37, 188-190)."""
     if content is None:
@@ -131,7 +133,7 @@ def bytes_to_spans(content: bytes | None,
         return [{"kind": "html", "text": b.decode("utf-8", "replace"),
                  "media_ref": None, "offset": 0}]
     try:
-        return parse_pdf_bytes(b, scanned_stack)
+        return parse_pdf_bytes(b, scanned_stack, password=password)
     except NotImplementedError:
         # recorded as a parse failure by the kernel
         return [{"kind": "region", "text": "UNSUPPORTED_BINARY", "media_ref": None,

@@ -730,15 +730,16 @@ class _StdCrypt:
         return _rc4(ok, data)
 
 
-def _v5_crypt(head: bytes) -> _StdCrypt:
-    """AES-256 standard handler (ISO 32000-2, /V 5 /AESV3, R 5|6) with an
-    EMPTY user password: validate the password against /U's hash+salts,
+def _v5_crypt(head: bytes, password: bytes = b"") -> _StdCrypt:
+    """AES-256 standard handler (ISO 32000-2, /V 5 /AESV3, R 5|6):
+    validate the USER password (default empty) against /U's hash+salts,
     then unwrap the 256-bit file key from /UE.  R6 uses Algorithm 2.B
     (hash_2b); the deprecated R5 uses a single SHA-256."""
     import hashlib
 
     from ._aes import cbc_decrypt_nopad, hash_2b
 
+    password = password[:127]  # ISO 32000-2 7.6.4.3.3: UTF-8, 127-byte cap
     rm = _R_RE.search(head)
     r = int(rm.group(1)) if rm else 6
     um, uem = _U_RE.search(head), _UE_RE.search(head)
@@ -750,22 +751,23 @@ def _v5_crypt(head: bytes) -> _StdCrypt:
         raise UnsupportedPdfError("V5 /U or /UE truncated")
     vsalt, ksalt = u[32:40], u[40:48]
     if r == 6:
-        check = hash_2b(b"", vsalt)
-        inter = hash_2b(b"", ksalt)
+        check = hash_2b(password, vsalt)
+        inter = hash_2b(password, ksalt)
     else:  # R5 (deprecated Adobe variant): plain SHA-256
-        check = hashlib.sha256(b"" + vsalt).digest()
-        inter = hashlib.sha256(b"" + ksalt).digest()
+        check = hashlib.sha256(password + vsalt).digest()
+        inter = hashlib.sha256(password + ksalt).digest()
     if check != u[:32]:
         raise UnsupportedPdfError("password-protected PDF (V5)")
     file_key = cbc_decrypt_nopad(inter, bytes(16), ue[:32])
     return _StdCrypt(file_key, aes=True, v5=True)
 
 
-def _encryption(data: bytes, objs: dict[int, bytes]) -> _StdCrypt | None:
-    """Trailer /Encrypt -> verified empty-user-password decryptor (RC4 or
-    AES-128), or None when the file is not encrypted.  Raises
-    UnsupportedPdfError for AES-256 (/V 5), non-Standard handlers, and
-    real passwords."""
+def _encryption(data: bytes, objs: dict[int, bytes],
+                password: bytes = b"") -> _StdCrypt | None:
+    """Trailer /Encrypt -> verified decryptor for the given USER password
+    (default empty — the "encrypted but readable by anyone" files), or
+    None when the file is not encrypted.  Raises UnsupportedPdfError for
+    non-Standard handlers, unsupported revisions, and a wrong password."""
     import hashlib
     import struct
 
@@ -784,7 +786,7 @@ def _encryption(data: bytes, objs: dict[int, bytes]) -> _StdCrypt | None:
     v = int(vm.group(1)) if vm else 0
     r = int(rm.group(1)) if rm else 2
     if v == 5 and r in (5, 6):
-        return _v5_crypt(head)
+        return _v5_crypt(head, password)
     aes = False
     if v == 4 and r == 4:
         if b"/AESV2" in head:
@@ -817,7 +819,9 @@ def _encryption(data: bytes, objs: dict[int, bytes]) -> _StdCrypt | None:
         id0 = bytes.fromhex(h.decode("ascii"))
     if not -(1 << 31) <= p < (1 << 31):  # hostile: /P outside int32
         raise UnsupportedPdfError("encryption /P out of range")
-    seed = _PW_PAD + o[:32] + struct.pack("<i", p) + id0
+    # Algorithm 2 step a: the user password padded/truncated to 32 bytes
+    # with the standard pad string (empty password == the pad itself)
+    seed = (password + _PW_PAD)[:32] + o[:32] + struct.pack("<i", p) + id0
     if r >= 4 and re.search(rb"/EncryptMetadata\s+false", head):
         seed += b"\xff\xff\xff\xff"
     key = hashlib.md5(seed).digest()
@@ -1036,7 +1040,7 @@ def _page_xobjects(head: bytes, objs: dict[int, bytes],
     return out
 
 
-def extract_pdf_media(data: bytes) -> list[dict]:
+def extract_pdf_media(data: bytes, password: bytes = b"") -> list[dict]:
     """PDF bytes -> embedded image payloads, one row per page-resource
     image XObject reference: ``{ref, page, codec, content, width,
     height}``.
@@ -1054,7 +1058,8 @@ def extract_pdf_media(data: bytes) -> list[dict]:
     if not data.startswith(b"%PDF-"):
         raise UnsupportedPdfError("missing %PDF header")
     out: list[dict] = []
-    for pageno, (_, _, _, xobjs) in enumerate(_page_streams(data), 1):
+    for pageno, (_, _, _, xobjs) in enumerate(
+            _page_streams(data, password), 1):
         for name, info in xobjs.items():
             out.append({"ref": f"pdf:xobj:{name}", "page": pageno,
                         "codec": info.get("codec"),
@@ -1079,10 +1084,11 @@ def _text_of_bytes(b: bytes, font: dict | None) -> str:
     return "".join((m.get(c) if m else None) or chr(c) for c in b)
 
 
-def _page_streams(data: bytes) -> list[tuple[bytes, float, dict, dict]]:
+def _page_streams(data: bytes,
+                  password: bytes = b"") -> list[tuple[bytes, float, dict, dict]]:
     """[(content_stream, page_height, special_fonts, image_xobjects),
     ...] in page order.  ``image_xobjects`` maps resource names to
-    best-effort {width, height} (:func:`_page_xobjects`).
+    best-effort {width, height, codec, content} (:func:`_page_xobjects`).
     ``special_fonts`` is :func:`_page_fonts`'s map for fonts needing
     non-latin-1 decode (Type0 / ToUnicode); empty for simple pages.
 
@@ -1091,7 +1097,7 @@ def _page_streams(data: bytes) -> list[tuple[bytes, float, dict, dict]]:
     and some generators emit them shuffled); object-number order is only
     the fallback when no /Kids array is present."""
     objs = _objects(data)
-    crypt = _encryption(data, objs)  # raises for AES / real passwords
+    crypt = _encryption(data, objs, password)  # raises on wrong password
     objs = _expand_objstm(objs, crypt)
     page_dicts: dict[int, bytes] = {}
     for num, body in objs.items():
@@ -1396,17 +1402,20 @@ def _extract_page_blocks(content: bytes, height: float, page: int,
     return blocks
 
 
-def extract_pdf_text(data: bytes) -> list[dict]:
+def extract_pdf_text(data: bytes, password: bytes = b"") -> list[dict]:
     """PDF bytes -> block dicts across pages.
 
-    Raises :class:`UnsupportedPdfError` for encrypted PDFs and features
-    outside the minimal profile; the caller maps that to a parse-failure
-    span (fault isolation, v10.R:37, 188-190).
+    ``password``: the user password for encrypted files (default empty —
+    the common "encrypted but readable by anyone" case).  Raises
+    :class:`UnsupportedPdfError` for wrongly/un-passworded encrypted PDFs
+    and features outside the minimal profile; the caller maps that to a
+    parse-failure span (fault isolation, v10.R:37, 188-190).
     """
     if not data.startswith(b"%PDF-"):
         raise UnsupportedPdfError("missing %PDF header")
     blocks: list[dict] = []
-    for i, (content, h, fonts, xobjs) in enumerate(_page_streams(data)):
+    for i, (content, h, fonts, xobjs) in enumerate(
+            _page_streams(data, password)):
         blocks.extend(_extract_page_blocks(content, h, i + 1, fonts, xobjs))
     return blocks
 

@@ -1333,3 +1333,50 @@ class TestTJKernSpacing:
              b"[-300 (a) 200 (b) -999 (c)] TJ ET")
         blocks = _extract_page_blocks(c, 792.0, 1)
         assert blocks[0]["text"] == "ab c"
+
+
+class TestRealPasswordDecryption:
+    """User-password decryption across all supported revisions: the same
+    Algorithm 2/2.B key derivation, seeded with the real padded password
+    instead of the bare pad string (ISO 32000-1 §7.6.3.3, 32000-2
+    §7.6.4.3.3).  Wrong/missing passwords keep fault-isolating."""
+
+    @pytest.mark.parametrize("r,bits", [(2, 40), (3, 128)])
+    def test_rc4_with_password(self, r, bits):
+        from pdf_extraction_tests_spark.sources.pdf_min import (
+            extract_pdf_text)
+
+        data = TestRc4Encryption._encrypt_build(
+            r=r, keybits=bits, user_pw=b"hunter2")
+        blocks = extract_pdf_text(data, password=b"hunter2")
+        assert [b["text"] for b in blocks
+                if b["kind"] == "text_block"] == ["rc4 secret text"]
+
+    def test_aes128_with_password(self):
+        from pdf_extraction_tests_spark.sources.pdf_min import (
+            extract_pdf_text)
+
+        data = TestRc4Encryption._encrypt_build(aes=True, user_pw=b"pw123")
+        blocks = extract_pdf_text(data, password=b"pw123")
+        assert [b["text"] for b in blocks
+                if b["kind"] == "text_block"] == ["rc4 secret text"]
+
+    @pytest.mark.parametrize("r", [5, 6])
+    def test_aes256_with_password(self, r):
+        from pdf_extraction_tests_spark.sources.pdf_min import (
+            extract_pdf_text)
+
+        data = TestAes256V5Encryption._build(r=r, user_pw=b"s3cret")
+        blocks = extract_pdf_text(data, password=b"s3cret")
+        assert [b["text"] for b in blocks
+                if b["kind"] == "text_block"] == ["aes256 secret"]
+
+    def test_wrong_password_fault_isolates(self):
+        from pdf_extraction_tests_spark.sources.binary_docs import (
+            bytes_to_spans)
+
+        data = TestRc4Encryption._encrypt_build(r=3, user_pw=b"hunter2")
+        spans = bytes_to_spans(data, password=b"WRONG")
+        assert [s["text"] for s in spans] == ["UNSUPPORTED_BINARY"]
+        spans = bytes_to_spans(data)  # no password at all
+        assert [s["text"] for s in spans] == ["UNSUPPORTED_BINARY"]

@@ -138,3 +138,60 @@ def test_snapshot_sink_replayed_epoch_is_noop(spark, corpus_path, tmp_path):
     assert len(S.list_snapshots(table)) == 1
     commit(batch, 1)                            # a NEW epoch still appends
     assert S.read_snapshot(spark, table).count() == 2 * n1
+
+
+def test_stream_lsh_dedup_matches_batch(spark, tmp_path):
+    """stream_lsh_dedup: union of per-epoch pairs snapshots == batch LSH
+    candidate pairs over everything ingested; index holds one banded key
+    row per (band, doc)."""
+    from pdf_extraction_tests_spark import snapshots as S
+    from pdf_extraction_tests_spark.operators import dedup as D
+    from pdf_extraction_tests_spark.streaming.incremental import (
+        stream_lsh_dedup)
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .filter("doc_id < 120").select("doc_id", "text"))
+    src = str(tmp_path / "feed")
+    # several files -> several micro-batches at maxFilesPerTrigger=1
+    docs.repartition(3).write.parquet(src)
+    index_dir = str(tmp_path / "lsh_index")
+    pairs_dir = str(tmp_path / "lsh_pairs")
+    q = stream_lsh_dedup(spark, src, index_dir, pairs_dir,
+                         str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    q.awaitTermination(180)
+
+    got = {(r.doc_a, r.doc_b)
+           for r in S.read_snapshot(spark, pairs_dir).collect()}
+    want = {(r.doc_a, r.doc_b)
+            for r in D.lsh_candidate_pairs(
+                D.minhash_signatures(docs)).collect()}
+    assert got == want and len(want) > 0
+    n_sigs = D.minhash_signatures(docs).count()
+    assert S.read_snapshot(spark, index_dir).count() == 4 * n_sigs
+
+
+def test_lsh_dedup_replayed_epoch_is_noop(spark, tmp_path):
+    """Crash-replay at any point: neither the index nor the pairs table
+    duplicates an epoch's rows."""
+    from pdf_extraction_tests_spark import snapshots as S
+    from pdf_extraction_tests_spark.streaming.incremental import (
+        lsh_dedup_batch_committer)
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .filter("doc_id < 60").select("doc_id", "text"))
+    index_dir = str(tmp_path / "idx")
+    pairs_dir = str(tmp_path / "pairs")
+    commit = lsh_dedup_batch_committer(spark, index_dir, pairs_dir)
+    commit(docs, 0)
+    n_idx = S.read_snapshot(spark, index_dir).count()
+    n_pairs = S.read_snapshot(spark, pairs_dir).count()
+    commit(docs, 0)                       # full replay: both tags present
+    assert S.read_snapshot(spark, index_dir).count() == n_idx
+    assert S.read_snapshot(spark, pairs_dir).count() == n_pairs
+    # crash BETWEEN the two commits: index tag landed, pairs did not —
+    # simulate by dropping the pairs table and replaying the epoch
+    import shutil
+    shutil.rmtree(pairs_dir)
+    commit(docs, 0)
+    assert S.read_snapshot(spark, index_dir).count() == n_idx  # no re-append
+    assert S.read_snapshot(spark, pairs_dir).count() == n_pairs  # recomputed
