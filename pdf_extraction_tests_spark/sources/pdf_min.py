@@ -1019,6 +1019,27 @@ def _page_xobjects(head: bytes, objs: dict[int, bytes],
                     w, h = jpeg_dimensions(raw)
             except (ValueError, UnsupportedPdfError):
                 pass  # keep the dict's claim; dims are best-effort
+        elif img_codecs[:1] in ([b"CCITTFaxDecode"], [b"CCF"]):
+            # G4 fax (/K -1, the dominant scanned-image coding): decode
+            # to pixels with the pure-Python T.6 decoder, wrap as PGM
+            codec = "ccitt"
+            km = re.search(rb"/K\s+(-?\d+)", xhead)
+            cm = re.search(rb"/Columns\s+(\d+)", xhead)
+            if km is not None and int(km.group(1)) < 0:
+                try:
+                    raw = _raw_stream_of(xobj, crypt, int(ref))
+                    cols = int(cm.group(1)) if cm else 1728
+                    if raw:
+                        from ._ccitt import decode_g4
+                        px = decode_g4(raw, cols, rows=h)
+                        h2, w2 = px.shape
+                        if w is None or h is None:
+                            w, h = w2, h2
+                        codec = "g4"
+                        content = (b"P5\n%d %d\n255\n" % (w2, h2)
+                                   + px.astype("uint8").tobytes())
+                except (ValueError, UnsupportedPdfError):
+                    pass  # keep the labeled placeholder
         elif img_codecs:
             # codec the sandbox cannot decode: labeled placeholder (same
             # honesty contract as multimodal feature_kind='stub')
@@ -1433,9 +1454,11 @@ def write_minimal_pdf(pages: list[list[tuple]], compress: bool = True,
 
     ``pages`` is a list of pages; each page a list of items:
     ``("text", x, y_top, size, text)``, ``("image", name)``, or
-    ``("jpeg", name, jpeg_bytes, dict_w, dict_h)`` — the latter embeds a
-    /DCTDecode image XObject whose DICT claims (dict_w, dict_h) while the
-    stream carries real JPEG bytes (fixture for SOF-verified dims).
+    ``("jpeg", name, jpeg_bytes, dict_w, dict_h)`` — embeds a /DCTDecode
+    image XObject whose DICT claims (dict_w, dict_h) while the stream
+    carries real JPEG bytes (fixture for SOF-verified dims) — or
+    ``("g4", name, g4_bytes, cols, rows)`` — a /CCITTFaxDecode /K -1
+    image XObject (T.6 fax payload).
     y is given TOP-left (engine convention) and converted to PDF user space.
     ``objstm=True`` packs the page-tree dict objects into a FlateDecode
     ``/ObjStm`` (the PDF 1.5+ layout) — the reader-side fixture for
@@ -1456,7 +1479,7 @@ def write_minimal_pdf(pages: list[list[tuple]], compress: bool = True,
     jpeg_items: dict[str, tuple] = {}
     for pg in pages:
         for it in pg:
-            if it[0] == "jpeg":
+            if it[0] in ("jpeg", "g4"):
                 jpeg_items.setdefault(it[1], it)
     jpeg_ids = {name: xobj_id + 1 + i
                 for i, name in enumerate(jpeg_items)}
@@ -1513,13 +1536,23 @@ def write_minimal_pdf(pages: list[list[tuple]], compress: bool = True,
             b"\nstream\n" % len(img) + img + b"\nendstream"
         )
     for name, it in jpeg_items.items():
-        _, _, jpg, dict_w, dict_h = it
-        body[jpeg_ids[name]] = (
-            b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
-            b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
-            b"/Filter /DCTDecode /Length %d >>\nstream\n"
-            % (dict_w, dict_h, len(jpg)) + jpg + b"\nendstream"
-        )
+        kind_, _, payload, dict_w, dict_h = it
+        if kind_ == "jpeg":
+            body[jpeg_ids[name]] = (
+                b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+                b"/Filter /DCTDecode /Length %d >>\nstream\n"
+                % (dict_w, dict_h, len(payload)) + payload + b"\nendstream"
+            )
+        else:  # g4
+            body[jpeg_ids[name]] = (
+                b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+                b"/Filter /CCITTFaxDecode /DecodeParms << /K -1 "
+                b"/Columns %d /Rows %d >> /Length %d >>\nstream\n"
+                % (dict_w, dict_h, dict_w, dict_h, len(payload))
+                + payload + b"\nendstream"
+            )
 
     if objstm:
         # move the dict-only page tree (pages root + page dicts) into one

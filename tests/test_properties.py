@@ -367,3 +367,52 @@ def test_inband_raster_loop_matches_direct_decode(items):
         (b["page"], b["etype"], b["text"], b["x"], b["y"], b["w"], b["h"])
         for b in extract_scanned_pdf(data) if b["kind"] == "text_block")
     assert scanned == direct
+
+
+# --- round-5 additions: BPE, G4, JPEG ---------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=590),
+               max_size=200))
+def test_bpe_pieces_reassemble_and_bound(text):
+    """BPE is a partition of the pre-tokenized pieces: concatenating a
+    word's pieces yields the word, and counts are bounded by characters."""
+    from pdf_extraction_tests_spark.functions import bpe as B
+
+    for w in B._WORD_RE.findall(text.lower()):
+        pieces = B.bpe_pieces(w)
+        assert "".join(pieces) == w
+        assert 1 <= len(pieces) <= len(w)
+    assert B.bpe_token_count(text) == len(B.bpe_tokenize(text))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 80), st.integers(1, 24), st.integers(0, 2 ** 31 - 1))
+def test_g4_round_trip_random_shapes(w, h, seed):
+    """G4 encode->decode is EXACT for any bilevel image (lossless)."""
+    import numpy as np
+
+    from pdf_extraction_tests_spark.sources import _ccitt as C
+    from tests.test_ccitt import encode_g4
+
+    rng = np.random.default_rng(seed)
+    img = np.where(rng.random((h, w)) < rng.random(), 0.0, 255.0)
+    assert np.array_equal(C.decode_g4(encode_g4(img), w), img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2 ** 31 - 1))
+def test_jpeg_round_trip_random_shapes(w, h, seed):
+    """Baseline JPEG with an all-ones quant table reconstructs within DCT
+    rounding for any geometry (block padding, edge replication)."""
+    import numpy as np
+
+    from pdf_extraction_tests_spark.sources._jpeg import decode_jpeg_gray
+    from tests.test_jpeg import encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w)).astype(np.float64)
+    got = decode_jpeg_gray(encode_jpeg(img))
+    assert got.shape == (h, w)
+    assert float(np.max(np.abs(got - img))) <= 2.0
