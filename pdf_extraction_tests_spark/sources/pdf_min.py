@@ -908,11 +908,202 @@ def _parse_tounicode(cmap: bytes) -> dict[int, str]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Simple-font encodings (ISO 32000-1 Annex D).  A non-Type0 font may carry
+# /Encoding: a base-encoding NAME (/WinAnsiEncoding /MacRomanEncoding
+# /StandardEncoding) or a dict with optional /BaseEncoding and /Differences
+# [ code /glyph /glyph ... code /glyph ... ].  The reference consumes
+# pdftools' already-decoded text (v10_ALTAIR.R:56 pdf_data) so this layer
+# has no R counterpart — it reproduces the decode poppler performs before
+# the reference ever sees a string.  Tables are built at import from
+# public sources: WinAnsi == cp1252, MacRoman == mac_roman (stdlib
+# codecs), StandardEncoding divergences transcribed from Annex D.2, and
+# glyph names resolved through an Adobe-Glyph-List subset plus the
+# uniXXXX / uXXXX[XX] conventions.
+# ---------------------------------------------------------------------------
+
+
+def _codec_diff(codec: str) -> dict[int, str]:
+    """{code: char} for single bytes where ``codec`` differs from latin-1."""
+    out: dict[int, str] = {}
+    for c in range(0x80, 0x100):
+        try:
+            ch = bytes([c]).decode(codec)
+        except UnicodeDecodeError:
+            continue
+        if ch != chr(c):
+            out[c] = ch
+    return out
+
+
+_WINANSI_DIFF = _codec_diff("cp1252")
+_MACROMAN_DIFF = _codec_diff("mac_roman")
+# Annex D.2 StandardEncoding codes whose meaning differs from latin-1
+# (codes the table leaves unused keep the latin-1 fallback):
+_STDENC_DIFF = {
+    0x27: "’", 0x60: "‘", 0xA4: "⁄", 0xA6: "ƒ",
+    0xA8: "¤", 0xA9: "'", 0xAA: "“", 0xAC: "‹",
+    0xAD: "›", 0xAE: "ﬁ", 0xAF: "ﬂ", 0xB1: "–",
+    0xB2: "†", 0xB3: "‡", 0xB4: "·", 0xB7: "•",
+    0xB8: "‚", 0xB9: "„", 0xBA: "”", 0xBC: "…",
+    0xBD: "‰", 0xC1: "`", 0xC2: "´", 0xC3: "ˆ",
+    0xC4: "˜", 0xC5: "¯", 0xC6: "˘", 0xC7: "˙",
+    0xC8: "¨", 0xCA: "˚", 0xCB: "¸", 0xCD: "˝",
+    0xCE: "˛", 0xCF: "ˇ", 0xD0: "—", 0xE1: "Æ",
+    0xE3: "ª", 0xE8: "Ł", 0xE9: "Ø", 0xEA: "Œ",
+    0xEB: "º", 0xF1: "æ", 0xF5: "ı", 0xF8: "ł",
+    0xF9: "ø", 0xFA: "œ", 0xFB: "ß",
+}
+_BASE_ENCODINGS = {
+    b"WinAnsiEncoding": _WINANSI_DIFF,
+    b"MacRomanEncoding": _MACROMAN_DIFF,
+    b"StandardEncoding": _STDENC_DIFF,
+}
+
+
+def _latin1_letter_names() -> dict[str, str]:
+    """AGL names for the Latin-1 letters, derived from unicodedata (the
+    AGL composes them as base-letter + accent, e.g. Agrave, odieresis)."""
+    import unicodedata
+    acc = {"GRAVE": "grave", "ACUTE": "acute", "CIRCUMFLEX": "circumflex",
+           "TILDE": "tilde", "DIAERESIS": "dieresis", "RING ABOVE": "ring",
+           "CEDILLA": "cedilla", "STROKE": "slash"}
+    out = {"AE": "Æ", "ae": "æ", "Eth": "Ð",
+           "eth": "ð", "Thorn": "Þ", "thorn": "þ",
+           "germandbls": "ß"}
+    inv: dict[str, str] = {}
+    for cp in range(0xC0, 0x100):
+        ch = chr(cp)
+        try:
+            un = unicodedata.name(ch)
+        except ValueError:      # pragma: no cover - all assigned
+            continue
+        m = re.match(r"LATIN (CAPITAL|SMALL) LETTER (\w) WITH (.+)", un)
+        if m and m.group(3) in acc:
+            base = (m.group(2) if m.group(1) == "CAPITAL"
+                    else m.group(2).lower())
+            inv[base + acc[m.group(3)]] = ch
+    inv.update(out)
+    return inv
+
+
+_AGL = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "exclamdown": "¡", "cent": "¢", "sterling": "£",
+    "currency": "¤", "yen": "¥", "brokenbar": "¦",
+    "section": "§", "dieresis": "¨", "copyright": "©",
+    "ordfeminine": "ª", "guillemotleft": "«",
+    "logicalnot": "¬", "registered": "®", "macron": "¯",
+    "degree": "°", "plusminus": "±", "acute": "´",
+    "mu": "µ", "paragraph": "¶", "periodcentered": "·",
+    "cedilla": "¸", "ordmasculine": "º",
+    "guillemotright": "»", "onequarter": "¼",
+    "onehalf": "½", "threequarters": "¾",
+    "questiondown": "¿", "multiply": "×", "divide": "÷",
+    "endash": "–", "emdash": "—", "quoteleft": "‘",
+    "quoteright": "’", "quotesinglbase": "‚",
+    "quotedblleft": "“", "quotedblright": "”",
+    "quotedblbase": "„", "dagger": "†", "daggerdbl": "‡",
+    "bullet": "•", "ellipsis": "…", "perthousand": "‰",
+    "guilsinglleft": "‹", "guilsinglright": "›",
+    "fraction": "⁄", "florin": "ƒ", "Euro": "€",
+    "trademark": "™", "minus": "−", "ff": "ﬀ",
+    "fi": "ﬁ", "fl": "ﬂ", "ffi": "ﬃ", "ffl": "ﬄ",
+    "OE": "Œ", "oe": "œ", "Scaron": "Š",
+    "scaron": "š", "Zcaron": "Ž", "zcaron": "ž",
+    "Ydieresis": "Ÿ", "circumflex": "ˆ", "tilde": "˜",
+    "caron": "ˇ", "breve": "˘", "dotaccent": "˙",
+    "ring": "˚", "ogonek": "˛", "hungarumlaut": "˝",
+    "dotlessi": "ı", "Lslash": "Ł", "lslash": "ł",
+}
+_AGL.update(_latin1_letter_names())
+
+_UNI_NAME_RE = re.compile(r"^uni([0-9A-Fa-f]{4})$")
+_U_NAME_RE = re.compile(r"^u([0-9A-Fa-f]{4,6})$")
+
+
+def _glyph_uni(name: str) -> str | None:
+    """AGL-convention glyph name -> unicode string (None if unknown)."""
+    if len(name) == 1:
+        return name
+    m = _UNI_NAME_RE.match(name) or _U_NAME_RE.match(name)
+    if m:
+        cp = int(m.group(1), 16)
+        # surrogates / out-of-range would poison downstream encodes
+        if cp <= 0x10FFFF and not 0xD800 <= cp <= 0xDFFF:
+            return chr(cp)
+        return None
+    return _AGL.get(name)
+
+
+_ENC_NAME_RE = re.compile(rb"/Encoding\s*/([A-Za-z]+)\b")
+_ENC_REF_RE = re.compile(rb"/Encoding\s+(\d+)\s+\d+\s+R")
+_ENC_DICT_RE = re.compile(rb"/Encoding\s*<<(.*?)>>", re.DOTALL)
+_BASEENC_RE = re.compile(rb"/BaseEncoding\s*/([A-Za-z]+)\b")
+_DIFF_RE = re.compile(rb"/Differences\s*\[(.*?)\]", re.DOTALL)
+_DIFF_TOK_RE = re.compile(rb"/([^\s/\[\]()<>{}]+)|(\d+)")
+
+
+def _simple_encoding(fhead: bytes,
+                     objs: dict[int, bytes]) -> dict[int, str] | None:
+    """A simple font's /Encoding -> {code: str} for codes that differ
+    from latin-1 (None when absent / fully latin-1-compatible).  Unknown
+    glyph names in /Differences keep the base-encoding (then latin-1)
+    fallback — the spec leaves them to the font program, which a
+    text-extraction layer cannot consult."""
+    body = None
+    dm = _ENC_DICT_RE.search(fhead)
+    if dm:
+        body = dm.group(0)
+    else:
+        rm = _ENC_REF_RE.search(fhead)
+        if rm and int(rm.group(1)) in objs:
+            body = objs[int(rm.group(1))]
+        else:
+            nm = _ENC_NAME_RE.search(fhead)
+            if nm:
+                base = _BASE_ENCODINGS.get(nm.group(1))
+                return dict(base) if base else None
+            return None
+    out: dict[int, str] = {}
+    bm = _BASEENC_RE.search(body)
+    if bm:
+        out.update(_BASE_ENCODINGS.get(bm.group(1)) or {})
+    dm2 = _DIFF_RE.search(body)
+    if dm2:
+        code = -1
+        for t in _DIFF_TOK_RE.finditer(dm2.group(1)):
+            if t.group(2) is not None:
+                code = int(t.group(2))
+                continue
+            if 0 <= code <= 255:
+                uni = _glyph_uni(t.group(1).decode("latin-1", "replace"))
+                if uni is not None:
+                    if uni != chr(code):
+                        out[code] = uni
+                    else:
+                        out.pop(code, None)
+                code += 1
+    return out or None
+
+
 def _page_fonts(head: bytes, objs: dict[int, bytes],
                 crypt=None) -> dict[str, dict]:
     """Resolve a page's /Resources /Font dict -> {name: {two_byte, map}}.
-    Only fonts that NEED special decoding (Type0 or ToUnicode-mapped) are
-    returned; absent fonts keep the default latin-1 byte semantics."""
+    Only fonts that NEED special decoding (Type0, ToUnicode-mapped, or
+    non-latin-1 /Encoding) are returned; absent fonts keep the default
+    latin-1 byte semantics.  For a simple font, /ToUnicode wins over the
+    /Encoding-derived map where both cover a code (§9.10.2 order)."""
     res = head
     rm = _RES_REF_RE.search(head)
     if rm and int(rm.group(1)) in objs:
@@ -942,9 +1133,11 @@ def _page_fonts(head: bytes, objs: dict[int, bytes],
                 s = None
             if s:
                 umap = _parse_tounicode(s)
-        if two or umap:
+        enc = None if two else _simple_encoding(fhead, objs)
+        if two or umap or enc:
+            merged = {**(enc or {}), **(umap or {})} or None
             fonts[name.decode("latin-1", "replace")] = {
-                "two_byte": two, "map": umap}
+                "two_byte": two, "map": merged}
     return fonts
 
 
@@ -1020,26 +1213,34 @@ def _page_xobjects(head: bytes, objs: dict[int, bytes],
             except (ValueError, UnsupportedPdfError):
                 pass  # keep the dict's claim; dims are best-effort
         elif img_codecs[:1] in ([b"CCITTFaxDecode"], [b"CCF"]):
-            # G4 fax (/K -1, the dominant scanned-image coding): decode
-            # to pixels with the pure-Python T.6 decoder, wrap as PGM
+            # fax coding: /K -1 = G4 (T.6, dominant for scans), /K 0 =
+            # G3 1-D, /K > 0 = G3 mixed — all decode to pixels with the
+            # pure-Python T.4/T.6 decoders, wrapped as PGM
             codec = "ccitt"
             km = re.search(rb"/K\s+(-?\d+)", xhead)
             cm = re.search(rb"/Columns\s+(\d+)", xhead)
-            if km is not None and int(km.group(1)) < 0:
-                try:
-                    raw = _raw_stream_of(xobj, crypt, int(ref))
-                    cols = int(cm.group(1)) if cm else 1728
-                    if raw:
-                        from ._ccitt import decode_g4
-                        px = decode_g4(raw, cols, rows=h)
-                        h2, w2 = px.shape
-                        if w is None or h is None:
-                            w, h = w2, h2
-                        codec = "g4"
-                        content = (b"P5\n%d %d\n255\n" % (w2, h2)
-                                   + px.astype("uint8").tobytes())
-                except (ValueError, UnsupportedPdfError):
-                    pass  # keep the labeled placeholder
+            kval = int(km.group(1)) if km else 0   # /K default 0 per spec
+            align = re.search(
+                rb"/EncodedByteAlign\s+true\b", xhead) is not None
+            try:
+                raw = _raw_stream_of(xobj, crypt, int(ref))
+                cols = int(cm.group(1)) if cm else 1728
+                if raw:
+                    from ._ccitt import decode_g3, decode_g4
+                    if kval < 0:
+                        px = decode_g4(raw, cols, rows=h,
+                                       byte_align=align)
+                    else:
+                        px = decode_g3(raw, cols, rows=h, k=kval,
+                                       byte_align=align)
+                    h2, w2 = px.shape
+                    if w is None or h is None:
+                        w, h = w2, h2
+                    codec = "g4" if kval < 0 else "g3"
+                    content = (b"P5\n%d %d\n255\n" % (w2, h2)
+                               + px.astype("uint8").tobytes())
+            except (ValueError, UnsupportedPdfError):
+                pass  # keep the labeled placeholder
         elif img_codecs:
             # codec the sandbox cannot decode: labeled placeholder (same
             # honesty contract as multimodal feature_kind='stub')
@@ -1449,7 +1650,8 @@ def extract_pdf_text(data: bytes, password: bytes = b"") -> list[dict]:
 
 def write_minimal_pdf(pages: list[list[tuple]], compress: bool = True,
                       page_height: float = 792.0,
-                      objstm: bool = False) -> bytes:
+                      objstm: bool = False,
+                      font_encoding: bytes | None = None) -> bytes:
     """Build a valid one-font PDF.
 
     ``pages`` is a list of pages; each page a list of items:
@@ -1458,11 +1660,15 @@ def write_minimal_pdf(pages: list[list[tuple]], compress: bool = True,
     image XObject whose DICT claims (dict_w, dict_h) while the stream
     carries real JPEG bytes (fixture for SOF-verified dims) — or
     ``("g4", name, g4_bytes, cols, rows)`` — a /CCITTFaxDecode /K -1
-    image XObject (T.6 fax payload).
+    image XObject (T.6 fax payload) — or ``("g3", ...)`` for /K 0 (T.4
+    one-dimensional fax).
     y is given TOP-left (engine convention) and converted to PDF user space.
     ``objstm=True`` packs the page-tree dict objects into a FlateDecode
     ``/ObjStm`` (the PDF 1.5+ layout) — the reader-side fixture for
     :func:`_expand_objstm`; content streams stay top-level per spec.
+    ``font_encoding`` injects a verbatim /Encoding value into the font
+    dict (a name like ``b"/WinAnsiEncoding"`` or an inline
+    ``<< /Differences [...] >>`` dict) — the simple-font-encoding fixture.
     """
     objs: list[bytes] = []
 
@@ -1479,7 +1685,7 @@ def write_minimal_pdf(pages: list[list[tuple]], compress: bool = True,
     jpeg_items: dict[str, tuple] = {}
     for pg in pages:
         for it in pg:
-            if it[0] in ("jpeg", "g4"):
+            if it[0] in ("jpeg", "g4", "g3"):
                 jpeg_items.setdefault(it[1], it)
     jpeg_ids = {name: xobj_id + 1 + i
                 for i, name in enumerate(jpeg_items)}
@@ -1489,7 +1695,9 @@ def write_minimal_pdf(pages: list[list[tuple]], compress: bool = True,
     kids = b" ".join(b"%d 0 R" % p for p in page_ids)
     body[2] = (b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>"
                % len(pages))
-    body[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    body[3] = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+               + (b" /Encoding " + font_encoding if font_encoding else b"")
+               + b" >>")
     needs_xobj = any(it[0] == "image" for pg in pages for it in pg)
     for i, pg in enumerate(pages):
         res = b"/Font << /F1 3 0 R >>"
@@ -1544,13 +1752,14 @@ def write_minimal_pdf(pages: list[list[tuple]], compress: bool = True,
                 b"/Filter /DCTDecode /Length %d >>\nstream\n"
                 % (dict_w, dict_h, len(payload)) + payload + b"\nendstream"
             )
-        else:  # g4
+        else:  # g4 / g3 fax
+            kv = -1 if kind_ == "g4" else 0
             body[jpeg_ids[name]] = (
                 b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
                 b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
-                b"/Filter /CCITTFaxDecode /DecodeParms << /K -1 "
+                b"/Filter /CCITTFaxDecode /DecodeParms << /K %d "
                 b"/Columns %d /Rows %d >> /Length %d >>\nstream\n"
-                % (dict_w, dict_h, dict_w, dict_h, len(payload))
+                % (dict_w, dict_h, kv, dict_w, dict_h, len(payload))
                 + payload + b"\nendstream"
             )
 

@@ -1380,3 +1380,94 @@ class TestRealPasswordDecryption:
         assert [s["text"] for s in spans] == ["UNSUPPORTED_BINARY"]
         spans = bytes_to_spans(data)  # no password at all
         assert [s["text"] for s in spans] == ["UNSUPPORTED_BINARY"]
+
+
+class TestSimpleFontEncodings:
+    """Simple-font /Encoding support (ISO 32000-1 Annex D): base-encoding
+    names, /Differences dicts (inline + indirect), AGL glyph names.  The
+    reference reads pdftools' already-decoded text (v10_ALTAIR.R:56), so
+    this pins the decode poppler would have done upstream of it."""
+
+    def test_winansi_name_decodes_cp1252_range(self):
+        txt = "\x93Hi\x94 \x97 caf\xe9"     # curly quotes, em-dash, é
+        pdf = write_minimal_pdf([[("text", 72, 100, 12, txt)]],
+                                font_encoding=b"/WinAnsiEncoding")
+        spans = extract_pdf_text(pdf)
+        assert spans[0]["text"] == "“Hi” — caf\xe9"
+
+    def test_macroman_name(self):
+        pdf = write_minimal_pdf([[("text", 72, 100, 12, "caf\x8e")]],
+                                font_encoding=b"/MacRomanEncoding")
+        assert extract_pdf_text(pdf)[0]["text"] == "caf\xe9"
+
+    def test_standard_encoding_quotes_and_ligature(self):
+        # 0x27 -> quoteright, 0x60 -> quoteleft, 0xAE -> fi
+        pdf = write_minimal_pdf([[("text", 72, 100, 12, "\x60a\x27 \xae")]],
+                                font_encoding=b"/StandardEncoding")
+        assert extract_pdf_text(pdf)[0]["text"] == "‘a’ ﬁ"
+
+    def test_differences_remap_with_base(self):
+        pdf = write_minimal_pdf(
+            [[("text", 72, 100, 12, "ab \x93")]],
+            font_encoding=b"<< /BaseEncoding /WinAnsiEncoding "
+                          b"/Differences [ 97 /emdash /eacute ] >>")
+        # a->emdash, b (next code) ->eacute; base still maps 0x93
+        assert extract_pdf_text(pdf)[0]["text"] == "—\xe9 “"
+
+    def test_differences_restart_codes_and_uni_names(self):
+        pdf = write_minimal_pdf(
+            [[("text", 72, 100, 12, "az")]],
+            font_encoding=b"<< /Differences [ 97 /uni2020 122 /u00E9 ] >>")
+        assert extract_pdf_text(pdf)[0]["text"] == "†\xe9"
+
+    def test_unknown_glyph_name_keeps_fallback(self):
+        pdf = write_minimal_pdf(
+            [[("text", 72, 100, 12, "ab")]],
+            font_encoding=b"<< /Differences [ 97 /nosuchglyph /emdash ] >>")
+        # unknown name: latin-1 fallback for 'a'; counter still advances
+        assert extract_pdf_text(pdf)[0]["text"] == "a—"
+
+    def test_unlisted_base_encoding_name_is_ignored(self):
+        pdf = write_minimal_pdf([[("text", 72, 100, 12, "caf\xe9")]],
+                                font_encoding=b"/MacExpertEncoding")
+        assert extract_pdf_text(pdf)[0]["text"] == "caf\xe9"
+
+    def test_no_encoding_unchanged_latin1(self):
+        pdf = write_minimal_pdf([[("text", 72, 100, 12, "caf\xe9")]])
+        assert extract_pdf_text(pdf)[0]["text"] == "caf\xe9"
+
+    def test_tounicode_wins_over_encoding(self):
+        # simple font with BOTH WinAnsi and a ToUnicode that maps 0x93
+        from pdf_extraction_tests_spark.sources.pdf_min import (
+            _page_fonts, _simple_encoding)
+        import zlib as _z
+        cmap = (b"begincmap\nbeginbfchar\n<93> <0058>\nendbfchar\nendcmap")
+        objs = {
+            3: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+               b"/Encoding /WinAnsiEncoding /ToUnicode 9 0 R >>",
+            9: b"<< /Length %d >>\nstream\n" % len(cmap) + cmap
+               + b"\nendstream",
+        }
+        head = b"<< /Resources << /Font << /F1 3 0 R >> >> >>"
+        fonts = _page_fonts(head, objs)
+        m = fonts["F1"]["map"]
+        assert m[0x93] == "X"          # ToUnicode wins
+        assert m[0x97] == "—"     # encoding still covers the rest
+
+    def test_glyph_name_conventions(self):
+        from pdf_extraction_tests_spark.sources.pdf_min import _glyph_uni
+        assert _glyph_uni("Agrave") == "\xc0"
+        assert _glyph_uni("odieresis") == "\xf6"
+        assert _glyph_uni("germandbls") == "\xdf"
+        assert _glyph_uni("a") == "a"
+        assert _glyph_uni("uniD800") is None     # surrogate guarded
+        assert _glyph_uni("u110000") is None     # out of range
+        assert _glyph_uni("u1F600") == "\U0001F600"
+
+    def test_hostile_differences_is_total(self):
+        # absurd codes, junk tokens, unterminated array: never raises
+        pdf = write_minimal_pdf(
+            [[("text", 72, 100, 12, "ok")]],
+            font_encoding=b"<< /Differences [ 999 /x -3 /y /z 97 /emdash")
+        out = extract_pdf_text(pdf)
+        assert out and out[0]["text"] == "ok"
