@@ -22,8 +22,14 @@ codewords, and round-trips pixels through an independent test-side G4
 encoder.  Anything malformed raises ValueError (totality: the binary
 source's hostile-input contract).
 
-Out of scope -> ValueError: G3 1-D/2-D (``/K >= 0``), uncompressed mode
-(T.4 §4.2.1.3.5 extension), EncodedByteAlign.
+Round-5 extension: Group 3 (ITU-T T.4) — ``/K 0`` pure one-dimensional
+MH lines and ``/K > 0`` mixed mode (EOL + tag bit selecting 1-D or 2-D
+per line, 2-D lines coded exactly as G4 against the previous line) —
+plus ``/EncodedByteAlign`` for both groups.  EOLs (>= 11 zero fill bits
+then 1) are consumed leniently wherever an encoder may emit them; two
+back-to-back EOLs (the RTC prefix) terminate the image.
+
+Out of scope -> ValueError: uncompressed mode (T.4 §4.2.1.3.5 extension).
 """
 
 from __future__ import annotations
@@ -158,31 +164,14 @@ def _read_run(bits: _Bits, white: bool) -> int:
             return total
 
 
-def decode_g4(data: bytes, columns: int, rows: int | None = None,
-              max_rows: int = 1 << 16) -> np.ndarray:
-    """G4 (T.6 MMR) entropy stream -> (h, columns) float array with black=0,
-    white=255.  Stops at EOFB, stream exhaustion, or ``rows``.
-    Raises ValueError on malformed input."""
-    if not 0 < columns <= 1 << 16:
-        raise ValueError("bad /Columns")
-    bits = _Bits(data)
-    # reference line as CHANGING ELEMENTS: column positions where color
-    # flips, terminated by two sentinels at `columns`
-    ref = [columns, columns]
-    out: list[np.ndarray] = []
-    while rows is None or len(out) < rows:
-        if len(out) > max_rows:
-            raise ValueError("row limit exceeded")
-        if bits.peek(24) == EOFB:
-            bits.skip(24)
-            break
-        if bits.pos >= bits.n:
-            if rows is not None:
-                raise ValueError("truncated G4 data")
-            break
-        cur: list[int] = []   # this line's changing elements
-        a0, color = -1, 0     # color 0 = white
-        while a0 < columns:
+def _decode_2d_line(bits: _Bits, ref: list[int],
+                    columns: int) -> list[int]:
+    """One two-dimensionally-coded line (T.6 / T.4 2-D are identical at
+    line level) against reference changing-elements ``ref`` -> this
+    line's changing elements."""
+    cur: list[int] = []   # this line's changing elements
+    a0, color = -1, 0     # color 0 = white
+    while a0 < columns:
             # b1: first ref change > a0 with color OPPOSITE the a0 color
             # (ref elements alternate starting white->black at ref[0])
             i = 0
@@ -238,19 +227,146 @@ def decode_g4(data: bytes, columns: int, rows: int | None = None,
             cur.append(min(max(a1, 0), columns))
             a0 = a1
             color ^= 1
-        # materialize the line: changes alternate white->black
-        line = np.full(columns, 255.0)
-        pos, col = 0, 0
-        for c in cur:
-            if col == 1:
-                line[pos:c] = 0.0
-            pos, col = c, col ^ 1
+    return cur
+
+
+def _materialize(cur: list[int], columns: int) -> np.ndarray:
+    """Changing elements -> pixel line (changes alternate white->black)."""
+    line = np.full(columns, 255.0)
+    pos, col = 0, 0
+    for c in cur:
         if col == 1:
-            line[pos:columns] = 0.0
-        out.append(line)
+            line[pos:c] = 0.0
+        pos, col = c, col ^ 1
+    if col == 1:
+        line[pos:columns] = 0.0
+    return line
+
+
+def decode_g4(data: bytes, columns: int, rows: int | None = None,
+              max_rows: int = 1 << 16,
+              byte_align: bool = False) -> np.ndarray:
+    """G4 (T.6 MMR) entropy stream -> (h, columns) float array with black=0,
+    white=255.  Stops at EOFB, stream exhaustion, or ``rows``.
+    ``byte_align``: /EncodedByteAlign — each coded line starts on a byte
+    boundary.  Raises ValueError on malformed input."""
+    if not 0 < columns <= 1 << 16:
+        raise ValueError("bad /Columns")
+    bits = _Bits(data)
+    # reference line as CHANGING ELEMENTS: column positions where color
+    # flips, terminated by two sentinels at `columns`
+    ref = [columns, columns]
+    out: list[np.ndarray] = []
+    while rows is None or len(out) < rows:
+        if len(out) > max_rows:
+            raise ValueError("row limit exceeded")
+        if byte_align and bits.pos % 8:
+            bits.skip(8 - bits.pos % 8)
+        if bits.peek(24) == EOFB:
+            bits.skip(24)
+            break
+        if bits.pos >= bits.n:
+            if rows is not None:
+                raise ValueError("truncated G4 data")
+            break
+        cur = _decode_2d_line(bits, ref, columns)
+        out.append(_materialize(cur, columns))
         ref = [*cur, columns, columns]
     if rows is not None and len(out) < rows:
         raise ValueError("truncated G4 data")
     if not out:
         raise ValueError("empty G4 image")
+    return np.stack(out)
+
+
+# ---------------------------------------------------------------------------
+# Group 3 (ITU-T T.4): /K 0 pure 1-D MH; /K > 0 mixed (EOL + tag bit
+# selects the coding of each line).  EOL = >= 11 zeros then a 1; RTC
+# (two+ consecutive EOLs here) ends the image.
+# ---------------------------------------------------------------------------
+
+_EOL = "000000000001"
+
+
+def _try_eol(bits: _Bits) -> bool:
+    """Consume one fill+EOL sequence if (and only if) it is next."""
+    window = bits.peek(64)
+    one = window.find("1")
+    if one < 0:
+        # all zeros to exhaustion: swallow as trailing fill
+        bits.skip(len(window))
+        return False
+    if one >= 11:
+        bits.skip(one + 1)
+        return True
+    return False
+
+
+def _decode_1d_line(bits: _Bits, columns: int) -> list[int]:
+    """One T.4 one-dimensionally-coded line -> changing elements.
+    Runs alternate white/black starting white (a zero-length first white
+    run codes a line that starts black)."""
+    cur: list[int] = []
+    pos, color = 0, 0
+    while pos < columns:
+        if len(cur) > 2 * columns + 4:
+            raise ValueError("non-advancing 1-D runs")
+        run = _read_run(bits, white=color == 0)
+        pos += run
+        if pos > columns:
+            raise ValueError("1-D run overflows line")
+        cur.append(pos)
+        color ^= 1
+    return cur
+
+
+def decode_g3(data: bytes, columns: int, rows: int | None = None,
+              k: int = 0, max_rows: int = 1 << 16,
+              byte_align: bool = False) -> np.ndarray:
+    """G3 (T.4) entropy stream -> (h, columns) float array, black=0,
+    white=255.  ``k`` is the /K value: 0 = pure 1-D, > 0 = mixed
+    (a tag bit after each EOL picks 1-D or 2-D for the line).  Leading
+    EOL optional (PDF encoders commonly omit the first); two consecutive
+    EOLs terminate.  Raises ValueError on malformed input."""
+    if not 0 < columns <= 1 << 16:
+        raise ValueError("bad /Columns")
+    if k < 0:
+        raise ValueError("decode_g3 requires /K >= 0")
+    bits = _Bits(data)
+    ref = [columns, columns]
+    out: list[np.ndarray] = []
+    while rows is None or len(out) < rows:
+        if len(out) > max_rows:
+            raise ValueError("row limit exceeded")
+        if byte_align and bits.pos % 8:
+            bits.skip(8 - bits.pos % 8)
+        saw_eol = _try_eol(bits)
+        two_d = False
+        if k > 0 and saw_eol:
+            tag = bits.peek(1)
+            if not tag:
+                if rows is not None:
+                    raise ValueError("truncated G3 data")
+                break
+            bits.skip(1)
+            two_d = tag == "0"
+        elif k > 0 and not saw_eol and out:
+            # mixed mode requires an EOL+tag between lines
+            raise ValueError("missing EOL in mixed-mode G3")
+        # RTC: a second EOL straight after (for k>0, after the tag bit —
+        # no valid line starts with >= 11 zeros, so this is unambiguous)
+        if saw_eol and _try_eol(bits):
+            break
+        if bits.pos >= bits.n:
+            if rows is not None:
+                raise ValueError("truncated G3 data")
+            break
+        cur = (_decode_2d_line(bits, ref, columns) if two_d
+               else _decode_1d_line(bits, columns))
+        out.append(_materialize(cur, columns))
+        ref = [*cur, columns, columns]
+    if rows is not None and len(out) < rows:
+        raise ValueError("truncated G3 data")
+    if not out:
+        raise ValueError("empty G3 image")
     return np.stack(out)

@@ -58,15 +58,10 @@ def _changes(line: np.ndarray) -> list[int]:
     return out
 
 
-def encode_g4(img: np.ndarray, eofb: bool = True) -> bytes:
-    """Spec-procedure G4 encoder (T.6 §2.2.3 mode decisions)."""
-    h, columns = img.shape
-    w = _BitWriter()
-    ref = [columns, columns]
-    for y in range(h):
-        cur = _changes(img[y])
-        a0, color, ci = -1, 0, 0
-        while a0 < columns:
+def _encode_2d_line(w: _BitWriter, cur: list[int], ref: list[int],
+                    columns: int) -> None:
+    a0, color, ci = -1, 0, 0
+    while a0 < columns:
             # a1: first coding-line change > a0 (alternating colors keep
             # ci in sync with `color`)
             while ci < len(cur) and cur[ci] <= a0:
@@ -95,9 +90,63 @@ def encode_g4(img: np.ndarray, eofb: bool = True) -> bytes:
                 _mh(w, a2 - a1, white=color != 0)
                 a0 = a2
                 ci += 2
+
+
+def encode_g4(img: np.ndarray, eofb: bool = True) -> bytes:
+    """Spec-procedure G4 encoder (T.6 §2.2.3 mode decisions)."""
+    h, columns = img.shape
+    w = _BitWriter()
+    ref = [columns, columns]
+    for y in range(h):
+        cur = _changes(img[y])
+        _encode_2d_line(w, cur, ref, columns)
         ref = [*cur, columns, columns]
     if eofb:
         w.put(C.EOFB)
+    return w.tobytes()
+
+
+def _encode_1d_line(w: _BitWriter, line: np.ndarray) -> None:
+    cols = len(line)
+    pos, white = 0, True
+    for c in [*_changes(line), cols]:
+        _mh(w, c - pos, white)
+        pos, white = c, not white
+
+
+def encode_g3(img: np.ndarray, k: int = 0, leading_eol: bool = True,
+              rtc: bool = True, byte_align: bool = False,
+              twod_rows: set[int] = frozenset()) -> bytes:
+    """Spec-procedure G3 encoder.  k=0: pure 1-D; k>0: mixed, rows in
+    ``twod_rows`` coded two-dimensionally against the previous line."""
+    h, columns = img.shape
+    w = _BitWriter()
+    ref = [columns, columns]
+
+    def align():
+        if byte_align:
+            n = sum(len(s) for s in w.bits)
+            if n % 8:
+                w.put("0" * (8 - n % 8))
+
+    for y in range(h):
+        align()
+        if y > 0 or leading_eol:
+            w.put("000000000001")
+            if k > 0:
+                w.put("0" if y in twod_rows else "1")
+        cur = _changes(img[y])
+        if k > 0 and y in twod_rows and (y > 0 or leading_eol):
+            _encode_2d_line(w, cur, ref, columns)
+        else:
+            _encode_1d_line(w, img[y])
+        ref = [*cur, columns, columns]
+    if rtc:
+        align()
+        w.put("000000000001")
+        if k > 0:
+            w.put("1")
+        w.put("000000000001")
     return w.tobytes()
 
 
@@ -280,3 +329,151 @@ class TestPdfIntegration:
         assert media[0]["codec"] == "ccitt"      # honest placeholder
         assert media[0]["content"] is None
         assert (media[0]["width"], media[0]["height"]) == (30, 20)
+
+
+# --- G3 (T.4) ----------------------------------------------------------------
+
+
+def _g3_round_trip(img: np.ndarray, **kw) -> np.ndarray:
+    dec_kw = {"k": kw.get("k", 0), "byte_align": kw.get("byte_align", False)}
+    return C.decode_g3(encode_g3(img, **kw), img.shape[1],
+                       rows=img.shape[0], **dec_kw)
+
+
+class TestG3RoundTrip:
+    def test_1d_basic_patterns(self):
+        for img in (
+            np.full((4, 17), 255.0),
+            np.zeros((4, 17)),
+            np.tile([0.0, 255.0] * 8 + [0.0], (3, 1)),
+        ):
+            assert np.array_equal(_g3_round_trip(img), img)
+
+    def test_1d_random_noise(self):
+        rng = np.random.RandomState(7)
+        img = np.where(rng.rand(23, 61) > 0.5, 255.0, 0.0)
+        assert np.array_equal(_g3_round_trip(img), img)
+
+    def test_1d_without_leading_eol(self):
+        rng = np.random.RandomState(8)
+        img = np.where(rng.rand(5, 40) > 0.3, 255.0, 0.0)
+        assert np.array_equal(_g3_round_trip(img, leading_eol=False), img)
+
+    def test_1d_long_runs_hit_makeups(self):
+        img = np.full((2, 2000), 255.0)
+        img[1, :1900] = 0.0
+        assert np.array_equal(_g3_round_trip(img), img)
+
+    def test_mixed_k4_alternating_lines(self):
+        rng = np.random.RandomState(9)
+        img = np.where(rng.rand(10, 48) > 0.5, 255.0, 0.0)
+        out = _g3_round_trip(img, k=4, twod_rows={1, 3, 5, 7, 9})
+        assert np.array_equal(out, img)
+
+    def test_mixed_all_2d_after_first(self):
+        rng = np.random.RandomState(10)
+        img = np.where(rng.rand(6, 33) > 0.4, 255.0, 0.0)
+        out = _g3_round_trip(img, k=2, twod_rows=set(range(1, 6)))
+        assert np.array_equal(out, img)
+
+    def test_byte_align_1d(self):
+        rng = np.random.RandomState(11)
+        img = np.where(rng.rand(7, 29) > 0.5, 255.0, 0.0)
+        assert np.array_equal(_g3_round_trip(img, byte_align=True), img)
+
+    def test_byte_align_g4(self):
+        rng = np.random.RandomState(12)
+        img = np.where(rng.rand(7, 29) > 0.5, 255.0, 0.0)
+        # encoder: G4 with per-line byte alignment
+        h, columns = img.shape
+        w = _BitWriter()
+        ref = [columns, columns]
+        for y in range(h):
+            n = sum(len(s) for s in w.bits)
+            if n % 8:
+                w.put("0" * (8 - n % 8))
+            cur = _changes(img[y])
+            _encode_2d_line(w, cur, ref, columns)
+            ref = [*cur, columns, columns]
+        out = C.decode_g4(w.tobytes(), columns, rows=h, byte_align=True)
+        assert np.array_equal(out, img)
+
+    def test_rtc_terminates_without_rows(self):
+        rng = np.random.RandomState(13)
+        img = np.where(rng.rand(4, 31) > 0.5, 255.0, 0.0)
+        out = C.decode_g3(encode_g3(img, rtc=True), 31)
+        assert out.shape == (4, 31)
+        out = C.decode_g3(encode_g3(img, k=3, rtc=True,
+                                    twod_rows={2}), 31, k=3)
+        assert out.shape == (4, 31)
+
+    def test_zero_length_first_white_run(self):
+        img = np.zeros((2, 9))     # lines start black
+        assert np.array_equal(_g3_round_trip(img), img)
+
+
+class TestG3Hostile:
+    def test_truncated_raises(self):
+        img = np.where(np.random.RandomState(3).rand(6, 40) > 0.5,
+                       255.0, 0.0)
+        data = encode_g3(img, rtc=False)
+        with pytest.raises(ValueError):
+            C.decode_g3(data[: len(data) // 2], 40, rows=6)
+
+    def test_bad_k_and_columns(self):
+        with pytest.raises(ValueError):
+            C.decode_g3(b"\x00", 0)
+        with pytest.raises(ValueError):
+            C.decode_g3(b"\x00", 10, k=-1)
+
+    def test_missing_eol_in_mixed_mode(self):
+        img = np.full((3, 16), 255.0)
+        data = encode_g3(img, k=4)   # EOL+tag per line: fine
+        C.decode_g3(data, 16, rows=3, k=4)
+        # but a k=0-style EOL-less stream is rejected in mixed mode
+        w = _BitWriter()
+        for _ in range(3):
+            _encode_1d_line(w, img[0])
+        with pytest.raises(ValueError):
+            C.decode_g3(w.tobytes(), 16, rows=3, k=4)
+
+    def test_mutation_fuzz_total(self):
+        rng = np.random.RandomState(5)
+        img = np.where(rng.rand(5, 37) > 0.5, 255.0, 0.0)
+        for k, kw in ((0, {}), (4, {"twod_rows": {1, 3}})):
+            base = bytearray(encode_g3(img, k=k, **kw))
+            for trial in range(300):
+                mut = bytearray(base)
+                for _ in range(rng.randint(1, 4)):
+                    mut[rng.randint(len(mut))] ^= 1 << rng.randint(8)
+                try:
+                    out = C.decode_g3(bytes(mut), 37, k=k)
+                    assert out.shape[1] == 37
+                except ValueError:
+                    pass
+
+
+class TestG3PdfIntegration:
+    def test_g3_xobject_decodes_to_pgm_media(self):
+        from pdf_extraction_tests_spark.sources.pdf_min import (
+            extract_pdf_media, write_minimal_pdf)
+        rng = np.random.RandomState(21)
+        img = np.where(rng.rand(10, 24) > 0.5, 255.0, 0.0)
+        pdf = write_minimal_pdf(
+            [[("text", 72, 90, 12, "fax"), ("g3", "Fx1",
+               encode_g3(img), 24, 10)]])
+        media = extract_pdf_media(pdf)
+        m = [x for x in media if x["codec"] == "g3"]
+        assert len(m) == 1
+        assert m[0]["content"].startswith(b"P5\n24 10\n255\n")
+        px = np.frombuffer(
+            m[0]["content"].split(b"\n", 3)[3], dtype=np.uint8)
+        assert np.array_equal(px.reshape(10, 24), img.astype(np.uint8))
+
+    def test_corrupt_g3_stays_labeled_placeholder(self):
+        from pdf_extraction_tests_spark.sources.pdf_min import (
+            extract_pdf_media, write_minimal_pdf)
+        pdf = write_minimal_pdf(
+            [[("g3", "Fx1", b"\xff\x07\x55\xaa", 24, 10)]])
+        media = extract_pdf_media(pdf)
+        assert media and media[0]["codec"] == "ccitt"
