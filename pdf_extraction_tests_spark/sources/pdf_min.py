@@ -654,6 +654,7 @@ _STRTOK_RE_T = rb"(\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>)"
 _O_RE = re.compile(rb"/O\s*" + _STRTOK_RE_T, re.DOTALL)
 _U_RE = re.compile(rb"/U\s*" + _STRTOK_RE_T, re.DOTALL)
 _UE_RE = re.compile(rb"/UE\s*" + _STRTOK_RE_T, re.DOTALL)
+_OE_RE = re.compile(rb"/OE\s*" + _STRTOK_RE_T, re.DOTALL)
 _P_RE = re.compile(rb"/P\s+(-?\d+)")
 _V_RE = re.compile(rb"/V\s+(\d+)")
 _R_RE = re.compile(rb"/R\s+(\d+)")
@@ -756,10 +757,28 @@ def _v5_crypt(head: bytes, password: bytes = b"") -> _StdCrypt:
     else:  # R5 (deprecated Adobe variant): plain SHA-256
         check = hashlib.sha256(password + vsalt).digest()
         inter = hashlib.sha256(password + ksalt).digest()
-    if check != u[:32]:
-        raise UnsupportedPdfError("password-protected PDF (V5)")
-    file_key = cbc_decrypt_nopad(inter, bytes(16), ue[:32])
-    return _StdCrypt(file_key, aes=True, v5=True)
+    if check == u[:32]:
+        file_key = cbc_decrypt_nopad(inter, bytes(16), ue[:32])
+        return _StdCrypt(file_key, aes=True, v5=True)
+    # Algorithm 12 owner path: the owner hash is computed over the
+    # password, /O's salts, AND the full 48-byte /U string; /OE unwraps
+    # the same file key
+    om, oem = _O_RE.search(head), _OE_RE.search(head)
+    if om and oem:
+        o = _strtok_bytes(om.group(1))
+        oe = _strtok_bytes(oem.group(1))
+        if len(o) >= 48 and len(oe) >= 32:
+            ovs, oks = o[32:40], o[40:48]
+            if r == 6:
+                ocheck = hash_2b(password, ovs, u[:48])
+                ointer = hash_2b(password, oks, u[:48])
+            else:
+                ocheck = hashlib.sha256(password + ovs + u[:48]).digest()
+                ointer = hashlib.sha256(password + oks + u[:48]).digest()
+            if ocheck == o[:32]:
+                file_key = cbc_decrypt_nopad(ointer, bytes(16), oe[:32])
+                return _StdCrypt(file_key, aes=True, v5=True)
+    raise UnsupportedPdfError("password-protected PDF (V5)")
 
 
 def _encryption(data: bytes, objs: dict[int, bytes],
@@ -819,28 +838,50 @@ def _encryption(data: bytes, objs: dict[int, bytes],
         id0 = bytes.fromhex(h.decode("ascii"))
     if not -(1 << 31) <= p < (1 << 31):  # hostile: /P outside int32
         raise UnsupportedPdfError("encryption /P out of range")
-    # Algorithm 2 step a: the user password padded/truncated to 32 bytes
-    # with the standard pad string (empty password == the pad itself)
-    seed = (password + _PW_PAD)[:32] + o[:32] + struct.pack("<i", p) + id0
-    if r >= 4 and re.search(rb"/EncryptMetadata\s+false", head):
-        seed += b"\xff\xff\xff\xff"
-    key = hashlib.md5(seed).digest()
-    if r >= 3:
-        for _ in range(50):
-            key = hashlib.md5(key[:nbytes]).digest()
-    key = key[:nbytes]
-    # verify the EMPTY user password against /U
-    if r == 2:
-        ok = _rc4(key, _PW_PAD) == u[:32]
-    else:
+    emf = bool(r >= 4 and re.search(rb"/EncryptMetadata\s+false", head))
+
+    def alg2_key(padded_user: bytes) -> bytes:
+        # Algorithm 2: file key from the 32-byte padded user password
+        seed = padded_user + o[:32] + struct.pack("<i", p) + id0
+        if emf:
+            seed += b"\xff\xff\xff\xff"
+        key = hashlib.md5(seed).digest()
+        if r >= 3:
+            for _ in range(50):
+                key = hashlib.md5(key[:nbytes]).digest()
+        return key[:nbytes]
+
+    def user_ok(key: bytes) -> bool:
+        # Algorithms 4/5: does this key reproduce /U?
+        if r == 2:
+            return _rc4(key, _PW_PAD) == u[:32]
         x = hashlib.md5(_PW_PAD + id0).digest()
         x = _rc4(key, x)
         for i in range(1, 20):
             x = _rc4(bytes(b ^ i for b in key), x)
-        ok = x == u[:16]
-    if not ok:
-        raise UnsupportedPdfError("password-protected PDF")
-    return _StdCrypt(key, aes=aes)
+        return x == u[:16]
+
+    key = alg2_key((password + _PW_PAD)[:32])
+    if user_ok(key):
+        return _StdCrypt(key, aes=aes)
+    # Algorithm 7: try the password as the OWNER password — derive the
+    # Algorithm 3 owner key, RC4-decrypt /O back to the padded USER
+    # password, and re-run Algorithm 2 with that
+    okey = hashlib.md5((password + _PW_PAD)[:32]).digest()
+    if r >= 3:
+        for _ in range(50):
+            okey = hashlib.md5(okey[:nbytes]).digest()
+    okey = okey[:nbytes]
+    if r == 2:
+        upad = _rc4(okey, o[:32])
+    else:
+        upad = o[:32]
+        for i in range(19, -1, -1):
+            upad = _rc4(bytes(b ^ i for b in okey), upad)
+    key = alg2_key(upad[:32])
+    if user_ok(key):
+        return _StdCrypt(key, aes=aes)
+    raise UnsupportedPdfError("password-protected PDF")
 
 
 # ---------------------------------------------------------------------------

@@ -686,3 +686,59 @@ class TestSequencePack:
         pdf = pd.DataFrame({"doc_id": [1, 2], "text": ["a b", None]})
         got = sequence_pack(spark.createDataFrame(pdf)).collect()
         assert [r.doc_id for r in got] == [1]
+
+
+class TestHyperLogLog:
+    """HLL distinct sketch (operators/sketches.py): deterministic
+    registers (cross-engine + partition-count invariant), mergeability
+    (sketch(A) max sketch(B) == sketch(A u B)), and the theoretical
+    error bound vs exact NDV."""
+
+    def _docs(self, spark, n=4000, dup_every=4):
+        # n rows, every dup_every-th row repeats an earlier value
+        from pyspark.sql import functions as F
+        return spark.range(n).select(
+            F.concat(F.lit("val-"),
+                     (F.col("id") / dup_every).cast("long").cast("string"))
+            .alias("v"))
+
+    def test_accuracy_within_bound(self, spark):
+        from pdf_extraction_tests_spark.operators.sketches import hll_ndv
+        df = self._docs(spark, 4000, 4)
+        est = hll_ndv(df, "v").collect()[0]["ndv_est"]
+        exact = df.distinct().count()
+        # 3 sigma for m=4096: 3 * 1.04 / 64 ~ 4.9 %
+        assert abs(est - exact) / exact < 0.05, (est, exact)
+
+    def test_merge_equals_union(self, spark):
+        from pdf_extraction_tests_spark.operators.sketches import (
+            hll_estimate, hll_merge, hll_registers, hll_ndv)
+        a = self._docs(spark, 1500, 3)
+        b = self._docs(spark, 4000, 5)
+        merged = hll_estimate(
+            hll_merge(hll_registers(a, "v"), hll_registers(b, "v"))
+        ).collect()[0]
+        union = hll_ndv(a.unionByName(b), "v").collect()[0]
+        assert merged == union      # register-exact, not approximate
+
+    def test_partition_count_invariant(self, spark):
+        from pdf_extraction_tests_spark.operators.sketches import hll_ndv
+        df = self._docs(spark, 3000, 2)
+        r1 = hll_ndv(df.repartition(1), "v").collect()[0]
+        r32 = hll_ndv(df.repartition(32), "v").collect()[0]
+        assert r1 == r32
+
+    def test_nulls_ignored(self, spark):
+        from pyspark.sql import functions as F
+        from pdf_extraction_tests_spark.operators.sketches import hll_ndv
+        df = self._docs(spark, 1000, 2).withColumn(
+            "v", F.when(F.rand(7) < 0.2, None).otherwise(F.col("v")))
+        out = hll_ndv(df, "v").collect()[0]
+        assert out["nonzero_registers"] > 0
+
+    def test_fixed_state_shape(self, spark):
+        # the sketch never exceeds 2^p rows no matter the input size
+        from pdf_extraction_tests_spark.operators.sketches import (
+            HLL_P, hll_registers)
+        df = self._docs(spark, 8000, 1)
+        assert hll_registers(df, "v").count() <= 1 << HLL_P

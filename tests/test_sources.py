@@ -929,7 +929,8 @@ class TestRc4Encryption:
     @staticmethod
     def _encrypt_build(r: int = 3, keybits: int = 128,
                        user_pw: bytes = b"", aes: bool = False,
-                       cf_first: bool = False) -> bytes:
+                       cf_first: bool = False,
+                       owner_pw: bytes = b"") -> bytes:
         """Spec-faithful test-side encryptor (ISO 32000-1 §7.6.3): builds
         a one-page PDF whose streams are RC4- (V1/V2) or AES-128-CBC-
         (V4 /AESV2) encrypted per object."""
@@ -948,8 +949,8 @@ class TestRc4Encryption:
         id0 = bytes(range(16))
         p = -44
 
-        # /O from an EMPTY owner password (falls back to user pw rules)
-        h = hashlib.md5(pad(b"")).digest()
+        # /O from the owner password (default empty)
+        h = hashlib.md5(pad(owner_pw)).digest()
         if r >= 3:
             for _ in range(50):
                 h = hashlib.md5(h).digest()
@@ -1041,7 +1042,10 @@ class TestRc4Encryption:
         from pdf_extraction_tests_spark.sources.binary_docs import (
             bytes_to_spans)
 
-        data = self._encrypt_build(r=3, keybits=128, user_pw=b"hunter2")
+        # owner pw set too: an EMPTY owner password would let the empty-
+        # password owner fallback (Algorithm 7) open the file legitimately
+        data = self._encrypt_build(r=3, keybits=128, user_pw=b"hunter2",
+                                   owner_pw=b"hunter2")
         spans = bytes_to_spans(data)
         assert [s["text"] for s in spans] == ["UNSUPPORTED_BINARY"]
 
@@ -1178,7 +1182,8 @@ class TestAes256V5Encryption:
     streams.  FIPS-197 C.3 pins the 256-bit core."""
 
     @staticmethod
-    def _build(r: int = 6, user_pw: bytes = b"") -> bytes:
+    def _build(r: int = 6, user_pw: bytes = b"",
+               owner_pw: bytes = b"") -> bytes:
         import hashlib
         import zlib
 
@@ -1199,12 +1204,14 @@ class TestAes256V5Encryption:
         # but real files carry them)
         ovs, oks = b"OVSALTo!", b"OKSALTo!"
         if r == 6:
-            o = hash_2b(b"", ovs, u) + ovs + oks
-            oe = cbc_encrypt_nopad(hash_2b(b"", oks, u), bytes(16), file_key)
+            o = hash_2b(owner_pw, ovs, u) + ovs + oks
+            oe = cbc_encrypt_nopad(hash_2b(owner_pw, oks, u), bytes(16),
+                                   file_key)
         else:
-            o = hashlib.sha256(b"" + ovs + u).digest() + ovs + oks
-            oe = cbc_encrypt_nopad(hashlib.sha256(b"" + oks + u).digest(),
-                                   bytes(16), file_key)
+            o = hashlib.sha256(owner_pw + ovs + u).digest() + ovs + oks
+            oe = cbc_encrypt_nopad(
+                hashlib.sha256(owner_pw + oks + u).digest(),
+                bytes(16), file_key)
 
         esc = lambda b: (b.replace(b"\\", rb"\\").replace(b"(", rb"\(")  # noqa: E731
                          .replace(b")", rb"\)").replace(b"\r", rb"\r"))
@@ -1309,7 +1316,9 @@ class TestAes256V5Encryption:
         from pdf_extraction_tests_spark.sources.binary_docs import (
             bytes_to_spans)
 
-        data = self._build(r=6, user_pw=b"hunter2")
+        # non-empty owner pw: an empty one would legitimately open via
+        # the Algorithm 12 owner fallback
+        data = self._build(r=6, user_pw=b"hunter2", owner_pw=b"hunter2")
         assert [s["text"] for s in bytes_to_spans(data)] \
             == ["UNSUPPORTED_BINARY"]
 
@@ -1375,7 +1384,8 @@ class TestRealPasswordDecryption:
         from pdf_extraction_tests_spark.sources.binary_docs import (
             bytes_to_spans)
 
-        data = TestRc4Encryption._encrypt_build(r=3, user_pw=b"hunter2")
+        data = TestRc4Encryption._encrypt_build(
+            r=3, user_pw=b"hunter2", owner_pw=b"hunter2")
         spans = bytes_to_spans(data, password=b"WRONG")
         assert [s["text"] for s in spans] == ["UNSUPPORTED_BINARY"]
         spans = bytes_to_spans(data)  # no password at all
@@ -1471,3 +1481,72 @@ class TestSimpleFontEncodings:
             font_encoding=b"<< /Differences [ 999 /x -3 /y /z 97 /emdash")
         out = extract_pdf_text(pdf)
         assert out and out[0]["text"] == "ok"
+
+
+class TestOwnerPasswordDecryption:
+    """Owner-password opens (ISO 32000-1 Algorithm 7; 32000-2 Algorithm
+    12): the owner password RC4-unwraps /O back to the padded user
+    password (classic), or hashes with /O's salts + the full /U and
+    unwraps /OE (V5).  The same `password=` argument serves both roles —
+    user first, owner fallback."""
+
+    @pytest.mark.parametrize("r,bits", [(2, 40), (3, 128)])
+    def test_rc4_owner_password_opens(self, r, bits):
+        from pdf_extraction_tests_spark.sources.pdf_min import (
+            extract_pdf_text)
+
+        data = TestRc4Encryption._encrypt_build(
+            r=r, keybits=bits, user_pw=b"userpw", owner_pw=b"ownerpw")
+        blocks = extract_pdf_text(data, password=b"ownerpw")
+        assert [b["text"] for b in blocks
+                if b["kind"] == "text_block"] == ["rc4 secret text"]
+        # the user password still works too
+        blocks = extract_pdf_text(data, password=b"userpw")
+        assert [b["text"] for b in blocks
+                if b["kind"] == "text_block"] == ["rc4 secret text"]
+
+    def test_aes128_owner_password_opens(self):
+        from pdf_extraction_tests_spark.sources.pdf_min import (
+            extract_pdf_text)
+
+        data = TestRc4Encryption._encrypt_build(
+            aes=True, user_pw=b"u", owner_pw=b"the-owner")
+        blocks = extract_pdf_text(data, password=b"the-owner")
+        assert [b["text"] for b in blocks
+                if b["kind"] == "text_block"] == ["rc4 secret text"]
+
+    def test_owner_only_encryption_empty_user(self):
+        # owner password set, user password EMPTY: opens with no password
+        # (the common "permissions-only" encryption) and with the owner pw
+        from pdf_extraction_tests_spark.sources.pdf_min import (
+            extract_pdf_text)
+
+        data = TestRc4Encryption._encrypt_build(
+            r=3, user_pw=b"", owner_pw=b"admin")
+        assert extract_pdf_text(data)[0]["text"] == "rc4 secret text"
+        assert extract_pdf_text(
+            data, password=b"admin")[0]["text"] == "rc4 secret text"
+
+    @pytest.mark.parametrize("r", [5, 6])
+    def test_aes256_owner_password_opens(self, r):
+        from pdf_extraction_tests_spark.sources.pdf_min import (
+            extract_pdf_text)
+
+        data = TestAes256V5Encryption._build(
+            r=r, user_pw=b"userpw", owner_pw=b"own3r")
+        blocks = extract_pdf_text(data, password=b"own3r")
+        assert [b["text"] for b in blocks
+                if b["kind"] == "text_block"] == ["aes256 secret"]
+
+    def test_wrong_owner_password_still_fault_isolates(self):
+        from pdf_extraction_tests_spark.sources.binary_docs import (
+            bytes_to_spans)
+
+        for data in (
+            TestRc4Encryption._encrypt_build(
+                r=3, user_pw=b"u", owner_pw=b"o"),
+            TestAes256V5Encryption._build(
+                r=6, user_pw=b"u", owner_pw=b"o"),
+        ):
+            spans = bytes_to_spans(data, password=b"NEITHER")
+            assert [s["text"] for s in spans] == ["UNSUPPORTED_BINARY"]
