@@ -742,3 +742,73 @@ class TestHyperLogLog:
             HLL_P, hll_registers)
         df = self._docs(spark, 8000, 1)
         assert hll_registers(df, "v").count() <= 1 << HLL_P
+
+
+class TestBloomPrefilter:
+    """Bloom join pruning (operators/bloom.py): no false negatives,
+    bounded false positives, fixed bitset size.  Cross-engine equality
+    of the full candidate set (incl. the FP residue) is covered by the
+    q96 oracle in tests/test_queries.py's extras loop."""
+
+    def _frames(self, spark):
+        from pyspark.sql import functions as F
+        keys = spark.range(0, 500, 3).select(
+            F.col("id").cast("string").alias("k"))
+        big = spark.range(0, 2000).select(
+            F.col("id").alias("row_id"),
+            F.col("id").cast("string").alias("k"))
+        return keys, big
+
+    def test_no_false_negatives(self, spark):
+        from pdf_extraction_tests_spark.operators.bloom import (
+            bloom_build, bloom_prefilter)
+        keys, big = self._frames(spark)
+        bl = bloom_build(keys, "k", m_bits=1 << 12)
+        cand = set(r.row_id for r in
+                   bloom_prefilter(big, "k", bl, m_bits=1 << 12)
+                   .select("row_id").collect())
+        members = set(range(0, 500, 3))
+        assert members <= cand
+
+    def test_false_positive_rate_bounded(self, spark):
+        from pdf_extraction_tests_spark.operators.bloom import (
+            bloom_build, bloom_prefilter)
+        keys, big = self._frames(spark)
+        m = 1 << 14
+        bl = bloom_build(keys, "k", m_bits=m)
+        n_cand = bloom_prefilter(big, "k", bl, m_bits=m).count()
+        members = len(range(0, 500, 3))
+        non_members = 2000 - members
+        # (1 - e^{-kn/m})^3 for k=3, n=167, m=16384 ~ 2.6e-5; allow 100x
+        assert (n_cand - members) / non_members < 0.01, n_cand
+
+    def test_bitset_rows_bounded(self, spark):
+        from pdf_extraction_tests_spark.operators.bloom import bloom_build
+        keys, _ = self._frames(spark)
+        m = 1 << 12
+        assert bloom_build(keys, "k", m_bits=m).count() <= m // 32
+
+    def test_probe_side_never_shuffles(self, spark):
+        from pdf_extraction_tests_spark.operators.bloom import (
+            bloom_build, bloom_prefilter)
+        from pdf_extraction_tests_spark.plans.audit import (
+            count_exchanges, formatted_plan, has_broadcast_join)
+        keys, big = self._frames(spark)
+        bl = bloom_build(keys, "k", m_bits=1 << 12)
+        plan = formatted_plan(bloom_prefilter(big, "k", bl,
+                                              m_bits=1 << 12))
+        assert has_broadcast_join(plan), plan
+        # exchanges only on the tiny bitset build: one word-groupBy
+        # shuffle + one BroadcastExchange per hash (AQE reuses the
+        # identical sub-plans at runtime); the probe side itself is
+        # never repartitioned
+        assert "Exchange rangepartitioning" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert count_exchanges(plan) <= 2 * 3, plan
+        # every plain Exchange hashes the bitset's word column, not a
+        # probe-side column
+        import re as _re
+        for line in plan.splitlines():
+            m = _re.search(r"Exchange hashpartitioning\((\w+)", line)
+            if m:
+                assert m.group(1).startswith("word"), line

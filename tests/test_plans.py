@@ -254,3 +254,18 @@ def test_asof_join_is_single_key_shuffle(spark):
     flat = plan.replace(" ", "")
     assert flat.count("hashpartitioning(_by") == 1, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_hll_partial_aggregation_bounds_state(spark):
+    """q95 (HLL): the register build must show partial (map-side)
+    aggregation — each task reduces to <= 2^p rows before the single
+    bucket shuffle — and exactly one exchange feeds the final global
+    fold.  No per-distinct-value shuffle ever forms."""
+    from pdf_extraction_tests_spark.operators.sketches import hll_ndv
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = formatted_plan(hll_ndv(docs, "text"))
+    # two-level agg: partial HashAggregate before each exchange
+    assert plan.count("HashAggregate") >= 4, plan
+    assert count_exchanges(plan) <= 2, plan   # bucket shuffle + final fold
+    assert "Exchange rangepartitioning" not in plan, plan

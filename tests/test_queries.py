@@ -99,10 +99,11 @@ def test_entry_registers_oracled_q94_inside_driver_cap():
     n_reg = len(_REGISTRY_NAMES)
     assert names[:n_reg] == [s.name for s in REGISTRY]
     assert names[n_reg] == "q94_asof_enrich"
-    # beyond the cap: oracled q95 first (position 51 — displaces nothing
-    # green), then the rows-only q92/q91
+    # beyond the cap: oracled q95/q96 first (positions 51/52 — displace
+    # nothing green), then the rows-only q92/q91
     assert names[n_reg + 1] == "q95_hll_ndv"
-    assert len(names) <= n_reg + 4
+    assert names[n_reg + 2] == "q96_bloom_prefilter"
+    assert len(names) <= n_reg + 5
 
 
 @pytest.mark.parametrize(
