@@ -1282,6 +1282,32 @@ def _page_xobjects(head: bytes, objs: dict[int, bytes],
                                + px.astype("uint8").tobytes())
             except (ValueError, UnsupportedPdfError):
                 pass  # keep the labeled placeholder
+        elif img_codecs[:1] == [b"JBIG2Decode"]:
+            # JBIG2 generic-region profile (MQ coder + MMR): decode to
+            # pixels; symbol/text-region files keep the labeled
+            # placeholder.  /JBIG2Globals (shared segment stream) is
+            # resolved and prepended per the PDF embedding rules.
+            codec = "jbig2decode"
+            try:
+                raw = _raw_stream_of(xobj, crypt, int(ref))
+                if raw:
+                    gdata = b""
+                    gm = re.search(rb"/JBIG2Globals\s+(\d+)\s+\d+\s+R",
+                                   xhead)
+                    if gm and int(gm.group(1)) in objs:
+                        gdata = _stream_of(objs[int(gm.group(1))], crypt,
+                                           int(gm.group(1))) or b""
+                    from ._jbig2 import decode_jbig2
+
+                    px = decode_jbig2(raw, gdata)
+                    h2, w2 = px.shape
+                    if w is None or h is None:
+                        w, h = w2, h2
+                    codec = "jbig2"
+                    content = (b"P5\n%d %d\n255\n" % (w2, h2)
+                               + px.astype("uint8").tobytes())
+            except (ValueError, UnsupportedPdfError):
+                pass  # keep the labeled placeholder
         elif img_codecs:
             # codec the sandbox cannot decode: labeled placeholder (same
             # honesty contract as multimodal feature_kind='stub')
@@ -1726,7 +1752,7 @@ def write_minimal_pdf(pages: list[list[tuple]], compress: bool = True,
     jpeg_items: dict[str, tuple] = {}
     for pg in pages:
         for it in pg:
-            if it[0] in ("jpeg", "g4", "g3"):
+            if it[0] in ("jpeg", "g4", "g3", "jbig2"):
                 jpeg_items.setdefault(it[1], it)
     jpeg_ids = {name: xobj_id + 1 + i
                 for i, name in enumerate(jpeg_items)}
@@ -1791,6 +1817,13 @@ def write_minimal_pdf(pages: list[list[tuple]], compress: bool = True,
                 b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
                 b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
                 b"/Filter /DCTDecode /Length %d >>\nstream\n"
+                % (dict_w, dict_h, len(payload)) + payload + b"\nendstream"
+            )
+        elif kind_ == "jbig2":
+            body[jpeg_ids[name]] = (
+                b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+                b"/Filter /JBIG2Decode /Length %d >>\nstream\n"
                 % (dict_w, dict_h, len(payload)) + payload + b"\nendstream"
             )
         else:  # g4 / g3 fax
