@@ -8,18 +8,19 @@ module decodes the subset a generic-region encoder emits:
 
 * the MQ arithmetic coder (T.88 Annex E): 47-state Qe table, BYTEIN
   with 0xFF-stuffing and end-of-stream 1-feeding,
-* generic region decoding, GBTEMPLATE 0 with arbitrary AT pixels and
-  TPGDON typical-prediction rows (context layout per the spec's
-  neighborhood figure: positions sorted by (y, x), MSB first),
+* generic region decoding, GBTEMPLATEs 0-3 with arbitrary causal AT
+  pixels and TPGDON typical-prediction rows (context layout per the
+  spec's neighborhood figures: positions sorted by (y, x), MSB first;
+  SLTP contexts 0x9B25/0x0795/0x00E5/0x0195),
 * MMR-coded generic regions (T.6 payload — reuses ``_ccitt.decode_g4``),
 * the embedded segment layer (T.88 §7.2): headers, page info, immediate
   generic regions, end-of-page/stripe/file; regions composed onto the
   page canvas.
 
 Out of scope -> ValueError (the caller keeps an honest labeled
-placeholder): symbol-dictionary/text/halftone/refinement segments,
-GBTEMPLATE 1-3, unknown-length MMR data.  Totality: any malformed input
-raises ValueError, never an ad-hoc exception.
+placeholder): symbol-dictionary/text/halftone/refinement segments and
+unknown-length MMR data.  Totality: any malformed input raises
+ValueError, never an ad-hoc exception.
 
 The Qe state table is a transcribed constant; tests bound the risk
 structurally (cardinality, probability monotonicity spot checks, pinned
@@ -127,47 +128,79 @@ class MQDecoder:
         return d
 
 
-# --- generic region (T.88 §6.2), GBTEMPLATE 0 ------------------------------
+# --- generic regions (T.88 §6.2), GBTEMPLATE 0-3 ---------------------------
 
-# fixed (non-AT) neighborhood of template 0: (dx, dy)
-_T0_FIXED = [(-1, -2), (0, -2), (1, -2),
-             (-2, -1), (-1, -1), (0, -1), (1, -1), (2, -1),
-             (-4, 0), (-3, 0), (-2, 0), (-1, 0)]
-_T0_NOMINAL_AT = [(3, -1), (-3, -1), (2, -2), (-2, -2)]
-_TPGD_CX_T0 = 0x9B25
+# fixed (non-AT) neighborhoods per template: (dx, dy)
+_TEMPLATE_FIXED = {
+    0: [(-1, -2), (0, -2), (1, -2),
+        (-2, -1), (-1, -1), (0, -1), (1, -1), (2, -1),
+        (-4, 0), (-3, 0), (-2, 0), (-1, 0)],
+    1: [(-1, -2), (0, -2), (1, -2), (2, -2),
+        (-2, -1), (-1, -1), (0, -1), (1, -1), (2, -1),
+        (-3, 0), (-2, 0), (-1, 0)],
+    2: [(-1, -2), (0, -2), (1, -2),
+        (-2, -1), (-1, -1), (0, -1), (1, -1),
+        (-2, 0), (-1, 0)],
+    3: [(-3, -1), (-2, -1), (-1, -1), (0, -1), (1, -1),
+        (-4, 0), (-3, 0), (-2, 0), (-1, 0)],
+}
+_NOMINAL_AT = {
+    0: [(3, -1), (-3, -1), (2, -2), (-2, -2)],
+    1: [(3, -1)],
+    2: [(2, -1)],
+    3: [(2, -1)],
+}
+_T0_NOMINAL_AT = _NOMINAL_AT[0]
+# SLTP pseudo-pixel contexts (spec §6.2.5.7)
+_TPGD_CX = {0: 0x9B25, 1: 0x0795, 2: 0x00E5, 3: 0x0195}
+_TPGD_CX_T0 = _TPGD_CX[0]
 
 
-def template0_positions(at: list[tuple[int, int]]) -> list[tuple[int, int]]:
-    """Full 16-pixel neighborhood in context-bit order: sorted by (row,
-    column), MSB first — the spec figure's left-to-right, top-to-bottom
-    reading of the template."""
-    if len(at) != 4:
-        raise ValueError("template 0 needs 4 AT pixels")
-    pos = _T0_FIXED + list(at)
+def template_positions(template: int,
+                       at: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Full neighborhood in context-bit order: sorted by (row, column),
+    MSB first — the spec figure's left-to-right, top-to-bottom reading
+    of the template."""
+    fixed = _TEMPLATE_FIXED.get(template)
+    if fixed is None:
+        raise ValueError(f"GBTEMPLATE {template} unsupported")
+    if len(at) != len(_NOMINAL_AT[template]):
+        raise ValueError(
+            f"template {template} needs {len(_NOMINAL_AT[template])} "
+            f"AT pixels")
+    pos = fixed + list(at)
     for dx, dy in at:
         if dy > 0 or (dy == 0 and dx >= 0):
             raise ValueError("AT pixel not strictly causal")
     return sorted(pos, key=lambda p: (p[1], p[0]))
 
 
-def decode_generic_t0(data: bytes, width: int, height: int,
-                      at: list[tuple[int, int]] | None = None,
-                      tpgdon: bool = False) -> np.ndarray:
-    """MQ-coded generic region, GBTEMPLATE 0 -> (height, width) uint8
+def template0_positions(at: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    return template_positions(0, at)
+
+
+def decode_generic(data: bytes, width: int, height: int,
+                   template: int = 0,
+                   at: list[tuple[int, int]] | None = None,
+                   tpgdon: bool = False) -> np.ndarray:
+    """MQ-coded generic region, GBTEMPLATE 0-3 -> (height, width) uint8
     bitmap (1 = black)."""
     if not (0 < width <= 1 << 14 and 0 < height <= 1 << 14):
         raise ValueError("bad generic region dimensions")
     if width * height > 1 << 26:
         raise ValueError("generic region too large")
-    pos = template0_positions(at or _T0_NOMINAL_AT)
+    if template not in _NOMINAL_AT:
+        raise ValueError(f"GBTEMPLATE {template} unsupported")
+    pos = template_positions(template, at or _NOMINAL_AT[template])
     nbits = len(pos)
     dec = MQDecoder(data)
     cx = [(0, 0)] * (1 << nbits)
     bitmap = np.zeros((height, width), dtype=np.uint8)
     ltp = 0
+    sltp_cx = _TPGD_CX[template]
     for y in range(height):
         if tpgdon:
-            ltp ^= dec.decode(cx, _TPGD_CX_T0)
+            ltp ^= dec.decode(cx, sltp_cx)
             if ltp:
                 if y > 0:
                     bitmap[y] = bitmap[y - 1]
@@ -182,6 +215,12 @@ def decode_generic_t0(data: bytes, width: int, height: int,
                     ctx |= int(bitmap[yy, xx])
             row[x] = dec.decode(cx, ctx)
     return bitmap
+
+
+def decode_generic_t0(data: bytes, width: int, height: int,
+                      at: list[tuple[int, int]] | None = None,
+                      tpgdon: bool = False) -> np.ndarray:
+    return decode_generic(data, width, height, 0, at, tpgdon)
 
 
 # --- embedded segment layer (T.88 §7.2) ------------------------------------
@@ -272,10 +311,10 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
                 px = decode_g4(body[roff:], w, rows=h)
                 bm = (px < 128).astype(np.uint8)
             else:
-                if template != 0:
+                n_at = len(_NOMINAL_AT.get(template, ()))
+                if not n_at:
                     raise ValueError(
                         f"GBTEMPLATE {template} unsupported")
-                n_at = 4
                 at = []
                 for i in range(n_at):
                     ax = _be(body, roff + 2 * i, 1)
@@ -284,7 +323,8 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
                     at.append((ax - 256 if ax > 127 else ax,
                                ay - 256 if ay > 127 else ay))
                 roff += 2 * n_at
-                bm = decode_generic_t0(body[roff:], w, h, at, tpgdon)
+                bm = decode_generic(body[roff:], w, h, template, at,
+                                    tpgdon)
             regions.append((x, y, bm))
         elif seg_type in _SKIP_TYPES:
             pass

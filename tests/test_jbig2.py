@@ -93,19 +93,19 @@ class MQEncoder:
         return bytes(self.out[1:])
 
 
-def encode_generic_t0(bitmap: np.ndarray,
-                      at: list[tuple[int, int]] | None = None,
-                      tpgdon: bool = False) -> bytes:
-    """Spec-procedure generic-region encoder, GBTEMPLATE 0."""
+def encode_generic(bitmap: np.ndarray, template: int = 0,
+                   at: list[tuple[int, int]] | None = None,
+                   tpgdon: bool = False) -> bytes:
+    """Spec-procedure generic-region encoder, GBTEMPLATEs 0-3."""
     h, w = bitmap.shape
-    pos = J.template0_positions(at or J._T0_NOMINAL_AT)
+    pos = J.template_positions(template, at or J._NOMINAL_AT[template])
     enc = MQEncoder()
     cx = [(0, 0)] * (1 << len(pos))
     ltp = 0
     for y in range(h):
         if tpgdon:
             want = int(y > 0 and np.array_equal(bitmap[y], bitmap[y - 1]))
-            enc.encode(cx, J._TPGD_CX_T0, want ^ ltp)
+            enc.encode(cx, J._TPGD_CX[template], want ^ ltp)
             ltp = want
             if ltp:
                 continue
@@ -120,6 +120,12 @@ def encode_generic_t0(bitmap: np.ndarray,
     return enc.flush()
 
 
+def encode_generic_t0(bitmap: np.ndarray,
+                      at: list[tuple[int, int]] | None = None,
+                      tpgdon: bool = False) -> bytes:
+    return encode_generic(bitmap, 0, at, tpgdon)
+
+
 # --- test-side embedded segment writer --------------------------------------
 
 
@@ -129,9 +135,15 @@ def _seg(num: int, seg_type: int, body: bytes, page: int = 1) -> bytes:
             + bytes([page]) + len(body).to_bytes(4, "big") + body)
 
 
+_AT_BYTES = {0: bytes([3, 0xFF, 0xFD, 0xFF, 2, 0xFE, 0xFE, 0xFE]),
+             1: bytes([3, 0xFF]), 2: bytes([2, 0xFF]),
+             3: bytes([2, 0xFF])}
+
+
 def make_jbig2(bitmaps: list[tuple[int, int, np.ndarray]],
                page_wh: tuple[int, int] | None = None,
-               tpgdon: bool = False, mmr: bool = False) -> bytes:
+               tpgdon: bool = False, mmr: bool = False,
+               template: int = 0) -> bytes:
     """Embedded-format stream: page info + one immediate lossless
     generic region per bitmap."""
     out = b""
@@ -152,10 +164,9 @@ def make_jbig2(bitmaps: list[tuple[int, int, np.ndarray]],
             data = encode_g4(np.where(bm, 0.0, 255.0))
             body = info + bytes([1]) + data
         else:
-            gflags = 8 if tpgdon else 0
-            ats = bytes([3 & 0xFF, 0xFF, 0xFD, 0xFF, 2, 0xFE, 0xFE, 0xFE])
-            body = (info + bytes([gflags]) + ats
-                    + encode_generic_t0(bm, tpgdon=tpgdon))
+            gflags = (8 if tpgdon else 0) | (template << 1)
+            body = (info + bytes([gflags]) + _AT_BYTES[template]
+                    + encode_generic(bm, template, tpgdon=tpgdon))
         out += _seg(n, 39, body)
         n += 1
     return out
@@ -346,3 +357,38 @@ class TestPdfIntegration:
             [[("jbig2", "Jb1", b"\x00\x01\x02\x03", 24, 10)]])
         media = extract_pdf_media(pdf)
         assert media and media[0]["codec"] == "jbig2decode"
+
+
+class TestTemplates123:
+    @pytest.mark.parametrize("template", [1, 2, 3])
+    def test_round_trip(self, template):
+        bm = _rand_bitmap(np.random.RandomState(20 + template), 19, 31)
+        out = J.decode_generic(encode_generic(bm, template), 31, 19,
+                               template=template)
+        assert np.array_equal(out, bm)
+
+    @pytest.mark.parametrize("template", [1, 2, 3])
+    def test_segment_level(self, template):
+        bm = _rand_bitmap(np.random.RandomState(30 + template), 9, 13)
+        px = J.decode_jbig2(make_jbig2([(0, 0, bm)], page_wh=(13, 9),
+                                       template=template))
+        assert np.array_equal(px == 0.0, bm.astype(bool))
+
+    def test_tpgdon_template2(self):
+        bm = np.zeros((12, 17), dtype=np.uint8)
+        bm[4:9, 2:15] = 1
+        data = encode_generic(bm, 2, tpgdon=True)
+        out = J.decode_generic(data, 17, 12, template=2, tpgdon=True)
+        assert np.array_equal(out, bm)
+
+    def test_context_sizes(self):
+        assert len(J.template_positions(0, J._NOMINAL_AT[0])) == 16
+        assert len(J.template_positions(1, J._NOMINAL_AT[1])) == 13
+        assert len(J.template_positions(2, J._NOMINAL_AT[2])) == 10
+        assert len(J.template_positions(3, J._NOMINAL_AT[3])) == 10
+
+    def test_wrong_at_count_rejected(self):
+        with pytest.raises(ValueError):
+            J.template_positions(1, J._NOMINAL_AT[0])
+        with pytest.raises(ValueError):
+            J.decode_generic(b"", 5, 5, template=7)
