@@ -284,7 +284,7 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     stream = bytes(globals_data) + bytes(data)
     off = 0
     page_w = page_h = None
-    regions: list[tuple[int, int, np.ndarray]] = []
+    regions: list[tuple[int, int, np.ndarray, int]] = []
     guard = 0
     while off < len(stream):
         guard += 1
@@ -299,7 +299,7 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
             if page_h == 0xFFFFFFFF:
                 page_h = None                  # striped: size from regions
         elif seg_type in _GENERIC_TYPES:
-            w, h, x, y, _op, roff = _region_info(body, 0)
+            w, h, x, y, op, roff = _region_info(body, 0)
             gflags = _be(body, roff, 1)
             mmr = gflags & 1
             template = (gflags >> 1) & 3
@@ -325,7 +325,7 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
                 roff += 2 * n_at
                 bm = decode_generic(body[roff:], w, h, template, at,
                                     tpgdon)
-            regions.append((x, y, bm))
+            regions.append((x, y, bm, op))
         elif seg_type in _SKIP_TYPES:
             pass
         else:
@@ -334,14 +334,26 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     if not regions:
         raise ValueError("no decodable JBIG2 region")
     if page_w is None or page_h is None:
-        page_w = max(x + bm.shape[1] for x, _y, bm in regions)
-        page_h = max(y + bm.shape[0] for _x, y, bm in regions)
+        page_w = max(x + bm.shape[1] for x, _y, bm, _o in regions)
+        page_h = max(y + bm.shape[0] for _x, y, bm, _o in regions)
     if not (0 < page_w <= 1 << 14 and 0 < page_h <= 1 << 14):
         raise ValueError("bad page dimensions")
     canvas = np.zeros((page_h, page_w), dtype=np.uint8)
-    for x, y, bm in regions:
+    for x, y, bm, op in regions:
         h, w = bm.shape
         if y + h > page_h or x + w > page_w:
             raise ValueError("region outside page")
-        canvas[y:y + h, x:x + w] |= bm       # OR composition
+        tgt = canvas[y:y + h, x:x + w]
+        if op == 0:                          # OR (the default)
+            tgt |= bm
+        elif op == 1:                        # AND
+            tgt &= bm
+        elif op == 2:                        # XOR
+            tgt ^= bm
+        elif op == 3:                        # XNOR
+            tgt[...] = 1 - (tgt ^ bm)
+        elif op == 4:                        # REPLACE
+            tgt[...] = bm
+        else:
+            raise ValueError(f"combine operator {op} invalid")
     return np.where(canvas, 0.0, 255.0)

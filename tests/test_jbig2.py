@@ -392,3 +392,36 @@ class TestTemplates123:
             J.template_positions(1, J._NOMINAL_AT[0])
         with pytest.raises(ValueError):
             J.decode_generic(b"", 5, 5, template=7)
+
+
+class TestCombineOps:
+    def _two_region_stream(self, op: int) -> bytes:
+        # region A fills the page; region B overlaps with operator `op`
+        a = np.ones((6, 8), dtype=np.uint8)
+        b = np.zeros((6, 8), dtype=np.uint8)
+        b[:, :4] = 1
+        out = b""
+        body = ((8).to_bytes(4, "big") + (6).to_bytes(4, "big")
+                + bytes(8) + b"\x00" + bytes(2))
+        out += _seg(1, 48, body)
+        for n, (bm, o) in enumerate(((a, 0), (b, op)), start=2):
+            info = ((8).to_bytes(4, "big") + (6).to_bytes(4, "big")
+                    + bytes(8) + bytes([o]))
+            out += _seg(n, 39, info + bytes([0]) + _AT_BYTES[0]
+                        + encode_generic(bm))
+        return out
+
+    @pytest.mark.parametrize("op,left,right", [
+        (0, 0.0, 0.0),      # OR: stays black everywhere
+        (1, 0.0, 255.0),    # AND: only overlap stays black
+        (2, 255.0, 0.0),    # XOR: overlap flips white
+        (4, 0.0, 255.0),    # REPLACE: b wins
+    ])
+    def test_ops(self, op, left, right):
+        px = J.decode_jbig2(self._two_region_stream(op))
+        assert px[0, 0] == left      # inside b's black half
+        assert px[0, 7] == right     # outside b's black half
+
+    def test_invalid_op_raises(self):
+        with pytest.raises(ValueError):
+            J.decode_jbig2(self._two_region_stream(7))
