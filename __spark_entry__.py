@@ -162,6 +162,28 @@ def _hll_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_ndv(docs, "text")
 
 
+def _weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement
+    (operators/sampling.py): top-25 documents by u^(1/n_chars) with u
+    hash-derived — deterministic, engine-agnostic, TakeOrdered-shaped
+    (O(k) state per task, no global sort)."""
+    from pdf_extraction_tests_spark.operators.sampling import (
+        sample_weighted)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sample_weighted(docs.select("doc_id", "n_chars"),
+                           "cast(doc_id as string)", "n_chars", 25)
+
+
+def _weighted_sample_oracle() -> str:
+    from pdf_extraction_tests_spark.operators.sampling import (
+        sample_weighted_sql)
+
+    return sample_weighted_sql(
+        "(SELECT doc_id, n_chars FROM documents) t",
+        "doc_id::VARCHAR", "n_chars", 25)
+
+
 _BLOOM_M_BITS = 1 << 14     # deliberately small so the FP regime is live
 
 
@@ -216,6 +238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so it displaces nothing green; pytest + the verify drive check it.
     out["q95_hll_ndv"] = _hll_ndv
     out["q96_bloom_prefilter"] = _bloom_prefilter
+    out["q97_weighted_sample"] = _weighted_sample
     out["q92_dual_extractor_agreement"] = _dual_extractor_agreement
     out["q91_extract_spans"] = _extract_spans
     return out
@@ -238,4 +261,5 @@ def oracle_sql() -> dict[str, str]:
     out["q94_asof_enrich"] = _ASOF_ORACLE.strip()
     out["q95_hll_ndv"] = hll_ndv_sql("documents", "text").strip()
     out["q96_bloom_prefilter"] = _bloom_oracle().strip()
+    out["q97_weighted_sample"] = _weighted_sample_oracle().strip()
     return out

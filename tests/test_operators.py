@@ -812,3 +812,57 @@ class TestBloomPrefilter:
             m = _re.search(r"Exchange hashpartitioning\((\w+)", line)
             if m:
                 assert m.group(1).startswith("word"), line
+
+
+class TestWeightedSample:
+    """E-S weighted sampling (operators/sampling.py): determinism,
+    weight sensitivity across salts, TakeOrdered plan shape.  Exact
+    cross-engine equality is covered by the q97 oracle in
+    tests/test_queries.py's extras loop."""
+
+    def _df(self, spark):
+        from pyspark.sql import functions as F
+        # ids 0..399; weight 100 for ids < 40, weight 1 otherwise
+        return spark.range(400).select(
+            F.col("id"),
+            F.when(F.col("id") < 40, 100).otherwise(1).alias("w"))
+
+    def test_deterministic_and_partition_invariant(self, spark):
+        from pdf_extraction_tests_spark.operators.sampling import (
+            sample_weighted)
+        df = self._df(spark)
+        a = sample_weighted(df, "cast(id as string)", "w", 10).collect()
+        b = sample_weighted(df.repartition(32), "cast(id as string)",
+                            "w", 10).collect()
+        assert a == b and len(a) == 10
+
+    def test_heavy_weights_overrepresented(self, spark):
+        from pdf_extraction_tests_spark.operators.sampling import (
+            sample_weighted)
+        df = self._df(spark)
+        heavy = 0
+        for s in range(8):        # 8 independent samples via salts
+            rows = sample_weighted(df, "cast(id as string)", "w", 10,
+                                   salt=f"s{s}").collect()
+            heavy += sum(1 for r in rows if r.id < 40)
+        # heavy ids are 10% of rows but carry ~92% of total weight;
+        # expect far more than the unweighted 8 of 80
+        assert heavy > 40, heavy
+
+    def test_nonpositive_weights_excluded(self, spark):
+        from pyspark.sql import functions as F
+        from pdf_extraction_tests_spark.operators.sampling import (
+            sample_weighted)
+        df = self._df(spark).withColumn(
+            "w", F.when(F.col("id") % 2 == 0, -1).otherwise(F.col("w")))
+        rows = sample_weighted(df, "cast(id as string)", "w", 400).collect()
+        assert all(r.id % 2 == 1 for r in rows)
+
+    def test_plan_is_take_ordered(self, spark):
+        from pdf_extraction_tests_spark.operators.sampling import (
+            sample_weighted)
+        from pdf_extraction_tests_spark.plans.audit import formatted_plan
+        plan = formatted_plan(
+            sample_weighted(self._df(spark), "cast(id as string)", "w", 10))
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "Exchange rangepartitioning" not in plan, plan

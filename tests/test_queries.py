@@ -103,7 +103,8 @@ def test_entry_registers_oracled_q94_inside_driver_cap():
     # nothing green), then the rows-only q92/q91
     assert names[n_reg + 1] == "q95_hll_ndv"
     assert names[n_reg + 2] == "q96_bloom_prefilter"
-    assert len(names) <= n_reg + 5
+    assert names[n_reg + 3] == "q97_weighted_sample"
+    assert len(names) <= n_reg + 6
 
 
 @pytest.mark.parametrize(
