@@ -225,10 +225,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round-3 verdict item 1), so the ORACLED q94 registers immediately
     # after the 49 REGISTRY queries (q49 joined in round 4), filling the
     # 50-cap exactly — an oracled record (rows+schema+hash) beats any
-    # rows-only one.  Beyond the cap: oracled q95/q96 (51st/52nd), then
-    # the rows-only q92 (53rd) and q91 (54th); under the 50-cap all four
-    # drop (CORRECTNESS_r04 ends at q94) — their content is pinned by
-    # pytest (extras loop + oracles) and golden fixtures either way.  q90/q93
+    # rows-only one.  Beyond the cap: oracled q95/q96/q97 (51st-53rd),
+    # then the rows-only q92 (54th) and q91 (55th); under the 50-cap all
+    # five drop (CORRECTNESS_r04 ends at q94) — their content is pinned
+    # by pytest (extras loop + oracles) and golden fixtures.  q90/q93
     # moved to extra_queries(): q90 duplicates entry()'s own output shape,
     # q93 is pytest-pinned (TestDebugBoundaries); both still run under
     # pytest via the extras loop in tests/test_queries.py.

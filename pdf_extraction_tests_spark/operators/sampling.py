@@ -37,7 +37,7 @@ def sample_weighted(df: DataFrame, id_expr: str, weight_col: str, k: int,
     """Top-``k`` rows by E-S key -> the weighted sample, with the key as
     ``sample_key`` (rounded 6dp for cross-engine comparison).  Ties
     break on the id expression, so the result is total-ordered."""
-    key = es_key(id_expr, F.col(weight_col))
+    key = es_key(id_expr, F.col(weight_col), salt)
     return (
         df.where(F.col(weight_col) > 0)
         .withColumn("sample_key", key)

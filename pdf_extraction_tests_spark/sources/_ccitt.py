@@ -249,9 +249,13 @@ def decode_g4(data: bytes, columns: int, rows: int | None = None,
     """G4 (T.6 MMR) entropy stream -> (h, columns) float array with black=0,
     white=255.  Stops at EOFB, stream exhaustion, or ``rows``.
     ``byte_align``: /EncodedByteAlign — each coded line starts on a byte
-    boundary.  Raises ValueError on malformed input."""
+    boundary.  Raises ValueError on malformed input (including a hostile
+    /Columns x rows product that would exhaust memory)."""
     if not 0 < columns <= 1 << 16:
         raise ValueError("bad /Columns")
+    max_rows = min(max_rows, (1 << 26) // columns)  # bound total pixels
+    if rows is not None and rows > max_rows:
+        raise ValueError("image too large")
     bits = _Bits(data)
     # reference line as CHANGING ELEMENTS: column positions where color
     # flips, terminated by two sentinels at `columns`
@@ -327,9 +331,13 @@ def decode_g3(data: bytes, columns: int, rows: int | None = None,
     white=255.  ``k`` is the /K value: 0 = pure 1-D, > 0 = mixed
     (a tag bit after each EOL picks 1-D or 2-D for the line).  Leading
     EOL optional (PDF encoders commonly omit the first); two consecutive
-    EOLs terminate.  Raises ValueError on malformed input."""
+    EOLs terminate.  Raises ValueError on malformed input (including a
+    hostile /Columns x rows product that would exhaust memory)."""
     if not 0 < columns <= 1 << 16:
         raise ValueError("bad /Columns")
+    max_rows = min(max_rows, (1 << 26) // columns)  # bound total pixels
+    if rows is not None and rows > max_rows:
+        raise ValueError("image too large")
     if k < 0:
         raise ValueError("decode_g3 requires /K >= 0")
     bits = _Bits(data)

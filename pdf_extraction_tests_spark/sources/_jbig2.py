@@ -20,7 +20,12 @@ module decodes the subset a generic-region encoder emits:
 Out of scope -> ValueError (the caller keeps an honest labeled
 placeholder): symbol-dictionary/text/halftone/refinement segments and
 unknown-length MMR data.  Totality: any malformed input raises
-ValueError, never an ad-hoc exception.
+ValueError, never an ad-hoc exception.  Resource ceiling: regions are
+capped at 2^26 pixels (covers 600-dpi A4; larger declarations raise) —
+this bounds BOTH memory and the worst-case CPU of the per-pixel decode
+loop, since a tiny hostile stream can legally declare a huge region
+(the MQ coder feeds 1-bits at end of data, so declared size, not input
+size, is the work bound).  Applies to the MMR branch too.
 
 The Qe state table is a transcribed constant; tests bound the risk
 structurally (cardinality, probability monotonicity spot checks, pinned
@@ -300,6 +305,11 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
                 page_h = None                  # striped: size from regions
         elif seg_type in _GENERIC_TYPES:
             w, h, x, y, op, roff = _region_info(body, 0)
+            # same bounds for BOTH coders (the MMR path must not bypass
+            # the area guard decode_generic applies)
+            if not (0 < w <= 1 << 14 and 0 < h <= 1 << 14) \
+                    or w * h > 1 << 26:
+                raise ValueError("bad generic region dimensions")
             gflags = _be(body, roff, 1)
             mmr = gflags & 1
             template = (gflags >> 1) & 3

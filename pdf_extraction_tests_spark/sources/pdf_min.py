@@ -979,6 +979,12 @@ def _codec_diff(codec: str) -> dict[int, str]:
 
 _WINANSI_DIFF = _codec_diff("cp1252")
 _MACROMAN_DIFF = _codec_diff("mac_roman")
+# Annex D MacRomanEncoding predates Apple's post-1998 codec revisions:
+# 0xDB is /currency (not the euro Python's mac_roman maps), and 0xF0
+# (Apple logo, U+F8FF private use) is unassigned — keep the latin-1
+# fallback there like any other undefined code.
+_MACROMAN_DIFF[0xDB] = "¤"
+_MACROMAN_DIFF.pop(0xF0, None)
 # Annex D.2 StandardEncoding codes whose meaning differs from latin-1
 # (codes the table leaves unused keep the latin-1 fallback):
 _STDENC_DIFF = {
@@ -1120,6 +1126,11 @@ def _simple_encoding(fhead: bytes,
     bm = _BASEENC_RE.search(body)
     if bm:
         out.update(_BASE_ENCODINGS.get(bm.group(1)) or {})
+    elif b"<<" not in body:
+        # an indirect /Encoding object may be a BARE base-encoding name
+        nm = re.search(rb"/([A-Za-z]+)\b", body)
+        if nm:
+            out.update(_BASE_ENCODINGS.get(nm.group(1)) or {})
     dm2 = _DIFF_RE.search(body)
     if dm2:
         code = -1

@@ -477,3 +477,18 @@ class TestG3PdfIntegration:
             [[("g3", "Fx1", b"\xff\x07\x55\xaa", 24, 10)]])
         media = extract_pdf_media(pdf)
         assert media and media[0]["codec"] == "ccitt"
+
+
+class TestResourceCeilings:
+    def test_hostile_area_rejected_fast(self):
+        # 65535 x 65535 would be 32 GB of lines; must raise, not OOM
+        with pytest.raises(ValueError):
+            C.decode_g3(b"\x00" * 64, 65535, rows=65535)
+        with pytest.raises(ValueError):
+            C.decode_g4(b"\x00" * 64, 65535, rows=65535)
+
+    def test_unbounded_decode_hits_pixel_cap(self):
+        # all-ones bytes are valid V0 G4 rows: without `rows`, the
+        # 2^26-pixel ceiling must stop a wide stream with ValueError
+        with pytest.raises(ValueError):
+            C.decode_g4(b"\xff" * 40000, 60000)

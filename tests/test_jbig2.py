@@ -425,3 +425,20 @@ class TestCombineOps:
     def test_invalid_op_raises(self):
         with pytest.raises(ValueError):
             J.decode_jbig2(self._two_region_stream(7))
+
+
+class TestResourceCeilings:
+    def test_mmr_region_huge_dims_rejected(self):
+        # the MMR branch must hit the same area guard as the MQ branch
+        info = ((65535).to_bytes(4, "big") + (65535).to_bytes(4, "big")
+                + bytes(8) + b"\x00")
+        seg = _seg(1, 39, info + bytes([1]) + b"\xff" * 64)
+        with pytest.raises(ValueError):
+            J.decode_jbig2(seg)
+
+    def test_mq_region_huge_dims_rejected(self):
+        info = ((16384).to_bytes(4, "big") + (16384).to_bytes(4, "big")
+                + bytes(8) + b"\x00")
+        seg = _seg(1, 39, info + bytes([0]) + _AT_BYTES[0] + b"\x00" * 8)
+        with pytest.raises(ValueError):
+            J.decode_jbig2(seg)

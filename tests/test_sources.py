@@ -949,11 +949,13 @@ class TestRc4Encryption:
         id0 = bytes(range(16))
         p = -44
 
-        # /O from the owner password (default empty)
+        # /O from the owner password (default empty); Algorithm 3(c)
+        # iterates over the FIRST nbytes of each digest (matches the
+        # decoder — full-digest iteration diverges for keybits < 128)
         h = hashlib.md5(pad(owner_pw)).digest()
         if r >= 3:
             for _ in range(50):
-                h = hashlib.md5(h).digest()
+                h = hashlib.md5(h[:nbytes]).digest()
         okey = h[:nbytes]
         o = _rc4(okey, pad(user_pw))
         if r >= 3:
@@ -1550,3 +1552,31 @@ class TestOwnerPasswordDecryption:
         ):
             spans = bytes_to_spans(data, password=b"NEITHER")
             assert [s["text"] for s in spans] == ["UNSUPPORTED_BINARY"]
+
+
+class TestEncodingAnnexDFidelity:
+    def test_macroman_0xdb_is_currency_not_euro(self):
+        # Annex D MacRomanEncoding predates Apple's euro revision
+        pdf = write_minimal_pdf([[("text", 72, 100, 12, "x\xdb\xf0")]],
+                                font_encoding=b"/MacRomanEncoding")
+        assert extract_pdf_text(pdf)[0]["text"] == "x\xa4\xf0"
+
+    def test_indirect_encoding_bare_name(self):
+        # '/Encoding 9 0 R' where object 9 is just '/WinAnsiEncoding'
+        from pdf_extraction_tests_spark.sources.pdf_min import (
+            _simple_encoding)
+        fhead = b"<< /Type /Font /Subtype /Type1 /Encoding 9 0 R >>"
+        enc = _simple_encoding(fhead, {9: b"/WinAnsiEncoding"})
+        assert enc and enc[0x93] == "“"
+
+    def test_salted_weighted_samples_differ(self, spark):
+        # the salt must reach the Spark-side key (review fix): different
+        # salts give different samples
+        from pdf_extraction_tests_spark.operators.sampling import (
+            sample_weighted)
+        df = spark.range(200).selectExpr("id", "1 as w")
+        a = [r.id for r in sample_weighted(df, "cast(id as string)",
+                                           "w", 10, salt="a").collect()]
+        b = [r.id for r in sample_weighted(df, "cast(id as string)",
+                                           "w", 10, salt="b").collect()]
+        assert a != b
