@@ -45,8 +45,9 @@ class ConcurrentCommitError(RuntimeError):
 
 
 class SchemaEvolutionError(ValueError):
-    """Append schema is incompatible with the table (type change or
-    dropped column) — only ADDITIVE evolution is supported."""
+    """Append schema is incompatible with the table (type change) — only
+    ADDITIVE evolution is supported.  Columns MISSING from an append are
+    not an error: they keep their table slot and read NULL."""
 
 
 # ---------------------------------------------------------------------------
@@ -113,7 +114,9 @@ def _eq_filter(t: dict, value):
 
 def _evolved_schema(parent: dict, new: dict) -> dict:
     """ADDITIVE schema union: parent field order, new-only fields appended
-    as nullable.  Type change or column drop -> SchemaEvolutionError."""
+    as nullable.  Type change -> SchemaEvolutionError; a column missing
+    from the append keeps its parent slot and reads NULL for new rows
+    (pinned by test_missing_column_on_append_is_nulled)."""
     new_by_name = {f["name"]: f for f in new["fields"]}
     fields = []
     for f in parent["fields"]:
@@ -194,8 +197,9 @@ def commit_snapshot(df: DataFrame, table_dir: str, mode: str = "append",
     :func:`read_snapshot`'s ``eq`` filters prune by them).
 
     Schema evolution is ADDITIVE on append: new columns join the table
-    schema as nullable (old data reads NULL for them); a type change or
-    drop raises :class:`SchemaEvolutionError`.
+    schema as nullable (old data reads NULL for them); columns missing
+    from the append keep their slot and read NULL for the new rows; a
+    type change raises :class:`SchemaEvolutionError`.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode {mode!r}")
@@ -207,14 +211,19 @@ def commit_snapshot(df: DataFrame, table_dir: str, mode: str = "append",
 
     parent_m = _load_manifest(table_dir, parent_v) if parent_v else None
     spec = [_parse_transform(s) for s in (partition_by or [])]
-    if mode == "append" and parent_m and parent_m.get("partition_by"):
+    if mode == "append" and parent_m:
+        parent_spec = parent_m.get("partition_by", [])
         if partition_by is None:  # inherit the table's layout
-            spec = [_parse_transform(s) for s in parent_m["partition_by"]]
-            partition_by = parent_m["partition_by"]
-        elif list(partition_by) != parent_m["partition_by"]:
+            spec = [_parse_transform(s) for s in parent_spec]
+            partition_by = parent_spec
+        elif list(partition_by) != parent_spec:
+            # an EMPTY parent spec is a spec too: appending partitioned
+            # data onto an unpartitioned table would leave old data dirs
+            # without the hidden column, and read_snapshot(eq=...) would
+            # then silently drop matching pre-transform rows (NULL != v).
             raise ValueError(
                 f"append partition spec {list(partition_by)} != table's "
-                f"{parent_m['partition_by']}")
+                f"{parent_spec}")
 
     out = df
     hidden = [t["hidden"] for t in spec if t["kind"] != "identity"]

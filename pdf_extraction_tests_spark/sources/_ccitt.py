@@ -144,6 +144,22 @@ class _Bits:
     def skip(self, k: int) -> None:
         self.pos += k
 
+    def zeros_ahead(self) -> int:
+        """Count consecutive 0-bits from the current position (O(bytes),
+        not O(bits²) — T.4 fill runs are unbounded)."""
+        d, p, n = self.data, self.pos, self.n
+        count = 0
+        while p + count < n:
+            q = p + count
+            byte = d[q >> 3]
+            if byte == 0 and (q & 7) == 0 and q + 8 <= n:
+                count += 8
+                continue
+            if (byte >> (7 - (q & 7))) & 1:
+                return count
+            count += 1
+        return count
+
 
 def _read_run(bits: _Bits, white: bool) -> int:
     """One complete MH run length: makeup codes accumulate until a
@@ -293,15 +309,18 @@ _EOL = "000000000001"
 
 
 def _try_eol(bits: _Bits) -> bool:
-    """Consume one fill+EOL sequence if (and only if) it is next."""
-    window = bits.peek(64)
-    one = window.find("1")
-    if one < 0:
+    """Consume one fill+EOL sequence if (and only if) it is next.
+
+    T.4 fill before an EOL is UNBOUNDED zeros, so the zero run is scanned
+    to its actual end (round-5 advice: a fixed 64-bit peek mis-read an
+    EOL behind >63 fill bits as trailing fill)."""
+    zeros = bits.zeros_ahead()
+    if bits.pos + zeros >= bits.n:
         # all zeros to exhaustion: swallow as trailing fill
-        bits.skip(len(window))
+        bits.skip(zeros)
         return False
-    if one >= 11:
-        bits.skip(one + 1)
+    if zeros >= 11:
+        bits.skip(zeros + 1)
         return True
     return False
 

@@ -10,8 +10,9 @@ module decodes the subset a generic-region encoder emits:
   with 0xFF-stuffing and end-of-stream 1-feeding,
 * generic region decoding, GBTEMPLATEs 0-3 with arbitrary causal AT
   pixels and TPGDON typical-prediction rows (context layout per the
-  spec's neighborhood figures: positions sorted by (y, x), MSB first;
-  SLTP contexts 0x9B25/0x0795/0x00E5/0x0195),
+  spec's neighborhood figures: NOMINAL positions sorted by (y, x), MSB
+  first, with the actual AT coordinates injected at their fixed nominal
+  slots; SLTP contexts 0x9B25/0x0795/0x00E5/0x0195),
 * MMR-coded generic regions (T.6 payload — reuses ``_ccitt.decode_g4``),
 * the embedded segment layer (T.88 §7.2): headers, page info, immediate
   generic regions, end-of-page/stripe/file; regions composed onto the
@@ -163,21 +164,30 @@ _TPGD_CX_T0 = _TPGD_CX[0]
 
 def template_positions(template: int,
                        at: list[tuple[int, int]]) -> list[tuple[int, int]]:
-    """Full neighborhood in context-bit order: sorted by (row, column),
-    MSB first — the spec figure's left-to-right, top-to-bottom reading
-    of the template."""
+    """Full neighborhood in context-bit order, MSB first.
+
+    T.88 assigns each AT pixel a FIXED context-bit slot — the slot its
+    NOMINAL position occupies in the template figure's left-to-right,
+    top-to-bottom reading — independent of where the AT pixel actually
+    points (round-5 advice: sorting by the *actual* coordinates moved
+    the AT bits for non-nominal AT, decoding real-world streams to
+    garbage).  So the slot order is computed from the nominal template
+    and the actual AT coordinates are injected at those slots; for
+    nominal AT the two orderings coincide."""
     fixed = _TEMPLATE_FIXED.get(template)
     if fixed is None:
         raise ValueError(f"GBTEMPLATE {template} unsupported")
-    if len(at) != len(_NOMINAL_AT[template]):
+    nominal = _NOMINAL_AT[template]
+    if len(at) != len(nominal):
         raise ValueError(
-            f"template {template} needs {len(_NOMINAL_AT[template])} "
-            f"AT pixels")
-    pos = fixed + list(at)
+            f"template {template} needs {len(nominal)} AT pixels")
     for dx, dy in at:
         if dy > 0 or (dy == 0 and dx >= 0):
             raise ValueError("AT pixel not strictly causal")
-    return sorted(pos, key=lambda p: (p[1], p[0]))
+    slots = [(p, None) for p in fixed] + \
+            [(nom, idx) for idx, nom in enumerate(nominal)]
+    slots.sort(key=lambda s: (s[0][1], s[0][0]))
+    return [tuple(at[idx]) if idx is not None else p for p, idx in slots]
 
 
 def template0_positions(at: list[tuple[int, int]]) -> list[tuple[int, int]]:

@@ -411,6 +411,36 @@ class TestG3RoundTrip:
         img = np.zeros((2, 9))     # lines start black
         assert np.array_equal(_g3_round_trip(img), img)
 
+    def test_long_fill_before_eol(self):
+        # T.4 fill is unbounded zeros before an EOL; >63 of them used to
+        # defeat the fixed 64-bit peek (round-5 advice item)
+        rng = np.random.RandomState(14)
+        img = np.where(rng.rand(4, 31) > 0.5, 255.0, 0.0)
+        for fill in (70, 100, 300):
+            w = _BitWriter()
+            for y in range(img.shape[0]):
+                w.put("0" * fill)
+                w.put("000000000001")
+                _encode_1d_line(w, img[y])
+            w.put("0" * fill + "000000000001")
+            w.put("0" * fill + "000000000001")   # RTC
+            out = C.decode_g3(w.tobytes(), 31, rows=4)
+            assert np.array_equal(out, img)
+
+    def test_long_fill_mixed_mode_k4(self):
+        rng = np.random.RandomState(15)
+        img = np.where(rng.rand(3, 24) > 0.5, 255.0, 0.0)
+        w = _BitWriter()
+        ref = [24, 24]
+        for y in range(img.shape[0]):
+            w.put("0" * 90)
+            w.put("000000000001")
+            w.put("1")                            # tag: 1-D
+            _encode_1d_line(w, img[y])
+            ref = [*_changes(img[y]), 24, 24]
+        out = C.decode_g3(w.tobytes(), 24, rows=3, k=4)
+        assert np.array_equal(out, img)
+
 
 class TestG3Hostile:
     def test_truncated_raises(self):

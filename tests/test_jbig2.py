@@ -257,6 +257,29 @@ class TestGenericRegion:
         with pytest.raises(ValueError):
             J.decode_generic_t0(b"\x00", 0, 5)
 
+    def test_at_slots_are_fixed(self):
+        # T.88 gives each AT pixel a fixed context-bit slot (its nominal
+        # position in the figure's reading order) regardless of where it
+        # actually points (round-5 advice item)
+        for template, nominal in J._NOMINAL_AT.items():
+            nom_pos = J.template_positions(template, nominal)
+            slots = [nom_pos.index(a) for a in nominal]
+            moved = [(dx - 1, dy - 1) for dx, dy in nominal]  # non-nominal
+            got = J.template_positions(template, moved)
+            for slot, actual in zip(slots, moved):
+                assert got[slot] == actual
+            # every non-AT slot is untouched
+            for i, p in enumerate(nom_pos):
+                if i not in slots:
+                    assert got[i] == p
+
+    def test_non_nominal_at_round_trip(self):
+        bm = _rand_bitmap(np.random.RandomState(6), 19, 27)
+        at = [(1, -1), (-2, -1), (1, -2), (-1, -2)]
+        out = J.decode_generic_t0(encode_generic_t0(bm, at=at), 27, 19,
+                                  at=at)
+        assert np.array_equal(out, bm)
+
 
 # --- embedded segment layer ---------------------------------------------------
 

@@ -258,6 +258,25 @@ class TestPartitionTransforms:
             S.commit_snapshot(_df(spark, [4]), t,
                               partition_by=["bucket(8, doc_id)"])
 
+    def test_append_partitioned_onto_unpartitioned_rejected(self, spark,
+                                                            tmp_path):
+        # an EMPTY parent spec is a spec: silently accepting a partitioned
+        # append would leave v1's data dirs without the hidden column and
+        # read_snapshot(eq=...) would drop matching pre-transform rows
+        t = str(tmp_path / "tbl")
+        S.commit_snapshot(_df(spark, [1, 2]), t)  # unpartitioned
+        with pytest.raises(ValueError, match="partition spec"):
+            S.commit_snapshot(_df(spark, [3]), t,
+                              partition_by=["bucket(4, doc_id)"])
+        # identity specs conflict the same way
+        with pytest.raises(ValueError, match="partition spec"):
+            S.commit_snapshot(_df(spark, [3]), t, partition_by=["doc_id"])
+        # overwrite may still re-layout the table
+        S.commit_snapshot(_df(spark, [5]), t, mode="overwrite",
+                          partition_by=["bucket(4, doc_id)"])
+        assert [r.doc_id for r in
+                S.read_snapshot(spark, t).collect()] == [5]
+
     def test_bucket_function_is_engine_hash(self, spark):
         # python-side bucket == the engine-wide 48-bit md5 hash mod n
         import hashlib
