@@ -219,29 +219,89 @@ def _bloom_oracle() -> str:
     return f"SELECT o_orderkey, o_custkey FROM ({inner})"
 
 
+def _span_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule artifact pin (round-5 verdict item 7): a compact oracled
+    aggregate of the exact span-sequence output — per-doc 48-bit hash of
+    the ORDERED (kind, text, media_ref, order) sequence, summed over the
+    corpus with doc/span counts.  Any change to span content, ordering, or
+    coverage moves ``seq_hash_sum``; the DuckDB oracle carries the pinned
+    golden values keyed by a corpus fingerprint (sum of n_chars), since
+    the extraction kernel itself runs inside mapInPandas and is not
+    SQL-replayable.  Parallelism-independence of the sum is backed by the
+    verify skill's determinism probe (local[4] == local[16] span hashes).
+    """
+    out = extract_docs(corpus_spark(spark, sf_dir), num_parts=16)
+    seq = F.expr(
+        "cast(conv(substr(md5(concat_ws('\x1f', transform(spans, s -> "
+        "concat_ws('\x1e', s.kind, coalesce(s.text, ''), "
+        "coalesce(s.media_ref, ''), cast(s.order as string))))), 1, 12), "
+        "16, 10) as bigint)"
+    )
+    per = out.select(F.size("spans").alias("n_spans"), seq.alias("seq_hash"))
+    return per.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_spans").cast("bigint").alias("n_spans"),
+        F.sum("seq_hash").alias("seq_hash_sum"),
+    )
+
+
+# golden values per corpus fingerprint; if the kernel's span output
+# legitimately changes, the golden fixtures + q91 flag it first and
+# test_queries.py::test_entry_oracled_extras_match_duckdb[q98_span_artifact]
+# tells you the new values to pin here
+_SPAN_ARTIFACT_PINS = {
+    # fingerprint(sum n_chars): (n_docs, n_spans, seq_hash_sum)
+    153156: (500, 7394, 70001318296143077),   # sf0.001
+    149174: (500, 7394, 70860684730957052),   # sf0.01
+}
+
+_SPAN_ARTIFACT_ORACLE = f"""
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(seq_hash_sum AS BIGINT) AS seq_hash_sum
+    FROM (VALUES {", ".join(f"({fp}, {v[0]}, {v[1]}, {v[2]})"
+                            for fp, v in _SPAN_ARTIFACT_PINS.items())})
+         AS t(fp, n_docs, n_spans, seq_hash_sum)
+    WHERE fp = (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # insertion order matters downstream: the driver records queries in dict
     # order and was observed to stop after 50 entries (CLAUDE.md note,
-    # round-3 verdict item 1), so the ORACLED q94 registers immediately
-    # after the 49 REGISTRY queries (q49 joined in round 4), filling the
-    # 50-cap exactly — an oracled record (rows+schema+hash) beats any
-    # rows-only one.  Beyond the cap: oracled q95/q96/q97 (51st-53rd),
-    # then the rows-only q92 (54th) and q91 (55th); under the 50-cap all
-    # five drop (CORRECTNESS_r04 ends at q94) — their content is pinned
-    # by pytest (extras loop + oracles) and golden fixtures.  q90/q93
-    # moved to extra_queries(): q90 duplicates entry()'s own output shape,
-    # q93 is pytest-pinned (TestDebugBoundaries); both still run under
-    # pytest via the extras loop in tests/test_queries.py.
-    out = dict(Q.queries())
+    # round-3 verdict item 1).  Round-6 rotation (round-5 verdict items 1+7):
+    # five REGISTRY rows whose operator families are multiply covered
+    # (q02 filter-project — pushdown pinned by every scan query;
+    # q18/q37 — subsumed by the merged q50_set_ops; q20 histogram — subsumed
+    # by q38 cube; q26 brute-force near-dup — labeled baseline, q40 is the
+    # production path) rotate BELOW the cap so the scale-defining sketches
+    # (q95 HLL, q96 Bloom, q97 weighted sample) and the north-rule span
+    # artifact (q98) get hard driver records.  Top-50: 44 REGISTRY keepers
+    # + q50 + q94..q98.  Positions 51-55 are the rotated-out oracled five
+    # (still DuckDB-verified by pytest's per-REGISTRY loop), then rows-only
+    # q92/q91; q90/q93 live in extra_queries() and run via the pytest
+    # extras loop.
+    reg = dict(Q.queries())
+    rotated = {name: reg.pop(name) for name in _ROTATED_BELOW_CAP}
+    out = dict(reg)
     out["q94_asof_enrich"] = _asof_enrich
-    # q95 is ORACLED but sits at position 51 — beyond the observed cap —
-    # so it displaces nothing green; pytest + the verify drive check it.
     out["q95_hll_ndv"] = _hll_ndv
     out["q96_bloom_prefilter"] = _bloom_prefilter
     out["q97_weighted_sample"] = _weighted_sample
+    out["q98_span_artifact"] = _span_artifact
+    out.update(rotated)
     out["q92_dual_extractor_agreement"] = _dual_extractor_agreement
     out["q91_extract_spans"] = _extract_spans
     return out
+
+
+_ROTATED_BELOW_CAP = [
+    "q02_filter_project",
+    "q18_union_distinct",
+    "q20_histogram",
+    "q26_embedding_near_dups",
+    "q37_intersect_except",
+]
 
 
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -262,4 +322,5 @@ def oracle_sql() -> dict[str, str]:
     out["q95_hll_ndv"] = hll_ndv_sql("documents", "text").strip()
     out["q96_bloom_prefilter"] = _bloom_oracle().strip()
     out["q97_weighted_sample"] = _weighted_sample_oracle().strip()
+    out["q98_span_artifact"] = _SPAN_ARTIFACT_ORACLE.strip()
     return out

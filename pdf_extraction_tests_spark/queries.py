@@ -1374,6 +1374,43 @@ def q49(spark, sf_dir):
     return sequence_pack(load(spark, sf_dir, "documents"))
 
 
+@query(
+    "q50_set_ops",
+    """
+    SELECT 'cust' AS side, count(*) AS n FROM (
+      SELECT DISTINCT c_nationkey AS k FROM customer)
+    UNION ALL
+    SELECT 'supp' AS side, count(*) AS n FROM (
+      SELECT DISTINCT s_nationkey AS k FROM supplier)
+    UNION ALL
+    SELECT 'both' AS side, count(*) AS n FROM (
+      SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'cust_only' AS side, count(*) AS n FROM (
+      SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+    """,
+)
+def q50(spark, sf_dir):
+    """Set-operations family in one driver row (round-5 verdict item 1):
+    vertical union + distinct (J1, bind_rows v10.R:195) alongside
+    intersect and except (§2.7) over the same key domain.  Subsumes the
+    q18/q37 coverage so those rotate below the driver's 50-entry cap;
+    both remain registered and pytest-oracled."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+
+    def side(df, label):
+        return df.agg(F.count("*").alias("n")).select(
+            F.lit(label).alias("side"), "n")
+
+    return (
+        side(c.distinct(), "cust")
+        .unionByName(side(s.distinct(), "supp"))
+        .unionByName(side(c.intersect(s), "both"))
+        .unionByName(side(c.subtract(s), "cust_only"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

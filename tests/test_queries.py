@@ -92,19 +92,25 @@ _ENTRY_ORACLES = {
 }
 
 
-def test_entry_registers_oracled_q94_inside_driver_cap():
-    """The oracled q94 must sit immediately after the REGISTRY queries in
-    driver registration order (the driver records at most ~50 entries)."""
+def test_entry_driver_cap_rotation():
+    """Round-6 rotation: the driver records at most ~50 entries in dict
+    order, so the top 50 must be exactly the 45 REGISTRY keepers plus the
+    oracled q94-q98 (asof, HLL, Bloom, weighted sample, span artifact);
+    the five rotated-out REGISTRY rows follow at 51-55 (still oracled,
+    covered by the per-REGISTRY loop above), then rows-only q92/q91."""
     names = list(_ENTRY.queries())
-    n_reg = len(_REGISTRY_NAMES)
-    assert names[:n_reg] == [s.name for s in REGISTRY]
-    assert names[n_reg] == "q94_asof_enrich"
-    # beyond the cap: oracled q95/q96 first (positions 51/52 — displace
-    # nothing green), then the rows-only q92/q91
-    assert names[n_reg + 1] == "q95_hll_ndv"
-    assert names[n_reg + 2] == "q96_bloom_prefilter"
-    assert names[n_reg + 3] == "q97_weighted_sample"
-    assert len(names) <= n_reg + 6
+    oracles = _ENTRY.oracle_sql()
+    rotated = set(_ENTRY._ROTATED_BELOW_CAP)
+    keepers = [s.name for s in REGISTRY if s.name not in rotated]
+    expected_top = keepers + [
+        "q94_asof_enrich", "q95_hll_ndv", "q96_bloom_prefilter",
+        "q97_weighted_sample", "q98_span_artifact",
+    ]
+    assert len(expected_top) == 50
+    assert names[:50] == expected_top
+    assert all(n in oracles for n in names[:50])  # 50/50 oracled
+    assert set(names[50:55]) == rotated
+    assert names[55:] == ["q92_dual_extractor_agreement", "q91_extract_spans"]
 
 
 @pytest.mark.parametrize(
