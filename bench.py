@@ -417,6 +417,46 @@ def _latest_bench_record() -> tuple[str, dict] | None:
     return None
 
 
+def best_bench_times(records: list[dict], steal_gate: float = 5.0) -> dict:
+    """Best-ever per-query time across prior rounds (round-5 verdict item
+    8): the single-round gate lets a slow drift creep under its 1.5x
+    threshold round by round, so the trend gate compares against the
+    per-query MINIMUM over every calm prior record.  Records taken under
+    steal above ``steal_gate`` are skipped (their times are expected-slow
+    and would never be the min anyway — but a contended record with a
+    freak-fast query must not set an unreachable bar either way).  Pure
+    function over parsed records, unit-tested in test_bench_gate."""
+    best: dict[str, float] = {}
+    for rec in records:
+        steal = rec.get("host_steal_pct")
+        if steal is not None and steal > steal_gate:
+            continue
+        for name, sec in (rec.get("queries") or {}).items():
+            if isinstance(sec, (int, float)) and sec > 0:
+                best[name] = min(best.get(name, float("inf")), sec)
+    return best
+
+
+def _all_bench_records() -> list[dict]:
+    """Every parseable BENCH_r*.json body, oldest first."""
+    import glob
+    import re as _re
+
+    paths = sorted(
+        glob.glob(os.path.join(REPO, "BENCH_r*.json")),
+        key=lambda p: int(_re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    out = []
+    for p in paths:
+        try:
+            with open(p) as f:
+                rec = json.load(f)
+            out.append(rec.get("parsed", rec))
+        except (OSError, ValueError, AttributeError):
+            continue
+    return out
+
+
 def _latest_bench_tag() -> str | None:
     """Most recent bench-r* tag — the previous round's recorded kernel."""
     res = subprocess.run(
@@ -522,6 +562,11 @@ def main() -> None:
         result["regressions"] = regression_flags(per_query, base_q)
         if headline_steal > gate:
             result["regressions_unreliable"] = True
+    # trend gate vs the BEST-EVER calm per-query time across all rounds —
+    # catches multi-round drifts too slow for the single-round threshold
+    best = best_bench_times(_all_bench_records(), steal_gate=gate)
+    if best:
+        result["regressions_vs_best"] = regression_flags(per_query, best)
     if scaling is not None:
         # the north-rule scaling evidence ships in every bench record
         result["scaling"] = scaling

@@ -35,8 +35,59 @@ class TestRegressionFlags:
         got = bench._latest_bench_record()
         assert got is not None
         name, queries = got
-        # round 4 is the newest committed record as this test is written;
         # assert shape, not the specific round number
         assert name.startswith("BENCH_r") and name.endswith(".json")
         assert "extract_pipeline" in queries
         assert all(isinstance(v, (int, float)) for v in queries.values())
+
+
+class TestBestBenchTimes:
+    """Trend gate (round-5 verdict item 8): the vs-best baseline is the
+    per-query min across calm records only."""
+
+    def test_min_across_records(self):
+        recs = [
+            {"host_steal_pct": 0.5, "queries": {"q1": 2.0, "q2": 1.0}},
+            {"host_steal_pct": 1.0, "queries": {"q1": 1.5, "q3": 4.0}},
+        ]
+        assert bench.best_bench_times(recs) == {
+            "q1": 1.5, "q2": 1.0, "q3": 4.0}
+
+    def test_contended_records_skipped(self):
+        recs = [
+            {"host_steal_pct": 0.5, "queries": {"q1": 2.0}},
+            # freak-fast time under 24% steal must not set the bar
+            {"host_steal_pct": 24.0, "queries": {"q1": 0.1}},
+        ]
+        assert bench.best_bench_times(recs) == {"q1": 2.0}
+
+    def test_missing_steal_included(self):
+        # old records without the field predate the steal gate — include
+        recs = [{"queries": {"q1": 3.0}}]
+        assert bench.best_bench_times(recs) == {"q1": 3.0}
+
+    def test_garbage_values_ignored(self):
+        recs = [{"host_steal_pct": 0.0,
+                 "queries": {"q1": 0.0, "q2": None, "q3": "fast"}}]
+        assert bench.best_bench_times(recs) == {}
+
+    def test_drift_caught_vs_best_not_vs_prior(self):
+        """The scenario the trend gate exists for: 1.0 -> 1.3 -> 1.7 —
+        each single round is under 1.5x, the cumulative drift is not."""
+        history = [
+            {"host_steal_pct": 0.0, "queries": {"q": 1.0}},
+            {"host_steal_pct": 0.0, "queries": {"q": 1.3}},
+        ]
+        now = {"q": 1.7}
+        vs_prior = bench.regression_flags(now, history[-1]["queries"])
+        vs_best = bench.regression_flags(
+            now, bench.best_bench_times(history))
+        assert vs_prior == []
+        assert [f["query"] for f in vs_best] == ["q"]
+
+    def test_all_committed_records_parse(self):
+        recs = bench._all_bench_records()
+        assert len(recs) >= 5  # rounds 1-5 committed as of round 6
+        best = bench.best_bench_times(recs)
+        assert "extract_pipeline" in best
+        assert all(v > 0 for v in best.values())

@@ -687,6 +687,50 @@ class TestSequencePack:
         got = sequence_pack(spark.createDataFrame(pdf)).collect()
         assert [r.doc_id for r in got] == [1]
 
+    def test_auto_sub_width_bounds_totals_frame(self, spark):
+        """Round-5 verdict watch item: the prefix-sum totals frame (the
+        single-task ordered window) must stay bounded at ANY corpus
+        scale.  auto_sub_width widens the bucket with the id domain —
+        pin the invariant n_subbuckets = ceil((max_id+1)/width)
+        <= MAX_TOTALS_ROWS for ids spanning 1e3 .. 1e13 (a sparse frame
+        stands in for the scaled corpus: width depends only on max id)."""
+        import pandas as pd
+
+        from pdf_extraction_tests_spark.operators.packing import (
+            MAX_TOTALS_ROWS, auto_sub_width)
+
+        for max_id in (1_000, 4_999_999, 65_536_000, 10**13):
+            pdf = pd.DataFrame({"doc_id": [0, max_id], "text": ["a", "b"]})
+            w = auto_sub_width(spark.createDataFrame(pdf))
+            assert w >= 64
+            n_buckets = -(-(max_id + 1) // w)
+            assert n_buckets <= MAX_TOTALS_ROWS, (max_id, w, n_buckets)
+
+    def test_sub_width_invariance(self, spark):
+        """Any sub-bucket width yields identical packing (the bucket is
+        monotone in doc_id) — auto width == explicit odd width == the old
+        fixed 64."""
+        import pandas as pd
+
+        from pdf_extraction_tests_spark.operators.packing import (
+            sequence_pack)
+
+        pdf = pd.DataFrame({
+            "doc_id": range(200),
+            "text": [" ".join(["t"] * (1 + (7 * i) % 95))
+                     for i in range(200)],
+        })
+        d = spark.createDataFrame(pdf)
+
+        def run(width):
+            return sorted(
+                (r.doc_id, r.n_tokens, r.seq_id, r.seq_offset)
+                for r in sequence_pack(d, seq_len=128,
+                                       sub_width=width).collect())
+
+        auto = run(None)
+        assert auto == run(7) == run(64)
+
 
 class TestHyperLogLog:
     """HLL distinct sketch (operators/sketches.py): deterministic
