@@ -127,10 +127,10 @@ def _gray_histogram(gray: np.ndarray) -> np.ndarray:
 def _decode(content: bytes | None,
             media_type: str) -> tuple[np.ndarray | None, str | None]:
     """Feature decode -> (vector, kind): REAL pixel parse ('pixel') for
-    binary PGM ('P5'), uncompressed BMP ('BM'), and baseline JPEG
-    (FF D8 — the dominant embedded-image codec, decoded by the pure-numpy
-    ``sources._jpeg``), digest-seeded stub ('stub') otherwise, (None,
-    None) for NULL content.
+    binary PGM ('P5'), uncompressed BMP ('BM'), and JPEG — baseline AND
+    progressive (FF D8 — the dominant embedded-image codec, decoded by
+    the pure-numpy ``sources._jpeg``), digest-seeded stub ('stub')
+    otherwise, (None, None) for NULL content.
 
     The stub fallback (rather than decode_ok=False) is deliberate: an
     unknown codec is a sanctioned environment boundary, not a corrupt

@@ -1,25 +1,34 @@
-"""Pure-Python/numpy baseline JPEG (DCT) decoder — luminance plane only.
+"""Pure-Python/numpy JPEG (DCT) decoder — luminance plane only.
 
 The sandbox has no image codecs, yet DCTDecode is the dominant embedded-
 image format in real PDFs (the reference's raster path is image-shaped:
 v10.R:26 pdf_convert, v10.R:131-152 per-box OCR over pixels).  This module
-closes the last ``feature_kind='stub'`` gap in the multimodal operator by
-really decoding baseline sequential JPEG (ITU-T T.81 / ISO 10918-1):
+closes the ``feature_kind='stub'`` gap in the multimodal operator by
+really decoding baseline sequential AND progressive JPEG
+(ITU-T T.81 / ISO 10918-1):
 
-* markers: SOI, APPn/COM, DQT (8/16-bit), DHT, SOF0/SOF1, DRI, SOS, EOI
+* markers: SOI, APPn/COM, DQT (8/16-bit), DHT, SOF0/SOF1/SOF2, DRI,
+  SOS (multiple for progressive), EOI
 * entropy decode: canonical Huffman (T.81 F.2.2.3 MINCODE/MAXCODE walk),
   byte unstuffing (FF 00) and restart-marker segmentation (RST0-7)
-* per block: DC prediction + AC run-length, dequantize, de-zigzag,
-  orthonormal 8x8 IDCT as two numpy matmuls, level shift, clamp
+* baseline (SOF0/SOF1): per block, DC prediction + AC run-length,
+  dequantize, de-zigzag, orthonormal 8x8 IDCT as two numpy matmuls,
+  level shift, clamp — single-pass, no coefficient storage
+* progressive (SOF2, T.81 Annex G): multi-scan coefficient accumulation —
+  DC first/refinement (successive approximation via two's-complement
+  bit insertion), AC first/refinement per spectral band with EOB-run
+  decoding (G.1.2.2-G.1.2.3); chroma AC scans are skipped outright (the
+  gray output never needs them — each non-interleaved scan owns its
+  entropy segment); batched IDCT over all luminance blocks at EOI
 * output: the LUMINANCE (first-component) plane as a (h, w) float array —
   exactly what the gray-histogram feature and OCR stand-ins consume.
-  Chroma blocks are entropy-decoded (the bit stream interleaves them per
-  MCU) but skip the IDCT: gray output needs no color conversion.
+  Chroma blocks are entropy-decoded where the bit stream interleaves
+  them (baseline MCUs, progressive DC scans) but never IDCT'd.
 
 Out of scope -> ``ValueError`` (callers fall back to the digest stub):
-progressive (SOF2), arithmetic coding (SOF9+), hierarchical, 12-bit
-precision.  Every parse error is ValueError — the hostile-input contract
-of the binary source depends on that totality.
+arithmetic coding (SOF9+), hierarchical, lossless, 12-bit precision.
+Every parse error is ValueError — the hostile-input contract of the
+binary source depends on that totality.
 """
 
 from __future__ import annotations
@@ -112,9 +121,11 @@ def _extend(v: int, s: int) -> int:
     return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
 
 
-def _segments(data: bytes, start: int) -> list[bytes]:
+def _segments(data: bytes, start: int) -> tuple[list[bytes], int]:
     """Entropy-coded bytes from ``start``: unstuff FF 00, split at RSTn,
-    stop at any other marker.  Returns the restart-delimited segments."""
+    stop at any other marker.  Returns the restart-delimited segments and
+    the index of the terminating marker (== len(data) if none) so a
+    multi-scan caller can continue the marker walk."""
     segs, cur = [], bytearray()
     i, n = start, len(data)
     while i < n:
@@ -124,6 +135,7 @@ def _segments(data: bytes, start: int) -> list[bytes]:
             i += 1
             continue
         if i + 1 >= n:
+            i = n
             break
         m = data[i + 1]
         if m == 0x00:
@@ -138,7 +150,7 @@ def _segments(data: bytes, start: int) -> list[bytes]:
         else:  # EOI or next real marker
             break
     segs.append(bytes(cur))
-    return segs
+    return segs, i
 
 
 def jpeg_dimensions(data: bytes) -> tuple[int, int]:
@@ -170,16 +182,21 @@ def jpeg_dimensions(data: bytes) -> tuple[int, int]:
 
 
 def decode_jpeg_gray(data: bytes) -> np.ndarray:
-    """Baseline sequential JPEG -> (h, w) float64 luminance plane (0-255).
+    """Baseline or progressive JPEG -> (h, w) float64 luminance plane
+    (0-255).
 
-    Raises ValueError on anything outside baseline/extended-sequential
-    Huffman 8-bit (progressive, arithmetic, truncated, hostile bytes)."""
+    Raises ValueError on anything outside Huffman 8-bit baseline /
+    extended-sequential / progressive (arithmetic, lossless, truncated,
+    hostile bytes)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, _Huff] = {}
     huff_ac: dict[int, _Huff] = {}
     frame = None          # (w, h, comps); comps = [(cid, hi, vi, tq)]
+    progressive = False
+    coef = None           # progressive: luminance coefficients, zigzag order
+    n_scans = 0
     restart = 0
     i, n = 2, len(data)
     while i + 2 <= n:
@@ -189,7 +206,7 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
         if m in (0x01,) or 0xD0 <= m <= 0xD7:
             i += 2
             continue
-        if m == 0xD9:  # EOI before SOS
+        if m == 0xD9:  # EOI: progressive decode ends here
             break
         if i + 4 > n:
             raise ValueError("truncated segment header")
@@ -224,7 +241,7 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
                 t = _Huff(counts, values)
                 (huff_ac if tc else huff_dc)[th] = t
                 j += 17 + nv
-        elif m in (0xC0, 0xC1):  # SOF0 / SOF1
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
             if len(seg) < 6:
                 raise ValueError("truncated SOF")
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
@@ -242,9 +259,22 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
                     raise ValueError("bad sampling factors")
                 comps.append((cid, hi, vi, tq))
             frame = (w, h, comps)
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            progressive = m == 0xC2
+            if progressive:
+                # coefficient store for the whole frame: the resource
+                # ceiling is tighter than baseline's because progressive
+                # must buffer every luminance coefficient (int64: DC
+                # predictors accumulate hostile diffs past int32)
+                if w * h > 1 << 24:
+                    raise ValueError("progressive image too large")
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                bvy = -(-h // (8 * vmax)) * comps[0][2]
+                bvx = -(-w // (8 * hmax)) * comps[0][1]
+                coef = np.zeros((bvy, bvx, 64), dtype=np.int64)
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7,
                    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline JPEG (progressive/arithmetic)")
+            raise ValueError("unsupported JPEG (arithmetic/lossless)")
         elif m == 0xDD:  # DRI
             if len(seg) < 2:
                 raise ValueError("truncated DRI")
@@ -259,9 +289,23 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan[cs] = (tt >> 4, tt & 15)
-            return _decode_scan(data, i + 2 + ln, frame, scan, qt,
-                                huff_dc, huff_ac, restart)
+            if not progressive:
+                return _decode_scan(data, i + 2 + ln, frame, scan, qt,
+                                    huff_dc, huff_ac, restart)
+            if len(seg) < 4 + 2 * ns:
+                raise ValueError("truncated SOS")
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            n_scans += 1
+            if n_scans > 256:
+                raise ValueError("too many progressive scans")
+            i = _decode_prog_scan(data, i + 2 + ln, frame, scan,
+                                  (ss, se, ahal >> 4, ahal & 15),
+                                  coef, huff_dc, huff_ac, restart)
+            continue
         i += 2 + ln
+    if progressive and n_scans:
+        return _finish_progressive(frame, coef, qt)
     raise ValueError("no SOS marker")
 
 
@@ -283,7 +327,7 @@ def _decode_scan(data, start, frame, scan, qt, huff_dc, huff_ac, restart):
             raise ValueError("scan references an undefined table")
         order.append((idx, hi, vi, qt[tq], huff_dc[td], huff_ac[ta]))
 
-    segs = _segments(data, start)
+    segs, _ = _segments(data, start)
     total = mcx * mcy
     per_seg = restart if restart else total
     mcu = 0
@@ -330,6 +374,202 @@ def _decode_scan(data, start, frame, scan, qt, huff_dc, huff_ac, restart):
         raise ValueError("truncated entropy data")
     # luminance plane -> image resolution (nearest-neighbor when Y is
     # subsampled relative to hmax/vmax — rare but legal)
+    sx, sy = hmax // comps[0][1], vmax // comps[0][2]
+    if sx > 1 or sy > 1:
+        plane = np.repeat(np.repeat(plane, sy, axis=0), sx, axis=1)
+    return np.clip(plane[:h, :w], 0.0, 255.0)
+
+
+# --- progressive (SOF2, T.81 Annex G) --------------------------------------
+
+
+def _ac_first_block(bits, block, tac, ss, se, al, eobrun):
+    """AC initial scan for one block (T.81 G.1.2.2): run-length coded
+    magnitudes scaled by 2^Al, plus EOB-run codes spanning whole blocks.
+    Returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = bits.huff(tac)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r != 15:
+                eobrun = (1 << r) - 1  # current block is one of the run
+                if r:
+                    eobrun += bits.read(r)
+                return eobrun
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC index overflow")
+        block[k] = _extend(bits.read(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(bits, block, tac, ss, se, p1, m1, eobrun):
+    """AC refinement scan for one block (T.81 G.1.2.3): newly-significant
+    coefficients arrive as ±2^Al after a run of zero-HISTORY positions;
+    every nonzero-history position traversed contributes one correction
+    bit.  EOB-run blocks still carry correction bits for their nonzero
+    coefficients.  Returns the remaining EOB run."""
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = bits.huff(tac)
+            r, s = rs >> 4, rs & 15
+            newval = 0
+            if s:
+                if s != 1:
+                    raise ValueError("bad AC refinement magnitude")
+                newval = p1 if bits.read(1) else m1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += bits.read(r)
+                break  # correction bits of the remainder handled below
+            # advance past r zero-history positions (16 for ZRL), reading
+            # a correction bit at each nonzero-history position passed
+            while k <= se:
+                v = int(block[k])
+                if v != 0:
+                    if bits.read(1) and not (v & p1):
+                        block[k] = v + (p1 if v >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                block[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # remainder of this block: correction bits only
+            v = int(block[k])
+            if v != 0:
+                if bits.read(1) and not (v & p1):
+                    block[k] = v + (p1 if v >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_prog_scan(data, start, frame, scan, prog, coef,
+                      huff_dc, huff_ac, restart):
+    """One progressive scan; mutates ``coef`` (luminance, zigzag order)
+    and returns the data index just past the scan's entropy bytes.
+
+    Chroma-only scans are skipped without decoding (every progressive
+    scan owns its entropy segment, and AC scans are single-component by
+    T.81 G.1.1 — the gray output never needs chroma AC).  Interleaved DC
+    scans entropy-decode chroma blocks to keep bit alignment but discard
+    everything except the predictors."""
+    w, h, comps = frame
+    ss, se, ah, al = prog
+    if not (0 <= ss <= se <= 63) or al > 13 or ah > 13:
+        raise ValueError("bad progressive scan header")
+    dc_scan = ss == 0
+    if dc_scan and se != 0:
+        raise ValueError("bad progressive scan header")
+    if not dc_scan and len(scan) != 1:
+        raise ValueError("interleaved AC scan in progressive")
+    first = ah == 0
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcx = -(-w // (8 * hmax))
+    mcy = -(-h // (8 * vmax))
+    cids = [c[0] for c in comps]
+    order = []
+    for cs, (td, ta) in scan.items():
+        if cs not in cids:
+            raise ValueError("scan references an unknown component")
+        idx = cids.index(cs)
+        if dc_scan and first and td not in huff_dc:
+            raise ValueError("scan references an undefined table")
+        if not dc_scan and ta not in huff_ac:
+            raise ValueError("scan references an undefined table")
+        order.append((idx, td, ta))
+
+    segs, end = _segments(data, start)
+    if all(idx != 0 for idx, _, _ in order):
+        return end  # chroma-only scan: gray output never needs it
+
+    interleaved = len(order) > 1
+    if interleaved:
+        total = mcx * mcy
+    else:
+        # non-interleaved: data units are the component's own blocks
+        idx0, _, _ = order[0]
+        _, hi, vi, _ = comps[idx0]
+        cw = -(-(w * hi) // hmax)   # component width (T.81 A.1.1)
+        ch = -(-(h * vi) // vmax)
+        bw, bh = -(-cw // 8), -(-ch // 8)
+        total = bw * bh
+    p1, m1 = 1 << al, -(1 << al)
+    per_seg = restart if restart else total
+    u = 0
+    for seg in segs:
+        if u >= total:
+            break
+        bits = _Bits(seg)
+        preds = [0] * len(comps)
+        eobrun = 0
+        seg_end = min(total, u + per_seg)
+        while u < seg_end:
+            if dc_scan:
+                if interleaved:
+                    my, mx = divmod(u, mcx)
+                    units = [(idx, td, (my * vi + by, mx * hi + bx))
+                             for idx, td, _ in order
+                             for _, hi, vi, _ in (comps[idx],)
+                             for by in range(vi) for bx in range(hi)]
+                else:
+                    units = [(order[0][0], order[0][1], divmod(u, bw))]
+                for idx, td, (ry, rx) in units:
+                    if first:
+                        s = bits.huff(huff_dc[td])
+                        if s > 15:
+                            raise ValueError("bad DC magnitude")
+                        preds[idx] += _extend(bits.read(s), s) if s else 0
+                        if idx == 0:
+                            coef[ry, rx, 0] = preds[idx] << al
+                    else:
+                        bit = bits.read(1)
+                        if bit and idx == 0:
+                            coef[ry, rx, 0] |= p1
+            else:
+                ry, rx = divmod(u, bw)
+                block = coef[ry, rx]
+                tac = huff_ac[order[0][2]]
+                eobrun = (
+                    _ac_first_block(bits, block, tac, ss, se, al, eobrun)
+                    if first else
+                    _ac_refine_block(bits, block, tac, ss, se, p1, m1,
+                                     eobrun))
+            u += 1
+    if u < total:
+        raise ValueError("truncated entropy data")
+    return end
+
+
+def _finish_progressive(frame, coef, qt):
+    """Dequantize + batched IDCT of the accumulated luminance
+    coefficients -> (h, w) float64 plane."""
+    w, h, comps = frame
+    tq = comps[0][3]
+    if tq not in qt:
+        raise ValueError("scan references an undefined table")
+    q = qt[tq]
+    bvy, bvx, _ = coef.shape
+    nat = np.zeros((bvy, bvx, 64))
+    nat[:, :, _ZIGZAG] = coef.astype(np.float64)
+    px = _DCT.T @ (nat.reshape(bvy, bvx, 8, 8) * q) @ _DCT + 128.0
+    plane = px.transpose(0, 2, 1, 3).reshape(bvy * 8, bvx * 8)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     sx, sy = hmax // comps[0][1], vmax // comps[0][2]
     if sx > 1 or sy > 1:
         plane = np.repeat(np.repeat(plane, sy, axis=0), sx, axis=1)

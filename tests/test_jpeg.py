@@ -189,6 +189,208 @@ def _gradient(h, w):
             + (yy * 255.0 / max(h - 1, 1)) * 0.5)
 
 
+# --- test-side PROGRESSIVE encoder (T.81 Annex G) --------------------------
+# Structurally independent oracle for the decoder's SOF2 path: spectral
+# selection + successive approximation scans emitted with the same simple
+# canonical tables.  With equal quant tables the coefficient array a
+# progressive decode accumulates is bit-identical to the baseline one, so
+# decode(progressive) must EXACTLY equal decode(baseline) — a far stronger
+# pin than a pixel tolerance.
+
+
+def _quantized_blocks(plane, q):
+    """-> (bh, bw, 64) int array of quantized coefficients, zigzag order."""
+    p = _pad(np.asarray(plane, dtype=np.float64), 8, 8)
+    bh, bw = p.shape[0] // 8, p.shape[1] // 8
+    out = np.zeros((bh, bw, 64), dtype=np.int64)
+    for by in range(bh):
+        for bx in range(bw):
+            f = _D @ (p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0) @ _D.T
+            out[by, bx] = np.round(f.ravel()[_ZZ] / q.ravel()[_ZZ])
+    return out
+
+
+class _EobState:
+    """Pending EOB run + the correction bits buffered behind it."""
+
+    def __init__(self):
+        self.run = 0
+        self.bits = []
+
+    def flush(self, w):
+        if self.run:
+            n = self.run.bit_length() - 1
+            w.put(*_ac_code(n << 4))
+            if n:
+                w.put(self.run - (1 << n), n)
+            self.run = 0
+            for b in self.bits:
+                w.put(b, 1)
+            self.bits = []
+
+
+def _enc_ac_first_block(w, blk, ss, se, al, st):
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        t = abs(v) >> al
+        if t == 0:
+            r += 1
+            continue
+        st.flush(w)
+        while r > 15:
+            w.put(*_ac_code(0xF0))  # ZRL
+            r -= 16
+        s, bits = _magnitude(t if v > 0 else -t)
+        w.put(*_ac_code((r << 4) | s))
+        w.put(bits, s)
+        r = 0
+    if r:
+        st.run += 1
+        if st.run == 0x7FFF:
+            st.flush(w)
+
+
+def _enc_ac_refine_block(w, blk, ss, se, al, st):
+    """Mirror of T.81 G.1.2.3 encoding: |v|>>Al == 1 is newly significant
+    (run counts zero-HISTORY positions only); |v|>>Al > 1 contributes a
+    correction bit, buffered until the next emitted code."""
+    absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+    eob_k = max((k for k in range(ss, se + 1) if absv[k - ss] == 1),
+                default=ss - 1)
+    r, br = 0, []
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            r += 1
+            continue
+        # pending ZRLs flush at EVERY nonzero position (history too!) so
+        # buffered correction bits stay in decoder traversal order; runs
+        # with no newly-significant coefficient left fold into the EOB
+        while r > 15 and k <= eob_k:
+            st.flush(w)
+            w.put(*_ac_code(0xF0))
+            r -= 16
+            for b in br:
+                w.put(b, 1)
+            br = []
+        if t > 1:
+            br.append(t & 1)
+            continue
+        st.flush(w)
+        w.put(*_ac_code((r << 4) | 1))
+        w.put(1 if int(blk[k]) > 0 else 0, 1)
+        for b in br:
+            w.put(b, 1)
+        br = []
+        r = 0
+    if r or br:
+        st.run += 1
+        st.bits.extend(br)
+        if st.run == 0x7FFF:
+            st.flush(w)
+
+
+def encode_jpeg_progressive(y, chroma=None, restart=0, quant=1,
+                            dc_al=1, ac_al=1,
+                            bands=((1, 5), (6, 63))):
+    """Progressive JPEG: grayscale or 4:4:4 color.  Scan script:
+    interleaved DC first (Al=dc_al) -> DC refinements -> per component,
+    per spectral band, AC first (Al=ac_al) -> AC refinements."""
+    h, w = np.asarray(y).shape
+    q = np.full((8, 8), float(quant))
+    planes = [y] if chroma is None else [y, chroma[0], chroma[1]]
+    ncomp = len(planes)
+    blocks = [_quantized_blocks(p, q) for p in planes]
+    bh, bw = blocks[0].shape[:2]
+
+    out = bytearray(b"\xff\xd8")
+    zzq = q.ravel()[_ZZ].astype(np.uint8)
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + b"\x00" + bytes(zzq)
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, ncomp))
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, 0x11, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+    for tc, counts, values in ((0, _DC_COUNTS, _DC_VALUES),
+                               (1, _AC_COUNTS, _AC_VALUES)):
+        body = bytes([tc << 4]) + counts + values
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart)
+
+    def sos(comp_ids, ss, se, ah, al):
+        body = bytearray([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    def scan_entropy(units, encode_unit, reset_state):
+        """Emit one scan's entropy bytes, restart-splitting every
+        ``restart`` data units."""
+        buf = bytearray()
+        wtr, state, n_in_seg, rst = _BitWriter(), reset_state(), 0, 0
+        for unit in units:
+            if restart and n_in_seg == restart:
+                state.flush(wtr) if isinstance(state, _EobState) else None
+                wtr.flush()
+                buf += wtr.out + bytes([0xFF, 0xD0 + (rst & 7)])
+                wtr, state = _BitWriter(), reset_state()
+                n_in_seg, rst = 0, rst + 1
+            encode_unit(wtr, unit, state)
+            n_in_seg += 1
+        if isinstance(state, _EobState):
+            state.flush(wtr)
+        wtr.flush()
+        buf += wtr.out
+        return bytes(buf)
+
+    # 1. interleaved DC first scan (all components, 4:4:4 -> 1 block/MCU)
+    def dc_first(wtr, unit, preds):
+        by, bx = unit
+        for ci in range(ncomp):
+            dc = int(blocks[ci][by, bx, 0]) >> dc_al
+            s, bits = _magnitude(dc - preds[ci])
+            wtr.put(*_dc_code(s))
+            if s:
+                wtr.put(bits, s)
+            preds[ci] = dc
+
+    mcus = [(by, bx) for by in range(bh) for bx in range(bw)]
+    out += sos(range(1, ncomp + 1), 0, 0, 0, dc_al)
+    out += scan_entropy(mcus, dc_first, lambda: [0] * ncomp)
+
+    # 2. DC refinement scans down to Al=0
+    for al in range(dc_al - 1, -1, -1):
+        def dc_refine(wtr, unit, _state, al=al):
+            by, bx = unit
+            for ci in range(ncomp):
+                wtr.put((int(blocks[ci][by, bx, 0]) >> al) & 1, 1)
+        out += sos(range(1, ncomp + 1), 0, 0, al + 1, al)
+        out += scan_entropy(mcus, dc_refine, lambda: None)
+
+    # 3. AC scans: per component, per band, first then refinements
+    for ci in range(ncomp):
+        for lo, hi in bands:
+            def ac_first(wtr, unit, st, ci=ci, lo=lo, hi=hi):
+                by, bx = unit
+                _enc_ac_first_block(wtr, blocks[ci][by, bx], lo, hi,
+                                    ac_al, st)
+            out += sos([ci + 1], lo, hi, 0, ac_al)
+            out += scan_entropy(mcus, ac_first, _EobState)
+        for al in range(ac_al - 1, -1, -1):
+            for lo, hi in bands:
+                def ac_refine(wtr, unit, st, ci=ci, lo=lo, hi=hi, al=al):
+                    by, bx = unit
+                    _enc_ac_refine_block(wtr, blocks[ci][by, bx], lo, hi,
+                                         al, st)
+                out += sos([ci + 1], lo, hi, al + 1, al)
+                out += scan_entropy(mcus, ac_refine, _EobState)
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 class TestRoundTrip:
     def test_gray_exact_block(self):
         img = _gradient(8, 8)
@@ -266,10 +468,18 @@ class TestHostileInputs:
     """Totality: anything malformed is ValueError, never an IndexError/
     struct.error escaping into an Arrow batch."""
 
-    def test_progressive_rejected(self):
+    def test_baseline_scan_relabeled_progressive_rejected(self):
+        """A baseline stream relabeled SOF2 carries a full-band scan
+        header (Ss=0, Se=63) — illegal for a progressive DC scan."""
         data = bytearray(encode_jpeg(_gradient(8, 8)))
         data[data.index(b"\xff\xc0") + 1] = 0xC2  # relabel SOF0 -> SOF2
-        with pytest.raises(ValueError, match="baseline"):
+        with pytest.raises(ValueError, match="progressive scan header"):
+            decode_jpeg_gray(bytes(data))
+
+    def test_arithmetic_rejected(self):
+        data = bytearray(encode_jpeg(_gradient(8, 8)))
+        data[data.index(b"\xff\xc0") + 1] = 0xC9  # SOF9: arithmetic
+        with pytest.raises(ValueError, match="arithmetic"):
             decode_jpeg_gray(bytes(data))
 
     def test_truncated_entropy(self):
@@ -291,6 +501,117 @@ class TestHostileInputs:
         — no other exception type may escape."""
         base = encode_jpeg(_gradient(16, 16))
         rng = np.random.default_rng(3)
+        for _ in range(300):
+            buf = bytearray(base)
+            for _ in range(int(rng.integers(1, 4))):
+                buf[int(rng.integers(0, len(buf)))] = int(
+                    rng.integers(0, 256))
+            try:
+                decode_jpeg_gray(bytes(buf))
+            except ValueError:
+                pass
+
+
+class TestProgressive:
+    """SOF2 decode (round-5 advice item 3): with identical quant tables
+    the progressive scans reconstruct the EXACT coefficient array of the
+    baseline encoding, so the decoded planes must be bit-identical."""
+
+    def test_gray_equals_baseline_decode(self):
+        rng = np.random.default_rng(17)
+        img = rng.integers(0, 256, (32, 48)).astype(np.float64)
+        base = decode_jpeg_gray(encode_jpeg(img))
+        prog = decode_jpeg_gray(encode_jpeg_progressive(img))
+        assert prog.shape == (32, 48)
+        assert np.array_equal(prog, base)
+
+    def test_gray_non_multiple_of_8(self):
+        img = _gradient(21, 13)
+        base = decode_jpeg_gray(encode_jpeg(img))
+        prog = decode_jpeg_gray(encode_jpeg_progressive(img))
+        assert np.array_equal(prog, base)
+
+    def test_deeper_successive_approximation(self):
+        """Al=2 start: two refinement rounds per DC and AC band."""
+        rng = np.random.default_rng(19)
+        img = rng.integers(0, 256, (24, 24)).astype(np.float64)
+        prog = decode_jpeg_gray(
+            encode_jpeg_progressive(img, dc_al=2, ac_al=2))
+        assert np.array_equal(prog, decode_jpeg_gray(encode_jpeg(img)))
+
+    def test_fine_spectral_bands(self):
+        """Many narrow bands stress EOB-run + band-boundary handling."""
+        rng = np.random.default_rng(23)
+        img = rng.integers(0, 256, (16, 40)).astype(np.float64)
+        prog = decode_jpeg_gray(encode_jpeg_progressive(
+            img, bands=((1, 2), (3, 8), (9, 20), (21, 62), (63, 63))))
+        assert np.array_equal(prog, decode_jpeg_gray(encode_jpeg(img)))
+
+    def test_quantized_smooth_image_long_eob_runs(self):
+        """quant=16 on a gradient zeroes most AC -> EOB runs span many
+        blocks and refinement scans are correction-bit heavy."""
+        img = _gradient(40, 64)
+        prog = decode_jpeg_gray(encode_jpeg_progressive(img, quant=16))
+        assert np.array_equal(
+            prog, decode_jpeg_gray(encode_jpeg(img, quant=16)))
+
+    def test_color_444_chroma_ac_scans_skipped(self):
+        """Color: interleaved DC decodes all components (bit alignment),
+        chroma AC scans are skipped outright — luminance still exact."""
+        rng = np.random.default_rng(29)
+        img = rng.integers(0, 256, (24, 16)).astype(np.float64)
+        cb = rng.integers(0, 256, (24, 16)).astype(np.float64)
+        cr = rng.integers(0, 256, (24, 16)).astype(np.float64)
+        prog = decode_jpeg_gray(
+            encode_jpeg_progressive(img, chroma=(cb, cr)))
+        base = decode_jpeg_gray(encode_jpeg(img, chroma=(cb, cr)))
+        assert np.array_equal(prog, base)
+
+    def test_restart_intervals(self):
+        rng = np.random.default_rng(31)
+        img = rng.integers(0, 256, (24, 56)).astype(np.float64)
+        data = encode_jpeg_progressive(img, restart=3)
+        assert b"\xff\xd0" in data
+        assert np.array_equal(decode_jpeg_gray(data),
+                              decode_jpeg_gray(encode_jpeg(img)))
+
+    def test_dimensions(self):
+        assert jpeg_dimensions(
+            encode_jpeg_progressive(_gradient(21, 13))) == (13, 21)
+
+    def test_truncated_scans_still_render(self):
+        """A progressive file cut after the DC scans (EOI appended) is a
+        legal partial render — coarse but decodable, matching real-world
+        progressive semantics."""
+        img = _gradient(16, 16)
+        data = encode_jpeg_progressive(img)
+        # cut just before the first single-component (AC) SOS: find the
+        # second SOS and truncate there
+        first_sos = data.index(b"\xff\xda")
+        cut = data.index(b"\xff\xda", first_sos + 2)
+        got = decode_jpeg_gray(data[:cut] + b"\xff\xd9")
+        assert got.shape == (16, 16)
+        # DC-only render: each 8x8 tile equals the block mean (+-2)
+        assert abs(float(got[:8, :8].mean()) - float(img[:8, :8].mean())) \
+            <= 2.0
+
+    def test_multimodal_progressive_is_pixel(self):
+        """q33's feature path: progressive JPEG now yields REAL pixel
+        features (the majority web codec was the last stub gap)."""
+        from pdf_extraction_tests_spark.operators import multimodal as MM
+
+        img = np.full((16, 16), 200.0)
+        feat, kind = MM._decode(
+            encode_jpeg_progressive(img), "image")
+        assert kind == "pixel"
+        want_bin = int(200 // (256 / MM.FEATURE_DIM))
+        assert feat[want_bin] > 0.9
+
+    def test_mutation_fuzz_total(self):
+        """Totality over the progressive path: mutations decode or raise
+        ValueError — never any other exception type."""
+        base = encode_jpeg_progressive(_gradient(16, 16))
+        rng = np.random.default_rng(37)
         for _ in range(300):
             buf = bytearray(base)
             for _ in range(int(rng.integers(1, 4))):
