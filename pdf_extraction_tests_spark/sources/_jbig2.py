@@ -1,10 +1,11 @@
 """Pure-Python JBIG2 (ITU-T T.88) decoder — embedded (PDF) profile,
-generic regions.
+generic regions plus symbol-dictionary / text-region segments.
 
 Alongside CCITT G4, JBIG2 is the other bi-level codec scanned PDFs use
 for page images (the reference's raster domain, v10.R:26,39-44); PDF
 embeds it via /JBIG2Decode with an optional /JBIG2Globals stream.  This
-module decodes the subset a generic-region encoder emits:
+module decodes the subsets both generic-region and symbol-mode (the
+profile real scanned-document encoders actually emit) streams use:
 
 * the MQ arithmetic coder (T.88 Annex E): 47-state Qe table, BYTEIN
   with 0xFF-stuffing and end-of-stream 1-feeding,
@@ -14,19 +15,32 @@ module decodes the subset a generic-region encoder emits:
   first, with the actual AT coordinates injected at their fixed nominal
   slots; SLTP contexts 0x9B25/0x0795/0x00E5/0x0195),
 * MMR-coded generic regions (T.6 payload — reuses ``_ccitt.decode_g4``),
-* the embedded segment layer (T.88 §7.2): headers, page info, immediate
-  generic regions, end-of-page/stripe/file; regions composed onto the
-  page canvas.
+* the arithmetic integer decoding procedure (Annex A: IADH/IADW/IAEX/
+  IADT/IAFS/IADS/IAIT and the IAID symbol-code tree),
+* symbol dictionaries (§6.5, SDHUFF=0 SDREFAGG=0): height classes via
+  IADH/IADW deltas, per-symbol generic decode sharing ONE arithmetic
+  decoder + GB context across the whole segment, IAEX export runs,
+  cross-dictionary symbol import via referred segments,
+* text regions (§6.4, SBHUFF=0 SBREFINE=0): strip loop with IADT/IAFS/
+  IADS/IAIT, all four REFCORNERs, TRANSPOSED, SBDSOFFSET, SBDEFPIXEL
+  and the four SBCOMBOPs, symbols clipped at region bounds,
+* the embedded segment layer (T.88 §7.2): headers with referred-segment
+  lists, page info, symbol dictionaries, immediate generic/text
+  regions, end-of-page/stripe/file; regions composed onto the page
+  canvas.
 
 Out of scope -> ValueError (the caller keeps an honest labeled
-placeholder): symbol-dictionary/text/halftone/refinement segments and
-unknown-length MMR data.  Totality: any malformed input raises
-ValueError, never an ad-hoc exception.  Resource ceiling: regions are
-capped at 2^26 pixels (covers 600-dpi A4; larger declarations raise) —
-this bounds BOTH memory and the worst-case CPU of the per-pixel decode
-loop, since a tiny hostile stream can legally declare a huge region
-(the MQ coder feeds 1-bits at end of data, so declared size, not input
-size, is the work bound).  Applies to the MMR branch too.
+placeholder): Huffman-coded variants, refinement/aggregate coding,
+halftone regions, intermediate (non-immediate) regions, retained
+coding contexts and unknown-length MMR data.  Totality: any malformed
+input raises ValueError, never an ad-hoc exception.  Resource ceiling:
+regions are capped at 2^26 pixels (covers 600-dpi A4; larger
+declarations raise) — this bounds BOTH memory and the worst-case CPU
+of the per-pixel decode loop, since a tiny hostile stream can legally
+declare a huge region (the MQ coder feeds 1-bits at end of data, so
+declared size, not input size, is the work bound).  Applies to the MMR
+branch, symbol dictionaries (count, per-symbol and cumulative area
+caps) and text regions (instance cap) too.
 
 The Qe state table is a transcribed constant; tests bound the risk
 structurally (cardinality, probability monotonicity spot checks, pinned
@@ -194,25 +208,13 @@ def template0_positions(at: list[tuple[int, int]]) -> list[tuple[int, int]]:
     return template_positions(0, at)
 
 
-def decode_generic(data: bytes, width: int, height: int,
-                   template: int = 0,
-                   at: list[tuple[int, int]] | None = None,
-                   tpgdon: bool = False) -> np.ndarray:
-    """MQ-coded generic region, GBTEMPLATE 0-3 -> (height, width) uint8
-    bitmap (1 = black)."""
-    if not (0 < width <= 1 << 14 and 0 < height <= 1 << 14):
-        raise ValueError("bad generic region dimensions")
-    if width * height > 1 << 26:
-        raise ValueError("generic region too large")
-    if template not in _NOMINAL_AT:
-        raise ValueError(f"GBTEMPLATE {template} unsupported")
-    pos = template_positions(template, at or _NOMINAL_AT[template])
-    nbits = len(pos)
-    dec = MQDecoder(data)
-    cx = [(0, 0)] * (1 << nbits)
+def _decode_bitmap(dec: MQDecoder, cx, pos, width: int, height: int,
+                   tpgdon: bool = False, sltp_cx: int = 0) -> np.ndarray:
+    """Generic-region pixel loop over an EXISTING decoder + context
+    array (§6.2.5.7) — symbol dictionaries decode every symbol through
+    one shared arithmetic decoder and GB context (§6.5.8.2.1)."""
     bitmap = np.zeros((height, width), dtype=np.uint8)
     ltp = 0
-    sltp_cx = _TPGD_CX[template]
     for y in range(height):
         if tpgdon:
             ltp ^= dec.decode(cx, sltp_cx)
@@ -232,10 +234,312 @@ def decode_generic(data: bytes, width: int, height: int,
     return bitmap
 
 
+def decode_generic(data: bytes, width: int, height: int,
+                   template: int = 0,
+                   at: list[tuple[int, int]] | None = None,
+                   tpgdon: bool = False) -> np.ndarray:
+    """MQ-coded generic region, GBTEMPLATE 0-3 -> (height, width) uint8
+    bitmap (1 = black)."""
+    if not (0 < width <= 1 << 14 and 0 < height <= 1 << 14):
+        raise ValueError("bad generic region dimensions")
+    if width * height > 1 << 26:
+        raise ValueError("generic region too large")
+    if template not in _NOMINAL_AT:
+        raise ValueError(f"GBTEMPLATE {template} unsupported")
+    pos = template_positions(template, at or _NOMINAL_AT[template])
+    dec = MQDecoder(data)
+    cx = [(0, 0)] * (1 << len(pos))
+    return _decode_bitmap(dec, cx, pos, width, height, tpgdon,
+                          _TPGD_CX[template])
+
+
 def decode_generic_t0(data: bytes, width: int, height: int,
                       at: list[tuple[int, int]] | None = None,
                       tpgdon: bool = False) -> np.ndarray:
     return decode_generic(data, width, height, 0, at, tpgdon)
+
+
+# --- arithmetic integer decoding (T.88 Annex A) -----------------------------
+
+
+class ArithIntDecoder:
+    """One IAx procedure (IADH, IADW, IAEX, IADT, ...): a 512-context
+    prefix tree over a shared MQ decoder.  ``decode`` returns the
+    integer, or None for OOB (S=1, V=0 — Annex A.2 step 4)."""
+
+    __slots__ = ("cx",)
+
+    def __init__(self):
+        self.cx = [(0, 0)] * 512
+
+    def _bit(self, dec: MQDecoder, prev: int) -> tuple[int, int]:
+        b = dec.decode(self.cx, prev)
+        if prev < 256:
+            prev = (prev << 1) | b
+        else:
+            prev = ((((prev << 1) | b) & 511) | 256)
+        return b, prev
+
+    def decode(self, dec: MQDecoder) -> int | None:
+        s, prev = self._bit(dec, 1)
+        b, prev = self._bit(dec, prev)
+        if not b:
+            nbits, offset = 2, 0
+        else:
+            b, prev = self._bit(dec, prev)
+            if not b:
+                nbits, offset = 4, 4
+            else:
+                b, prev = self._bit(dec, prev)
+                if not b:
+                    nbits, offset = 6, 20
+                else:
+                    b, prev = self._bit(dec, prev)
+                    if not b:
+                        nbits, offset = 8, 84
+                    else:
+                        b, prev = self._bit(dec, prev)
+                        nbits, offset = (12, 340) if not b else (32, 4436)
+        v = 0
+        for _ in range(nbits):
+            b, prev = self._bit(dec, prev)
+            v = (v << 1) | b
+        v += offset
+        if s and v == 0:
+            return None                       # OOB
+        return -v if s else v
+
+
+class ArithIaidDecoder:
+    """IAID symbol-code decoding (§A.3): a fixed-depth bit tree of
+    SBSYMCODELEN levels, context size 2^(SBSYMCODELEN+1)."""
+
+    __slots__ = ("n", "cx")
+
+    def __init__(self, symcodelen: int):
+        if not 0 < symcodelen <= 16:
+            raise ValueError("bad SBSYMCODELEN")
+        self.n = symcodelen
+        self.cx = [(0, 0)] * (1 << (symcodelen + 1))
+
+    def decode(self, dec: MQDecoder) -> int:
+        prev = 1
+        for _ in range(self.n):
+            prev = (prev << 1) | dec.decode(self.cx, prev)
+        return prev - (1 << self.n)
+
+
+def _symcodelen(nsyms: int) -> int:
+    """SBSYMCODELEN = max(1, ceil(log2(SBNUMSYMS))) (T.88 erratum —
+    a 1-symbol alphabet still codes one bit)."""
+    return max(1, (nsyms - 1).bit_length())
+
+
+# --- symbol dictionary (T.88 §6.5 / §7.4.3, SDHUFF=0 SDREFAGG=0) ------------
+
+_MAX_SYMBOLS = 1 << 12          # per dictionary
+_MAX_SYMBOL_AREA = 1 << 20      # per symbol
+_MAX_TOTAL_AREA = 1 << 26      # cumulative, same ceiling as regions
+
+
+def _signed_at(body: bytes, off: int, n_at: int) -> list[tuple[int, int]]:
+    at = []
+    for i in range(n_at):
+        ax = _be(body, off + 2 * i, 1)
+        ay = _be(body, off + 2 * i + 1, 1)
+        at.append((ax - 256 if ax > 127 else ax,
+                   ay - 256 if ay > 127 else ay))
+    return at
+
+
+def decode_symbol_dict(body: bytes,
+                       insyms: list[np.ndarray]) -> list[np.ndarray]:
+    """Symbol-dictionary segment data -> exported symbol bitmaps
+    (inputs from referred dictionaries followed by new symbols,
+    filtered by the IAEX export runs)."""
+    flags = _be(body, 0, 2)
+    if flags & 1:
+        raise ValueError("Huffman symbol dictionary unsupported")
+    if flags & 2:
+        raise ValueError("refinement/aggregate symbol dictionary "
+                         "unsupported")
+    if flags & 0x300:
+        raise ValueError("retained coding contexts unsupported")
+    template = (flags >> 10) & 3
+    off = 2
+    n_at = len(_NOMINAL_AT[template])
+    at = _signed_at(body, off, n_at)
+    off += 2 * n_at
+    numex = _be(body, off, 4)
+    numnew = _be(body, off + 4, 4)
+    off += 8
+    if numnew > _MAX_SYMBOLS or numex > _MAX_SYMBOLS + len(insyms):
+        raise ValueError("absurd symbol count")
+    pos = template_positions(template, at)
+    gbcx = [(0, 0)] * (1 << len(pos))
+    dec = MQDecoder(body[off:])
+    iadh, iadw, iaex = ArithIntDecoder(), ArithIntDecoder(), \
+        ArithIntDecoder()
+    newsyms: list[np.ndarray] = []
+    hcheight = 0
+    total_area = 0
+    while len(newsyms) < numnew:
+        dh = iadh.decode(dec)
+        if dh is None:
+            raise ValueError("OOB delta height")
+        hcheight += dh
+        if not 0 < hcheight <= 1 << 14:
+            raise ValueError("bad symbol height")
+        symwidth = 0
+        while True:
+            dw = iadw.decode(dec)
+            if dw is None:
+                break                          # height class done
+            symwidth += dw
+            if not 0 < symwidth <= 1 << 14:
+                raise ValueError("bad symbol width")
+            if len(newsyms) >= numnew:
+                raise ValueError("symbol count overrun")
+            area = symwidth * hcheight
+            total_area += area
+            if area > _MAX_SYMBOL_AREA or total_area > _MAX_TOTAL_AREA:
+                raise ValueError("symbol dictionary too large")
+            newsyms.append(_decode_bitmap(dec, gbcx, pos, symwidth,
+                                          hcheight))
+    all_syms = list(insyms) + newsyms
+    exflags: list[int] = []
+    cur = 0
+    while len(exflags) < len(all_syms):
+        run = iaex.decode(dec)
+        if run is None or run < 0:
+            raise ValueError("bad export run length")
+        exflags.extend([cur] * min(run, len(all_syms) - len(exflags)))
+        cur ^= 1
+    exported = [s for s, f in zip(all_syms, exflags) if f]
+    if len(exported) != numex:
+        raise ValueError("export count mismatch")
+    return exported
+
+
+# --- text region (T.88 §6.4 / §7.4.4, SBHUFF=0 SBREFINE=0) ------------------
+
+_MAX_INSTANCES = 1 << 20
+
+
+def _combine_into(region: np.ndarray, bm: np.ndarray, x: int, y: int,
+                  op: int) -> None:
+    """Clipped combine of a symbol bitmap at (x, y) top-left (§6.4.5
+    step 3(c)(x); pixels outside SBREGION are discarded)."""
+    h, w = bm.shape
+    rh, rw = region.shape
+    y0, x0 = max(y, 0), max(x, 0)
+    y1, x1 = min(y + h, rh), min(x + w, rw)
+    if y0 >= y1 or x0 >= x1:
+        return
+    tgt = region[y0:y1, x0:x1]
+    src = bm[y0 - y:y1 - y, x0 - x:x1 - x]
+    if op == 0:
+        tgt |= src
+    elif op == 1:
+        tgt &= src
+    elif op == 2:
+        tgt ^= src
+    elif op == 3:
+        tgt[...] = 1 - (tgt ^ src)
+    else:
+        raise ValueError(f"SBCOMBOP {op} invalid")
+
+
+def decode_text_region(body: bytes, syms: list[np.ndarray]):
+    """Text-region segment data (region info included) ->
+    (x, y, bitmap, external_combine_op)."""
+    w, h, x, y, op, off = _region_info(body, 0)
+    if not (0 < w <= 1 << 14 and 0 < h <= 1 << 14) or w * h > 1 << 26:
+        raise ValueError("bad text region dimensions")
+    flags = _be(body, off, 2)
+    off += 2
+    if flags & 1:
+        raise ValueError("Huffman text region unsupported")
+    if flags & 2:
+        raise ValueError("refinement text region unsupported")
+    logstrips = (flags >> 2) & 3
+    strips = 1 << logstrips
+    refcorner = (flags >> 4) & 3           # 0 BL, 1 TL, 2 BR, 3 TR
+    transposed = (flags >> 6) & 1
+    combop = (flags >> 7) & 3
+    defpixel = (flags >> 9) & 1
+    dsoffset = (flags >> 10) & 0x1F
+    if dsoffset > 15:
+        dsoffset -= 32
+    numinstances = _be(body, off, 4)
+    off += 4
+    if numinstances > _MAX_INSTANCES:
+        raise ValueError("absurd instance count")
+    if not syms:
+        raise ValueError("text region refers to no symbols")
+    dec = MQDecoder(body[off:])
+    iadt, iafs, iads, iait = (ArithIntDecoder(), ArithIntDecoder(),
+                              ArithIntDecoder(), ArithIntDecoder())
+    iaid = ArithIaidDecoder(_symcodelen(len(syms)))
+    region = np.full((h, w), defpixel, dtype=np.uint8)
+    dt = iadt.decode(dec)
+    if dt is None:
+        raise ValueError("OOB initial STRIPT")
+    stript = -dt * strips
+    firsts = 0
+    ninst = 0
+    guard = 0
+    while ninst < numinstances:
+        guard += 1
+        if guard > numinstances + (1 << 12):
+            raise ValueError("strip loop guard")
+        dt = iadt.decode(dec)
+        if dt is None:
+            raise ValueError("OOB strip delta")
+        stript += dt * strips
+        first = True
+        curs = 0
+        while True:
+            if first:
+                dfs = iafs.decode(dec)
+                if dfs is None:
+                    raise ValueError("OOB first S")
+                firsts += dfs
+                curs = firsts
+                first = False
+            else:
+                ids = iads.decode(dec)
+                if ids is None:
+                    break                      # strip done
+                curs += ids + dsoffset
+            if ninst >= numinstances:
+                raise ValueError("instance overrun")
+            curt = iait.decode(dec) if strips > 1 else 0
+            if curt is None:
+                raise ValueError("OOB CURT")
+            ti = stript + curt
+            sid = iaid.decode(dec)
+            if not 0 <= sid < len(syms):
+                raise ValueError("symbol id out of range")
+            bm = syms[sid]
+            hi, wi = bm.shape
+            if not transposed:
+                if refcorner in (2, 3):        # right corners: pre-advance
+                    curs += wi - 1
+                sx = curs - wi + 1 if refcorner in (2, 3) else curs
+                sy = ti if refcorner in (1, 3) else ti - hi + 1
+            else:
+                if refcorner in (0, 2):        # bottom corners: pre-advance
+                    curs += hi - 1
+                sy = curs - hi + 1 if refcorner in (0, 2) else curs
+                sx = ti if refcorner in (0, 1) else ti - wi + 1
+            _combine_into(region, bm, sx, sy, combop)
+            if not transposed and refcorner in (0, 1):
+                curs += wi - 1                 # left corners: post-advance
+            if transposed and refcorner in (1, 3):
+                curs += hi - 1                 # top corners: post-advance
+            ninst += 1
+    return x, y, region, op
 
 
 # --- embedded segment layer (T.88 §7.2) ------------------------------------
@@ -248,7 +552,8 @@ def _be(b: bytes, off: int, n: int) -> int:
 
 
 def _parse_segment_header(b: bytes, off: int):
-    """-> (seg_number, seg_type, page, data_length, data_offset)."""
+    """-> (seg_number, seg_type, referred_segments, page, data_length,
+    data_offset)."""
     num = _be(b, off, 4)
     flags = _be(b, off + 4, 1)
     seg_type = flags & 0x3F
@@ -264,6 +569,7 @@ def _parse_segment_header(b: bytes, off: int):
     else:
         off += 1
     ref_size = 1 if num <= 256 else (2 if num <= 65536 else 4)
+    refs = [_be(b, off + i * ref_size, ref_size) for i in range(count)]
     off += count * ref_size
     page = _be(b, off, 4 if page4 else 1)
     off += 4 if page4 else 1
@@ -273,7 +579,7 @@ def _parse_segment_header(b: bytes, off: int):
         raise ValueError("unknown-length segment unsupported")
     if off + length > len(b):
         raise ValueError("segment data overruns stream")
-    return num, seg_type, page, length, off
+    return num, seg_type, refs, page, length, off
 
 
 def _region_info(b: bytes, off: int):
@@ -288,24 +594,36 @@ def _region_info(b: bytes, off: int):
 
 
 _GENERIC_TYPES = {36, 38, 39}      # intermediate / immediate / lossless
+_TEXT_TYPES = {6, 7}               # immediate / immediate lossless
 _SKIP_TYPES = {49, 50, 51, 62}     # end-of-page/stripe/file, extension
+
+
+def _gather_symbols(refs: list[int], sym_dicts: dict) -> list:
+    """Input symbol list for a text region or dependent dictionary:
+    the exported symbols of each referred symbol dictionary, in
+    referred order (§6.4.4 / §6.5.8.2.3)."""
+    syms: list[np.ndarray] = []
+    for r in refs:
+        syms.extend(sym_dicts.get(r, ()))
+    return syms
 
 
 def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     """Embedded-format JBIG2 (optional globals stream prepended) ->
     (h, w) float array, black=0.0 / white=255.0 (the _ccitt/_jpeg
     convention).  Raises ValueError for malformed input and for segment
-    types outside the generic-region profile."""
+    types outside the generic/symbol/text profile."""
     stream = bytes(globals_data) + bytes(data)
     off = 0
     page_w = page_h = None
     regions: list[tuple[int, int, np.ndarray, int]] = []
+    sym_dicts: dict[int, list[np.ndarray]] = {}
     guard = 0
     while off < len(stream):
         guard += 1
         if guard > 1 << 12:
             raise ValueError("segment loop guard")
-        _num, seg_type, _page, length, doff = \
+        num, seg_type, refs, _page, length, doff = \
             _parse_segment_header(stream, off)
         body = stream[doff:doff + length]
         if seg_type == 48:                     # page information
@@ -313,6 +631,14 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
             page_h = _be(body, 4, 4)
             if page_h == 0xFFFFFFFF:
                 page_h = None                  # striped: size from regions
+        elif seg_type == 0:                    # symbol dictionary
+            sym_dicts[num] = decode_symbol_dict(
+                body, _gather_symbols(refs, sym_dicts))
+        elif seg_type in _TEXT_TYPES:
+            regions.append(decode_text_region(
+                body, _gather_symbols(refs, sym_dicts)))
+        elif seg_type == 4:
+            raise ValueError("intermediate text region unsupported")
         elif seg_type in _GENERIC_TYPES:
             w, h, x, y, op, roff = _region_info(body, 0)
             # same bounds for BOTH coders (the MMR path must not bypass

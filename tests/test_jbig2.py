@@ -93,19 +93,16 @@ class MQEncoder:
         return bytes(self.out[1:])
 
 
-def encode_generic(bitmap: np.ndarray, template: int = 0,
-                   at: list[tuple[int, int]] | None = None,
-                   tpgdon: bool = False) -> bytes:
-    """Spec-procedure generic-region encoder, GBTEMPLATEs 0-3."""
+def _encode_bitmap_shared(enc: MQEncoder, cx, pos, bitmap: np.ndarray,
+                          tpgdon: bool = False, sltp_cx: int = 0) -> None:
+    """Generic pixel loop over an EXISTING encoder + context (mirrors
+    the decoder's _decode_bitmap sharing for symbol dictionaries)."""
     h, w = bitmap.shape
-    pos = J.template_positions(template, at or J._NOMINAL_AT[template])
-    enc = MQEncoder()
-    cx = [(0, 0)] * (1 << len(pos))
     ltp = 0
     for y in range(h):
         if tpgdon:
             want = int(y > 0 and np.array_equal(bitmap[y], bitmap[y - 1]))
-            enc.encode(cx, J._TPGD_CX[template], want ^ ltp)
+            enc.encode(cx, sltp_cx, want ^ ltp)
             ltp = want
             if ltp:
                 continue
@@ -117,6 +114,17 @@ def encode_generic(bitmap: np.ndarray, template: int = 0,
                 if 0 <= yy < h and 0 <= xx < w:
                     ctx |= int(bitmap[yy, xx])
             enc.encode(cx, ctx, int(bitmap[y, x]))
+
+
+def encode_generic(bitmap: np.ndarray, template: int = 0,
+                   at: list[tuple[int, int]] | None = None,
+                   tpgdon: bool = False) -> bytes:
+    """Spec-procedure generic-region encoder, GBTEMPLATEs 0-3."""
+    pos = J.template_positions(template, at or J._NOMINAL_AT[template])
+    enc = MQEncoder()
+    cx = [(0, 0)] * (1 << len(pos))
+    _encode_bitmap_shared(enc, cx, pos, bitmap, tpgdon,
+                          J._TPGD_CX[template])
     return enc.flush()
 
 
@@ -305,7 +313,7 @@ class TestEmbedded:
         bm = _rand_bitmap(np.random.RandomState(8), 9, 9)
         full = make_jbig2([(0, 0, bm)], page_wh=(9, 9))
         # split: page-info segment into "globals", region into "data"
-        _num, _t, _pg, length, doff = J._parse_segment_header(full, 0)
+        _num, _t, _refs, _pg, length, doff = J._parse_segment_header(full, 0)
         g, rest = full[: doff + length], full[doff + length:]
         assert np.array_equal(J.decode_jbig2(rest, g) == 0.0,
                               bm.astype(bool))
@@ -448,6 +456,440 @@ class TestCombineOps:
     def test_invalid_op_raises(self):
         with pytest.raises(ValueError):
             J.decode_jbig2(self._two_region_stream(7))
+
+
+# --- test-side arithmetic integer / symbol / text encoders -------------------
+
+
+class IntEncoder:
+    """Annex A integer encoder mirroring ArithIntDecoder's prefix tree;
+    encode(None) emits OOB (S=1, V=0)."""
+
+    def __init__(self):
+        self.cx = [(0, 0)] * 512
+
+    def _put(self, enc: MQEncoder, prev: int, b: int) -> int:
+        enc.encode(self.cx, prev, b)
+        if prev < 256:
+            return (prev << 1) | b
+        return ((((prev << 1) | b) & 511) | 256)
+
+    def encode(self, enc: MQEncoder, v: int | None) -> None:
+        prev = 1
+        if v is None:
+            for b in (1, 0, 0, 0):            # sign 1, prefix 0, V=0
+                prev = self._put(enc, prev, b)
+            return
+        s = 1 if v < 0 else 0
+        av = -v if v < 0 else v
+        prev = self._put(enc, prev, s)
+        if av < 4:
+            prefix, nbits, off = (0,), 2, 0
+        elif av < 20:
+            prefix, nbits, off = (1, 0), 4, 4
+        elif av < 84:
+            prefix, nbits, off = (1, 1, 0), 6, 20
+        elif av < 340:
+            prefix, nbits, off = (1, 1, 1, 0), 8, 84
+        elif av < 4436:
+            prefix, nbits, off = (1, 1, 1, 1, 0), 12, 340
+        else:
+            prefix, nbits, off = (1, 1, 1, 1, 1), 32, 4436
+        for b in prefix:
+            prev = self._put(enc, prev, b)
+        val = av - off
+        for i in range(nbits - 1, -1, -1):
+            prev = self._put(enc, prev, (val >> i) & 1)
+
+
+class IaidEncoder:
+    def __init__(self, symcodelen: int):
+        self.n = symcodelen
+        self.cx = [(0, 0)] * (1 << (symcodelen + 1))
+
+    def encode(self, enc: MQEncoder, sid: int) -> None:
+        prev = 1
+        for i in range(self.n - 1, -1, -1):
+            b = (sid >> i) & 1
+            enc.encode(self.cx, prev, b)
+            prev = (prev << 1) | b
+
+
+def encode_symbol_dict_body(symbols: list[np.ndarray], template: int = 0,
+                            n_insyms: int = 0) -> bytes:
+    """Symbol-dictionary segment body (§7.4.3): one height class per run
+    of consecutive equal heights; exports ALL input + new symbols."""
+    pos = J.template_positions(template, J._NOMINAL_AT[template])
+    enc = MQEncoder()
+    gbcx = [(0, 0)] * (1 << len(pos))
+    iadh, iadw, iaex = IntEncoder(), IntEncoder(), IntEncoder()
+    hprev = 0
+    i = 0
+    while i < len(symbols):
+        h = symbols[i].shape[0]
+        iadh.encode(enc, h - hprev)
+        hprev = h
+        wprev = 0
+        while i < len(symbols) and symbols[i].shape[0] == h:
+            w = symbols[i].shape[1]
+            iadw.encode(enc, w - wprev)
+            wprev = w
+            _encode_bitmap_shared(enc, gbcx, pos, symbols[i])
+            i += 1
+        iadw.encode(enc, None)                 # OOB: height class done
+    iaex.encode(enc, 0)                        # run of not-exported
+    iaex.encode(enc, n_insyms + len(symbols))  # export everything
+    data = enc.flush()
+    flags = template << 10
+    total_ex = n_insyms + len(symbols)
+    return (flags.to_bytes(2, "big") + _AT_BYTES[template]
+            + total_ex.to_bytes(4, "big")
+            + len(symbols).to_bytes(4, "big") + data)
+
+
+def _advances(refcorner: int, transposed: int, wi: int, hi: int):
+    """(pre, post) CURS advance amounts per T.88 §6.4.5 steps vii-xi."""
+    if not transposed:
+        pre = wi - 1 if refcorner in (2, 3) else 0
+        post = wi - 1 if refcorner in (0, 1) else 0
+    else:
+        pre = hi - 1 if refcorner in (0, 2) else 0
+        post = hi - 1 if refcorner in (1, 3) else 0
+    return pre, post
+
+
+def corner_to_topleft(refcorner: int, transposed: int, s: int, t: int,
+                      wi: int, hi: int) -> tuple[int, int]:
+    """(s_corner, t_corner) -> top-left (x, y) canvas position."""
+    if not transposed:
+        x = s - wi + 1 if refcorner in (2, 3) else s
+        y = t if refcorner in (1, 3) else t - hi + 1
+    else:
+        y = s - hi + 1 if refcorner in (0, 2) else s
+        x = t if refcorner in (0, 1) else t - wi + 1
+    return x, y
+
+
+def encode_text_region_body(w: int, h: int, x: int, y: int,
+                            placements: list[tuple[int, int, int]],
+                            symbols: list[np.ndarray],
+                            refcorner: int = 1, transposed: int = 0,
+                            combop: int = 0, dsoffset: int = 0,
+                            defpixel: int = 0, logstrips: int = 0,
+                            op: int = 0) -> bytes:
+    """Text-region segment body (§7.4.4).  ``placements`` are
+    (symbol_id, s_corner, t_corner) in the spec's coordinate semantics
+    for the chosen REFCORNER/TRANSPOSED."""
+    strips = 1 << logstrips
+    symcodelen = J._symcodelen(len(symbols))
+    enc = MQEncoder()
+    iadt, iafs, iads, iait = (IntEncoder(), IntEncoder(), IntEncoder(),
+                              IntEncoder())
+    iaid = IaidEncoder(symcodelen)
+    iadt.encode(enc, 0)                        # STRIPT starts at 0
+    stript = 0
+    firsts = 0
+    by_strip: dict[int, list[tuple[int, int, int]]] = {}
+    for sid, s, t in placements:
+        by_strip.setdefault((t // strips) * strips, []).append((sid, s, t))
+    for strip_t in sorted(by_strip):
+        assert (strip_t - stript) % strips == 0
+        iadt.encode(enc, (strip_t - stript) // strips)
+        stript = strip_t
+        first = True
+        curs = 0
+        for sid, s, t in sorted(by_strip[strip_t], key=lambda p: p[1]):
+            hi, wi = symbols[sid].shape
+            pre, post = _advances(refcorner, transposed, wi, hi)
+            target = s - pre                   # CURS value after delta
+            if first:
+                iafs.encode(enc, target - firsts)
+                firsts = target
+                first = False
+            else:
+                iads.encode(enc, target - curs - dsoffset)
+            curs = target + pre + post
+            if strips > 1:
+                iait.encode(enc, t - strip_t)
+            iaid.encode(enc, sid)
+        iads.encode(enc, None)                 # OOB: strip done
+    data = enc.flush()
+    flags = ((logstrips << 2) | (refcorner << 4) | (transposed << 6)
+             | (combop << 7) | (defpixel << 9)
+             | ((dsoffset & 0x1F) << 10))
+    info = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + x.to_bytes(4, "big") + y.to_bytes(4, "big") + bytes([op]))
+    return (info + flags.to_bytes(2, "big")
+            + len(placements).to_bytes(4, "big") + data)
+
+
+def _seg_ref(num: int, seg_type: int, refs: list[int], body: bytes,
+             page: int = 1) -> bytes:
+    """Segment header with a short-form referred-segment list."""
+    assert len(refs) <= 4 and all(r <= 256 for r in refs)
+    return (num.to_bytes(4, "big") + bytes([seg_type])
+            + bytes([len(refs) << 5])
+            + b"".join(r.to_bytes(1, "big") for r in refs)
+            + bytes([page]) + len(body).to_bytes(4, "big") + body)
+
+
+def make_jbig2_text(symbols: list[np.ndarray],
+                    placements: list[tuple[int, int, int]],
+                    page_wh: tuple[int, int], template: int = 0,
+                    **text_kw) -> bytes:
+    """Page info + symbol dictionary + one immediate text region."""
+    pw, ph = page_wh
+    page = (pw.to_bytes(4, "big") + ph.to_bytes(4, "big")
+            + bytes(8) + b"\x00" + bytes(2))
+    dict_body = encode_symbol_dict_body(symbols, template)
+    text_body = encode_text_region_body(pw, ph, 0, 0, placements,
+                                        symbols, **text_kw)
+    return (_seg(1, 48, page) + _seg_ref(2, 0, [], dict_body)
+            + _seg_ref(3, 6, [2], text_body))
+
+
+def _glyphs() -> list[np.ndarray]:
+    """Tiny deterministic 'font': distinct shapes, mixed sizes."""
+    a = np.zeros((5, 4), dtype=np.uint8)
+    a[:, 0] = 1
+    a[0, :] = 1                                # Γ shape
+    b = np.zeros((5, 3), dtype=np.uint8)
+    b[:, -1] = 1
+    b[-1, :] = 1                               # L mirrored
+    c = np.ones((3, 3), dtype=np.uint8)
+    c[1, 1] = 0                                # ring
+    d = np.zeros((5, 5), dtype=np.uint8)
+    np.fill_diagonal(d, 1)                     # diagonal
+    return [a, b, c, d]
+
+
+class TestArithInt:
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_random_round_trip(self, seed):
+        rng = np.random.RandomState(seed)
+        vals = []
+        for _ in range(400):
+            r = rng.rand()
+            if r < 0.1:
+                vals.append(None)
+            elif r < 0.5:
+                vals.append(int(rng.randint(-30, 30)))
+            else:
+                vals.append(int(rng.randint(-100000, 100000)))
+        enc = MQEncoder()
+        ie = IntEncoder()
+        for v in vals:
+            ie.encode(enc, v)
+        dec = J.MQDecoder(enc.flush())
+        idec = J.ArithIntDecoder()
+        assert [idec.decode(dec) for _ in vals] == vals
+
+    def test_range_boundaries(self):
+        vals = [0, 3, 4, 19, 20, 83, 84, 339, 340, 4435, 4436, 100000,
+                -1, -4, -20, -84, -340, -4436, -(1 << 20), None]
+        enc = MQEncoder()
+        ie = IntEncoder()
+        for v in vals:
+            ie.encode(enc, v)
+        dec = J.MQDecoder(enc.flush())
+        idec = J.ArithIntDecoder()
+        assert [idec.decode(dec) for _ in vals] == vals
+
+    def test_iaid_round_trip(self):
+        for n in (1, 2, 3, 5):
+            enc = MQEncoder()
+            ide = IaidEncoder(n)
+            ids = list(range(1 << n)) * 3
+            for i in ids:
+                ide.encode(enc, i)
+            dec = J.MQDecoder(enc.flush())
+            idd = J.ArithIaidDecoder(n)
+            assert [idd.decode(dec) for _ in ids] == ids
+
+    def test_symcodelen(self):
+        assert J._symcodelen(1) == 1
+        assert J._symcodelen(2) == 1
+        assert J._symcodelen(3) == 2
+        assert J._symcodelen(4) == 2
+        assert J._symcodelen(5) == 3
+
+
+class TestSymbolDict:
+    def test_round_trip_mixed_heights(self):
+        syms = _glyphs()                       # heights 5,5,3,5
+        body = encode_symbol_dict_body(syms)
+        out = J.decode_symbol_dict(body, [])
+        assert len(out) == len(syms)
+        for got, want in zip(out, syms):
+            assert np.array_equal(got, want)
+
+    def test_import_across_dictionaries(self):
+        syms = _glyphs()
+        body_a = encode_symbol_dict_body(syms[:2])
+        got_a = J.decode_symbol_dict(body_a, [])
+        body_b = encode_symbol_dict_body(syms[2:], n_insyms=2)
+        got_b = J.decode_symbol_dict(body_b, got_a)
+        assert len(got_b) == 4
+        for got, want in zip(got_b, syms):
+            assert np.array_equal(got, want)
+
+    def test_huffman_and_refagg_rejected(self):
+        for flags in (1, 2, 0x100, 0x200):
+            body = flags.to_bytes(2, "big") + bytes(16)
+            with pytest.raises(ValueError):
+                J.decode_symbol_dict(body, [])
+
+    def test_absurd_counts_rejected(self):
+        body = (0).to_bytes(2, "big") + _AT_BYTES[0] \
+            + (1 << 20).to_bytes(4, "big") + (1 << 20).to_bytes(4, "big")
+        with pytest.raises(ValueError):
+            J.decode_symbol_dict(body, [])
+
+
+class TestTextRegion:
+    def test_known_answer_topleft(self):
+        # one ring glyph at (2, 1), one at (6, 3) on an 10x6 canvas
+        syms = [_glyphs()[2]]                  # 3x3 ring
+        stream = make_jbig2_text(syms, [(0, 2, 1), (0, 6, 3)],
+                                 page_wh=(10, 6))
+        px = J.decode_jbig2(stream)
+        want = np.zeros((6, 10), dtype=bool)
+        want[1:4, 2:5] = syms[0].astype(bool)
+        want[3:6, 6:9] |= syms[0].astype(bool)
+        assert np.array_equal(px == 0.0, want)
+
+    @pytest.mark.parametrize("refcorner", [0, 1, 2, 3])
+    @pytest.mark.parametrize("transposed", [0, 1])
+    def test_all_corners_and_transposed(self, refcorner, transposed):
+        syms = _glyphs()
+        # corner coordinates chosen so every glyph stays on-canvas
+        placements = [(0, 8, 8), (1, 16, 8), (2, 24, 12), (3, 9, 18)]
+        stream = make_jbig2_text(syms, placements, page_wh=(34, 34),
+                                 refcorner=refcorner,
+                                 transposed=transposed)
+        px = J.decode_jbig2(stream)
+        want = np.zeros((34, 34), dtype=bool)
+        for sid, s, t in placements:
+            hi, wi = syms[sid].shape
+            x, y = corner_to_topleft(refcorner, transposed, s, t, wi, hi)
+            want[y:y + hi, x:x + wi] |= syms[sid].astype(bool)
+        assert np.array_equal(px == 0.0, want)
+
+    def test_multi_strip_with_iait(self):
+        syms = _glyphs()
+        placements = [(0, 2, 1), (1, 9, 3), (2, 15, 2), (3, 2, 11),
+                      (0, 10, 13)]
+        stream = make_jbig2_text(syms, placements, page_wh=(24, 20),
+                                 logstrips=2)   # SBSTRIPS=4, CURT coded
+        px = J.decode_jbig2(stream)
+        want = np.zeros((20, 24), dtype=bool)
+        for sid, s, t in placements:
+            hi, wi = syms[sid].shape
+            want[t:t + hi, s:s + wi] |= syms[sid].astype(bool)
+        assert np.array_equal(px == 0.0, want)
+
+    def test_dsoffset_and_defpixel(self):
+        syms = [np.ones((2, 2), dtype=np.uint8)]
+        placements = [(0, 1, 1), (0, 6, 1)]
+        stream = make_jbig2_text(syms, placements, page_wh=(10, 4),
+                                 dsoffset=3, defpixel=1, combop=1)
+        px = J.decode_jbig2(stream)
+        # defpixel=1 + AND-combine: only glyph interiors stay black...
+        # glyphs are all-ones so whole canvas stays black
+        assert (px == 0.0).all()
+
+    def test_xor_combine(self):
+        syms = [np.ones((3, 3), dtype=np.uint8)]
+        # overlapping placements XOR to a plus-ring pattern
+        stream = make_jbig2_text(syms, [(0, 2, 1), (0, 4, 1)],
+                                 page_wh=(10, 5), combop=2)
+        px = J.decode_jbig2(stream)
+        black = px == 0.0
+        assert black[1:4, 2:4].all()           # only-first region
+        assert not black[1:4, 4:5].any()       # overlap flipped white
+        assert black[1:4, 5:7].all()           # only-second region
+
+    def test_symbol_clipped_at_region_edge(self):
+        syms = [np.ones((4, 4), dtype=np.uint8)]
+        stream = make_jbig2_text(syms, [(0, 6, 2)], page_wh=(8, 4))
+        px = J.decode_jbig2(stream)
+        assert (px[2:4, 6:8] == 0.0).all()
+        assert (px[:2, :] == 255.0).all()
+
+    def test_no_symbols_rejected(self):
+        body = encode_text_region_body(8, 8, 0, 0, [], [np.ones((1, 1),
+                                       dtype=np.uint8)])
+        seg = _seg(1, 48, (8).to_bytes(4, "big") + (8).to_bytes(4, "big")
+                   + bytes(8) + b"\x00" + bytes(2)) \
+            + _seg_ref(2, 6, [], body)         # refers to NO dictionary
+        with pytest.raises(ValueError):
+            J.decode_jbig2(seg)
+
+    def test_symbol_id_out_of_range(self):
+        # region coded for a 2-symbol alphabet, dictionary has only 1
+        syms2 = [np.ones((2, 2), dtype=np.uint8),
+                 np.ones((2, 3), dtype=np.uint8)]
+        body = encode_text_region_body(8, 8, 0, 0, [(1, 1, 1)], syms2)
+        dict_body = encode_symbol_dict_body(syms2[:1])
+        page = ((8).to_bytes(4, "big") + (8).to_bytes(4, "big")
+                + bytes(8) + b"\x00" + bytes(2))
+        stream = (_seg(1, 48, page) + _seg_ref(2, 0, [], dict_body)
+                  + _seg_ref(3, 6, [2], body))
+        with pytest.raises(ValueError):
+            J.decode_jbig2(stream)
+
+    def test_huffman_and_refine_rejected(self):
+        info = ((8).to_bytes(4, "big") + (8).to_bytes(4, "big")
+                + bytes(8) + b"\x00")
+        for flags in (1, 2):
+            body = info + flags.to_bytes(2, "big") + bytes(8)
+            with pytest.raises(ValueError):
+                J.decode_text_region(body, [np.ones((1, 1),
+                                            dtype=np.uint8)])
+
+    def test_intermediate_text_region_rejected(self):
+        with pytest.raises(ValueError):
+            J.decode_jbig2(_seg(1, 4, bytes(24)))
+
+    def test_mutation_fuzz_total(self):
+        rng = np.random.RandomState(77)
+        base = bytearray(make_jbig2_text(_glyphs(),
+                                         [(0, 2, 1), (2, 10, 4)],
+                                         page_wh=(20, 12)))
+        for _ in range(250):
+            mut = bytearray(base)
+            for _ in range(rng.randint(1, 4)):
+                mut[rng.randint(len(mut))] ^= 1 << rng.randint(8)
+            try:
+                out = J.decode_jbig2(bytes(mut))
+                assert out.ndim == 2
+            except ValueError:
+                pass
+
+
+class TestSymbolTextPdfIntegration:
+    def test_symbol_text_jbig2_in_pdf(self):
+        from pdf_extraction_tests_spark.sources.pdf_min import (
+            extract_pdf_media, write_minimal_pdf)
+
+        syms = _glyphs()
+        payload = make_jbig2_text(syms, [(0, 1, 1), (1, 7, 1),
+                                         (3, 12, 1)], page_wh=(20, 8))
+        pdf = write_minimal_pdf(
+            [[("text", 72, 90, 12, "sy"), ("jbig2", "Jb1",
+               payload, 20, 8)]])
+        media = extract_pdf_media(pdf)
+        m = [x for x in media if x["codec"] == "jbig2"]
+        assert len(m) == 1
+        assert m[0]["content"].startswith(b"P5\n20 8\n255\n")
+        px = np.frombuffer(
+            m[0]["content"].split(b"\n", 3)[3],
+            dtype=np.uint8).reshape(8, 20)
+        want = np.zeros((8, 20), dtype=bool)
+        for sid, s, t in [(0, 1, 1), (1, 7, 1), (3, 12, 1)]:
+            hi, wi = syms[sid].shape
+            want[t:t + hi, s:s + wi] |= syms[sid].astype(bool)
+        assert np.array_equal(px == 0, want)
 
 
 class TestResourceCeilings:
