@@ -91,11 +91,11 @@ def learn_merges(corpus: str, n_merges: int) -> list[tuple[str, str]]:
     return _learn_from_freqs(freqs, n_merges)
 
 
-def _learn_from_freqs(freqs: dict[str, int],
-                      n_merges: int) -> list[tuple[str, str]]:
-    """The merge loop proper, over an aggregated word-frequency table —
-    shared by the local and the Spark trainer (training cost depends on
-    DISTINCT words, never corpus size)."""
+def _learn_from_freqs_naive(freqs: dict[str, int],
+                            n_merges: int) -> list[tuple[str, str]]:
+    """Reference merge loop: full pair recount + full vocab rewrite per
+    merge.  O(n_merges * corpus) — kept as the differential oracle for
+    the indexed trainer below (test_bpe pins equality)."""
     vocab = {tuple(w): n for w, n in freqs.items()}
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
@@ -105,6 +105,78 @@ def _learn_from_freqs(freqs: dict[str, int],
         best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         merges.append(best)
         vocab = _merge_vocab(vocab, best)
+    return merges
+
+
+def _learn_from_freqs(freqs: dict[str, int],
+                      n_merges: int) -> list[tuple[str, str]]:
+    """The merge loop proper, over an aggregated word-frequency table —
+    shared by the local and the Spark trainer (training cost depends on
+    DISTINCT words, never corpus size).
+
+    Indexed implementation: pair counts update incrementally (only the
+    words containing the merged pair are touched) and the best pair
+    comes from a lazy max-heap keyed (count desc, pair asc) — the same
+    selection order as the naive recount loop, so the output merge
+    tables are identical (pinned).  This is what makes 4k-merge
+    corpus-learned tables practical: the naive loop is quadratic-ish
+    and tops out around a few hundred merges."""
+    import heapq
+
+    words: list[list[str]] = []
+    wfreq: list[int] = []
+    for w, n in freqs.items():
+        words.append(list(w))
+        wfreq.append(n)
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for wi, syms in enumerate(words):
+        n = wfreq[wi]
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] = pair_counts.get(p, 0) + n
+            pair_words.setdefault(p, set()).add(wi)
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges and heap:
+        negc, best = heapq.heappop(heap)
+        if pair_counts.get(best, 0) != -negc:
+            continue                            # stale heap entry
+        merges.append(best)
+        a, b = best
+        ab = a + b
+        touched: set[tuple[str, str]] = set()
+        for wi in pair_words.pop(best, ()):     # only affected words
+            syms = words[wi]
+            n = wfreq[wi]
+            for i in range(len(syms) - 1):      # retract old pairs
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] -= n
+                touched.add(p)
+            merged: list[str] = []
+            i = 0
+            while i < len(syms):                # left-to-right, like
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):  # _merge_vocab
+                    merged.append(ab)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            words[wi] = merged
+            for i in range(len(merged) - 1):    # add new pairs
+                p = (merged[i], merged[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + n
+                pair_words.setdefault(p, set()).add(wi)
+                touched.add(p)
+        for p in touched:
+            c = pair_counts.get(p, 0)
+            if c <= 0:
+                pair_counts.pop(p, None)
+                pair_words.pop(p, None)
+            else:
+                heapq.heappush(heap, (-c, p))
     return merges
 
 
@@ -141,52 +213,127 @@ def learn_merges_spark(docs, n_merges: int, text_col: str = "text",
 
 
 DEFAULT_MERGES: list[tuple[str, str]] = learn_merges(_SEED_CORPUS, 96)
-_RANK: dict[tuple[str, str], int] = {
-    p: i for i, p in enumerate(DEFAULT_MERGES)}
+
+
+class BpeTokenizer:
+    """A BPE apply engine over an arbitrary merge table — the seed-table
+    default and corpus-learned snapshot tables go through the same code.
+    Instances are cheap to ship into an Arrow UDF closure (the merge
+    list is a few thousand small tuples)."""
+
+    def __init__(self, merges: list[tuple[str, str]]):
+        self.merges = [tuple(p) for p in merges]
+        self._rank = {p: i for i, p in enumerate(self.merges)}
+        self._cache: dict[str, tuple[str, ...]] = {}
+
+    def pieces(self, word: str) -> tuple[str, ...]:
+        """Greedy BPE apply: repeatedly merge the LOWEST-RANK adjacent
+        pair (the standard apply loop — rank order, not left-to-right
+        order).  Per-word cache amortizes repeated vocabulary."""
+        hit = self._cache.get(word)
+        if hit is not None:
+            return hit
+        rank = self._rank
+        syms = list(word)
+        while len(syms) > 1:
+            best_rank, best_i = None, -1
+            for i in range(len(syms) - 1):
+                r = rank.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        out = tuple(syms)
+        if len(self._cache) < 65536:
+            self._cache[word] = out
+        return out
+
+    def token_count(self, text: str | None) -> int:
+        if text is None:
+            return 0
+        pieces = self.pieces
+        return sum(len(pieces(w)) for w in _WORD_RE.findall(text.lower()))
+
+    def tokenize(self, text: str) -> list[str]:
+        out: list[str] = []
+        for w in _WORD_RE.findall(text.lower()):
+            out.extend(self.pieces(w))
+        return out
+
+
+_DEFAULT_TOKENIZER = BpeTokenizer(DEFAULT_MERGES)
 
 
 @lru_cache(maxsize=65536)
 def bpe_pieces(word: str) -> tuple[str, ...]:
-    """Greedy BPE apply: repeatedly merge the LOWEST-RANK adjacent pair
-    (the standard apply loop — rank order, not left-to-right order)."""
-    syms = list(word)
-    while len(syms) > 1:
-        best_rank, best_i = None, -1
-        for i in range(len(syms) - 1):
-            r = _RANK.get((syms[i], syms[i + 1]))
-            if r is not None and (best_rank is None or r < best_rank):
-                best_rank, best_i = r, i
-        if best_rank is None:
-            break
-        syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
-    return tuple(syms)
+    """DEFAULT_MERGES apply (back-compat module-level surface)."""
+    return _DEFAULT_TOKENIZER.pieces(word)
 
 
 def bpe_token_count(text: str | None) -> int:
     """Subword token count of ``text`` under DEFAULT_MERGES (lowercased
     for merge lookup; counts are case-insensitive by construction)."""
-    if text is None:
-        return 0
-    return sum(len(bpe_pieces(w)) for w in _WORD_RE.findall(text.lower()))
+    return _DEFAULT_TOKENIZER.token_count(text)
 
 
 def bpe_tokenize(text: str) -> list[str]:
     """The pieces themselves (debugging / vocabulary inspection)."""
-    out: list[str] = []
-    for w in _WORD_RE.findall(text.lower()):
-        out.extend(bpe_pieces(w))
-    return out
+    return _DEFAULT_TOKENIZER.tokenize(text)
 
 
-def token_count_col(text_col: str, tokenizer: str = "whitespace") -> Column:
+# --- merge-table persistence (snapshot artifact) ----------------------------
+
+
+def save_merge_table(spark, merges: list[tuple[str, str]],
+                     table_dir: str) -> int:
+    """Persist a learned merge table as a snapshot artifact
+    (rank, left, right) — the 'train once, load everywhere' shape: the
+    expensive corpus aggregation runs one time and every later job reads
+    the frozen table, so token counts stay reproducible cluster-wide."""
+    from ..snapshots import commit_snapshot
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string")
+    return commit_snapshot(df, table_dir, mode="overwrite")
+
+
+def load_merge_table(spark, table_dir: str) -> list[tuple[str, str]]:
+    """Load a merge table persisted by :func:`save_merge_table`."""
+    from ..snapshots import read_snapshot
+
+    df = read_snapshot(spark, table_dir)
+    if df is None:
+        raise ValueError(f"no merge table snapshot at {table_dir}")
+    rows = df.collect()  # bounded-sample ok: merge tables are a few k rows
+    return [(r.left, r.right) for r in sorted(rows, key=lambda r: r.rank)]
+
+
+def train_merge_table(spark, docs, table_dir: str, n_merges: int = 4096,
+                      text_col: str = "text",
+                      sample: int = 4096) -> list[tuple[str, str]]:
+    """learn_merges_spark + save_merge_table in one call (the once-per-
+    corpus training job)."""
+    merges = learn_merges_spark(docs, n_merges, text_col, sample)
+    save_merge_table(spark, merges, table_dir)
+    return merges
+
+
+def token_count_col(text_col: str, tokenizer: str = "whitespace",
+                    merges: list[tuple[str, str]] | None = None) -> Column:
     """Token-count column under the chosen tokenizer.
 
     ``whitespace``: codegen'd split/size — exactly the q45/q49 legacy
     semantics and DuckDB-oracle-able.  ``bpe``: Arrow-batched pandas_udf
-    over :func:`bpe_token_count` (per-word LRU cache amortizes repeated
-    vocabulary across a batch; pytest pins Spark == local).  At 100 TB the
-    bpe path stays scan-side (no shuffle; one Python worker per core) —
-    the downstream prefix-sum machinery is tokenizer-agnostic.
+    (per-word cache amortizes repeated vocabulary across a batch; pytest
+    pins Spark == local); ``merges`` selects the table — None keeps the
+    frozen seed default, a corpus-learned table from
+    :func:`load_merge_table` makes the counts corpus-calibrated.  At
+    100 TB the bpe path stays scan-side (no shuffle; one Python worker
+    per core) — the downstream prefix-sum machinery is
+    tokenizer-agnostic, and the merge list rides the UDF closure (a few
+    thousand tuples, broadcast once per executor).
     """
     if tokenizer == "whitespace":
         return F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
@@ -194,8 +341,10 @@ def token_count_col(text_col: str, tokenizer: str = "whitespace") -> Column:
         raise ValueError(f"unknown tokenizer {tokenizer!r}")
     from pyspark.sql.functions import pandas_udf
 
+    tok = _DEFAULT_TOKENIZER if merges is None else BpeTokenizer(merges)
+
     @pandas_udf("long")
     def _count(texts: pd.Series) -> pd.Series:
-        return texts.map(bpe_token_count).astype("int64")
+        return texts.map(tok.token_count).astype("int64")
 
     return _count(F.col(text_col))

@@ -46,7 +46,8 @@ def auto_sub_width(docs: DataFrame, id_col: str = "doc_id",
 def sequence_pack(docs: DataFrame, seq_len: int = 2048,
                   text_col: str = "text", id_col: str = "doc_id",
                   sub_width: int | None = None,
-                  tokenizer: str = "whitespace") -> DataFrame:
+                  tokenizer: str = "whitespace",
+                  merges: list | None = None) -> DataFrame:
     """-> (doc_id, n_tokens, seq_id, seq_offset) for every non-NULL-text
     document, under the chosen tokenization and doc_id concatenation
     order.  ``seq_id`` is the fixed-length sequence containing the doc's
@@ -66,7 +67,7 @@ def sequence_pack(docs: DataFrame, seq_len: int = 2048,
 
     if sub_width is None:
         sub_width = auto_sub_width(docs, id_col)
-    toks = token_count_col(text_col, tokenizer)
+    toks = token_count_col(text_col, tokenizer, merges)
     scored = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         toks.alias("_toks"),

@@ -528,14 +528,17 @@ def quality_score_sql(table: str = "documents") -> str:
 
 
 def with_token_counts(docs: DataFrame, text_col: str = "text",
-                      tokenizer: str = "whitespace") -> DataFrame:
+                      tokenizer: str = "whitespace",
+                      merges: list | None = None) -> DataFrame:
     """Whitespace tokens + subword-piece count (word-boundary pieces:
     runs of letters, digits, or single punctuation — the deterministic
     proxy for tokenizer load planning).  ``tokenizer='bpe'`` ADDS a
     ``bpe_tokens`` column: real greedy-merge subword counts from
     :mod:`..functions.bpe` (Arrow-batched kernel, pytest-pinned ==
     the local implementation; not DuckDB-expressible, so q31 registers
-    the whitespace mode)."""
+    the whitespace mode).  ``merges`` selects the BPE table: None =
+    frozen seed default; pass a corpus-learned table from
+    ``functions.bpe.load_merge_table`` for corpus-calibrated counts."""
     t = F.col(text_col)
     ws_tokens = F.size(F.split(F.trim(t), r"\s+"))
     # RE2-compatible (no lookarounds) so the DuckDB oracle is exact
@@ -546,7 +549,7 @@ def with_token_counts(docs: DataFrame, text_col: str = "text",
         from ..functions.bpe import token_count_col
 
         out = out.withColumn(
-            "bpe_tokens", token_count_col(text_col, "bpe"))
+            "bpe_tokens", token_count_col(text_col, "bpe", merges))
     elif tokenizer != "whitespace":
         raise ValueError(f"unknown tokenizer {tokenizer!r}")
     return out

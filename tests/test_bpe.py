@@ -171,3 +171,118 @@ class TestSparkTraining:
         # more than `sample` rows
         got = B.learn_merges_spark(docs, 8, sample=50)
         assert len(got) == 8
+
+
+class TestIndexedTrainer:
+    """The incremental indexed merge loop must equal the naive
+    recount-everything loop merge for merge (selection AND tie-breaks)."""
+
+    @pytest.mark.parametrize("seed,n_merges", [(0, 64), (1, 200), (2, 96)])
+    def test_matches_naive(self, seed, n_merges):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        alphabet = list("abcdefgh")
+        words = ["".join(rng.choice(alphabet, size=rng.randint(1, 12)))
+                 for _ in range(300)]
+        freqs: dict[str, int] = {}
+        for w in words:
+            freqs[w] = freqs.get(w, 0) + int(rng.randint(1, 9))
+        fast = B._learn_from_freqs(dict(freqs), n_merges)
+        naive = B._learn_from_freqs_naive(dict(freqs), n_merges)
+        assert fast == naive
+
+    def test_matches_naive_on_seed_corpus(self):
+        freqs: dict[str, int] = {}
+        for w in B._WORD_RE.findall(B._SEED_CORPUS.lower()):
+            freqs[w] = freqs.get(w, 0) + 1
+        assert (B._learn_from_freqs(dict(freqs), 96)
+                == B._learn_from_freqs_naive(dict(freqs), 96))
+
+    def test_exhausts_and_stops(self):
+        # more merges requested than pairs exist: stops cleanly
+        got = B._learn_from_freqs({"ab": 3, "cd": 2}, 50)
+        assert got == [("a", "b"), ("c", "d")]
+
+    def test_large_table_is_practical(self):
+        # 2k merges over a 4k-word vocabulary completes quickly — the
+        # whole point of the indexed loop (naive would take minutes)
+        import time
+
+        import numpy as np
+
+        rng = np.random.RandomState(9)
+        alphabet = list("abcdefghijklmnop")
+        freqs = {}
+        while len(freqs) < 4096:
+            w = "".join(rng.choice(alphabet, size=rng.randint(2, 14)))
+            freqs[w] = freqs.get(w, 0) + 1
+        t0 = time.time()
+        got = B._learn_from_freqs(freqs, 2048)
+        assert len(got) == 2048
+        assert time.time() - t0 < 60
+
+
+class TestCorpusLearnedTable:
+    def test_snapshot_round_trip_equals_retrained(self, spark, docs,
+                                                  tmp_path):
+        """train-once/load-everywhere: the snapshot artifact reloads to
+        exactly the table a retrain produces (advice item: corpus-learned
+        BPE as the default bpe mode)."""
+        d = docs.filter(F.col("doc_id") < 100)
+        table_dir = str(tmp_path / "bpe_merges")
+        trained = B.train_merge_table(spark, d, table_dir, n_merges=128)
+        loaded = B.load_merge_table(spark, table_dir)
+        assert loaded == trained
+        retrained = B.learn_merges_spark(d, 128)
+        assert loaded == retrained
+
+    def test_token_count_col_custom_merges_matches_local(self, spark,
+                                                         docs):
+        d = docs.filter(F.col("doc_id") < 60)
+        merges = B.learn_merges_spark(d, 64)
+        tok = B.BpeTokenizer(merges)
+        got = (d.filter(F.col("text").isNotNull())
+               .select("doc_id", "text",
+                       B.token_count_col("text", "bpe", merges)
+                       .alias("n"))
+               .toPandas().sort_values("doc_id").reset_index(drop=True))
+        assert (got["n"] == got["text"].map(tok.token_count)).all()
+
+    def test_corpus_table_compresses_better_than_seed(self, spark, docs):
+        """A table learned FROM the corpus yields no more tokens on that
+        corpus than the generic 96-merge seed table (it subsumes the
+        frequent corpus vocabulary)."""
+        d = docs.filter(F.col("doc_id") < 150)
+        merges = B.learn_merges_spark(d, 1024)
+        tok = B.BpeTokenizer(merges)
+        texts = [r.text for r in d.filter(F.col("text").isNotNull())
+                 .select("text").collect()]
+        corpus_total = sum(tok.token_count(t) for t in texts)
+        seed_total = sum(B.bpe_token_count(t) for t in texts)
+        assert corpus_total < seed_total
+
+    def test_default_tokenizer_is_seed_table(self):
+        assert B.BpeTokenizer(B.DEFAULT_MERGES).token_count(
+            "the quick brown fox") == B.bpe_token_count(
+            "the quick brown fox")
+
+    def test_load_missing_table_raises(self, spark, tmp_path):
+        with pytest.raises(ValueError):
+            B.load_merge_table(spark, str(tmp_path / "nope"))
+
+    def test_sequence_pack_with_corpus_merges(self, spark, docs):
+        from pdf_extraction_tests_spark.operators.packing import (
+            sequence_pack)
+
+        d = docs.filter(F.col("doc_id") < 80)
+        merges = B.learn_merges_spark(d, 64)
+        tok = B.BpeTokenizer(merges)
+        got = (sequence_pack(d, seq_len=64, tokenizer="bpe",
+                             merges=merges).toPandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        local = (d.filter(F.col("text").isNotNull())
+                 .select("doc_id", "text").toPandas()
+                 .sort_values("doc_id").reset_index(drop=True))
+        assert (got["n_tokens"]
+                == local["text"].map(tok.token_count)).all()
