@@ -46,7 +46,7 @@ def _effective_tasks() -> int:
     return max(1, min(int(CPUS), cap)) if CPUS.isdigit() else cap
 # bump CORPUS_VERSION whenever corpus.py changes the synthesized content —
 # ensure_corpus caches by directory name
-CORPUS_VERSION = 2
+CORPUS_VERSION = 3
 CORPUS_DIR = os.path.join(
     REPO, ".bench",
     f'{os.path.basename(SF_DIR.rstrip("/"))}_corpus_x{REPLICATE}_v{CORPUS_VERSION}',
@@ -381,6 +381,42 @@ def kernel_ab(ref: str, rounds: int = 3) -> dict:
     }
 
 
+def bench_bpe(spark) -> dict:
+    """Corpus-learned BPE block (round-6 advice item): train a 4k-merge
+    table from the bench corpus ONCE, persist it as a snapshot artifact
+    under .bench/, and time bpe-mode token counting over the documents
+    table with the learned table — the 'train once, count everywhere'
+    shape a production token-budget pipeline runs."""
+    from pyspark.sql import functions as F
+
+    from pdf_extraction_tests_spark.functions.bpe import (
+        load_merge_table, token_count_col, train_merge_table)
+
+    table_dir = os.path.join(
+        REPO, ".bench",
+        f'bpe_merges_{os.path.basename(SF_DIR.rstrip("/"))}')
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    train_sec = None
+    t0 = time.time()
+    try:
+        merges = load_merge_table(spark, table_dir)
+    except ValueError:
+        merges = train_merge_table(spark, docs, table_dir, n_merges=4096)
+        train_sec = round(time.time() - t0, 3)
+    t0 = time.time()
+    total = docs.select(
+        F.sum(token_count_col("text", "bpe", merges)).alias("n")
+    ).first()["n"]
+    count_sec = time.time() - t0
+    return {
+        "n_merges": len(merges),
+        "train_sec": train_sec,              # None when cached
+        "count_sec": round(count_sec, 3),
+        "total_bpe_tokens": int(total or 0),
+        "tokens_per_sec": round((total or 0) / count_sec, 1),
+    }
+
+
 def regression_flags(per_query: dict, prior: dict,
                      threshold: float = 1.5) -> list[dict]:
     """Per-query regression gate (round-4 verdict item 8): queries whose
@@ -536,6 +572,14 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         per_query[name] = round(time.time() - t0, 3)
 
+    # corpus-learned BPE: train-once snapshot artifact + bpe-mode count
+    # throughput (the count time feeds the per-query trend gates too)
+    try:
+        bpe_block = bench_bpe(spark)
+        per_query["bpe_token_count"] = bpe_block["count_sec"]
+    except Exception as e:  # noqa: BLE001 — evidence block, not the metric
+        bpe_block = {"error": str(e)[:300]}
+
     result = {
         "metric": "extracted_docs_per_sec",
         "value": round(n_docs / extract_sec, 2),
@@ -551,6 +595,7 @@ def main() -> None:
         "host_steal_pct": headline_steal,
         "headline_attempts": attempts,
         "total_query_sec": round(sum(per_query.values()), 3),
+        "bpe": bpe_block,
     }
     # per-query regression gate vs the previous round's record; a
     # contended window (steal above the gate) makes slow times expected,

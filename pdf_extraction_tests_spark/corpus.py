@@ -27,6 +27,7 @@ FORMAT_FAMILIES = [
     "plain_text",
     "jac_structured",
     "elsevier_banded",
+    "multilingual",
 ]
 
 # per-family extra front-matter rows: (element_type, text, y)
@@ -59,11 +60,59 @@ def region_payload(page: int, x: int, y: int, w: int, h: int, etype: str, text: 
     return f"{page},{x},{y},{w},{h},{etype}|{text}"
 
 
+def corpus_lang(doc_id: int) -> str | None:
+    """The language a multilingual-family doc's body is written in (None
+    for every other family).  Cycles through all 18 classifier languages
+    with a stride coprime to the family modulus, so each language gets
+    bodies.  Exposed so end-to-end tests can join guessed vs actual."""
+    if doc_id % len(FORMAT_FAMILIES) != FORMAT_FAMILIES.index("multilingual"):
+        return None
+    langs = _multilingual_prose()
+    return list(langs)[(doc_id // len(FORMAT_FAMILIES)) % len(langs)]
+
+
+def _multilingual_prose() -> dict[str, str]:
+    """Frozen per-language seed prose from the language-ID operator (the
+    classifier's own training text is deliberately reused: the corpus
+    family exists to exercise the END-TO-END path — extract -> language
+    guess on matching bodies — not to benchmark held-out accuracy, which
+    tests/test_langid.py pins on separate sentences)."""
+    # function-level import keeps corpus.py importable without pyspark
+    from .operators.text_analysis import _LANG_SEEDS, NONLATIN_SAMPLES
+
+    out = dict(_LANG_SEEDS)
+    out.update(NONLATIN_SAMPLES)
+    return out
+
+
 def make_document(doc_id: int, text: str, seed: int = 42) -> list[dict]:
     """Build one interleaved document's spans, deterministically."""
     rng = np.random.default_rng([seed, doc_id])
     words = _words_of(text) or ["lorem", "ipsum", "dolor", "sit", "amet"]
     family = FORMAT_FAMILIES[doc_id % len(FORMAT_FAMILIES)]
+
+    if family == "multilingual":
+        # real non-English bodies (10 Latin + 8 non-Latin scripts): the
+        # end-to-end surface for the language-ID operator — extracted
+        # text carries the language, not just a metadata label
+        lang = corpus_lang(doc_id)
+        lwords = _words_of(_multilingual_prose()[lang])
+        n_blocks = int(rng.integers(4, 10))
+        spans = [
+            {"kind": "text",
+             "text": _sentence(lwords, rng, int(rng.integers(12, 45))),
+             "media_ref": None, "offset": i}
+            for i in range(n_blocks)
+        ]
+        if rng.random() < 0.3:
+            spans.insert(
+                int(rng.integers(1, n_blocks)),
+                {"kind": "media", "text": "",
+                 "media_ref": f"img://doc{doc_id}/0", "offset": n_blocks},
+            )
+        for i, sp in enumerate(spans):
+            sp["offset"] = i
+        return spans
 
     if family == "plain_text":
         n_blocks = int(rng.integers(3, 9))
