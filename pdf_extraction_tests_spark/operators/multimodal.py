@@ -1,10 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
-The sandbox has no image/audio codecs, so the *decode* kernels are stubbed
-(deterministic fake features clearly marked), but the Spark-side plumbing —
-schema, Arrow batch shape, partitioning, UDF signatures — is real and tested.
-On a real cluster only ``_decode_stub`` is replaced (e.g. PIL/torchaudio
-inside the same ``mapInPandas`` iterator).
+The decode kernels are REAL pure-Python/numpy for the formats that matter
+(PGM/BMP/JPEG/PNG images via sources/_jpeg+_png, RIFF-PCM WAV audio via
+sources/_wav — ``feature_kind`` 'pixel'/'wave'); remaining codecs fall back
+to a deterministic digest-seeded stub clearly marked 'stub'.  The Spark-side
+plumbing — schema, Arrow batch shape, partitioning, UDF signatures — is the
+production shape either way; on a real cluster only the decode body widens
+(e.g. PIL/torchaudio inside the same ``mapInPandas`` iterator).
 
 Pattern: media rows are (ref, media_type, content binary, meta map); feature
 extraction is a ``mapInPandas`` over Arrow batches so decode amortizes per
@@ -124,13 +126,23 @@ def _gray_histogram(gray: np.ndarray) -> np.ndarray:
     return (hist / max(gray.size, 1)).astype(np.float32)
 
 
+def _wave_histogram(samples: np.ndarray) -> np.ndarray:
+    """FEATURE_DIM-bin normalized amplitude histogram over [-1, 1] — the
+    audio analogue of the pixel histogram (a real, sample-deterministic
+    feature standing in for a model embedding)."""
+    hist, _ = np.histogram(samples, bins=FEATURE_DIM, range=(-1.0, 1.0))
+    return (hist / max(samples.size, 1)).astype(np.float32)
+
+
 def _decode(content: bytes | None,
             media_type: str) -> tuple[np.ndarray | None, str | None]:
     """Feature decode -> (vector, kind): REAL pixel parse ('pixel') for
-    binary PGM ('P5'), uncompressed BMP ('BM'), and JPEG — baseline AND
-    progressive (FF D8 — the dominant embedded-image codec, decoded by
-    the pure-numpy ``sources._jpeg``), digest-seeded stub ('stub')
-    otherwise, (None, None) for NULL content.
+    binary PGM ('P5'), uncompressed BMP ('BM'), JPEG — baseline AND
+    progressive (FF D8, pure-numpy ``sources._jpeg``) — and PNG (the
+    other dominant web image codec, pure-Python ``sources._png``); REAL
+    waveform parse ('wave') for RIFF/WAVE PCM audio
+    (``sources._wav``); digest-seeded stub ('stub') otherwise,
+    (None, None) for NULL content.
 
     The stub fallback (rather than decode_ok=False) is deliberate: an
     unknown codec is a sanctioned environment boundary, not a corrupt
@@ -150,6 +162,18 @@ def _decode(content: bytes | None,
                 from ..sources._jpeg import decode_jpeg_gray
                 return (_gray_histogram(
                     decode_jpeg_gray(bytes(content)).ravel()), "pixel")
+            if content[:8] == b"\x89PNG\r\n\x1a\n":
+                from ..sources._png import decode_png_gray
+                return (_gray_histogram(
+                    decode_png_gray(bytes(content)).ravel()), "pixel")
+        except ValueError:
+            pass
+    if content is not None and media_type == "audio":
+        try:
+            if content[:4] == b"RIFF":
+                from ..sources._wav import decode_wav
+                samples, _rate = decode_wav(bytes(content))
+                return _wave_histogram(samples), "wave"
         except ValueError:
             pass
     stub = _decode_stub(content, media_type)
