@@ -302,6 +302,13 @@ _ROTATED_BELOW_CAP = [
     "q20_histogram",
     "q26_embedding_near_dups",
     "q37_intersect_except",
+    # round-6 additions: registered below the cap so the driver top-50
+    # keeps its green q94-q98 rows; DuckDB-verified by the per-REGISTRY
+    # pytest loop like every other REGISTRY entry.
+    "q51_boilerplate_ngrams",
+    "q52_bm25_topk",
+    "q53_binned_quantiles",
+    "q54_chunk_windows",
 ]
 
 

@@ -1416,6 +1416,52 @@ def q50(spark, sf_dir):
     )
 
 
+from pdf_extraction_tests_spark.operators.boilerplate import (  # noqa: E402
+    boilerplate_fraction, boilerplate_fraction_sql)
+from pdf_extraction_tests_spark.operators.bm25 import (  # noqa: E402
+    bm25_topk, bm25_topk_sql)
+from pdf_extraction_tests_spark.operators.chunking import (  # noqa: E402
+    chunk_documents, chunk_documents_sql)
+from pdf_extraction_tests_spark.operators.quantiles import (  # noqa: E402
+    binned_quantiles, binned_quantiles_sql)
+
+_BM25_TERMS = ["join", "window", "spark"]
+
+
+@query("q51_boilerplate_ngrams", boilerplate_fraction_sql())
+def q51(spark, sf_dir):
+    """Corpus-learned n-gram boilerplate detection (round-6): word-trigram
+    document frequency -> frequent set (df >= 3, broadcast) -> per-doc
+    boilerplate fraction.  The learned generalization of the reference's
+    hand-curated literal boilerplate list (v10.R:612-620).  Two bounded
+    shuffles; gram emission is pure column arithmetic (no Python)."""
+    return boilerplate_fraction(load(spark, sf_dir, "documents"))
+
+
+@query("q52_bm25_topk", bm25_topk_sql(_BM25_TERMS))
+def q52(spark, sf_dir):
+    """Okapi BM25 top-5 docs per query term with a salted TWO-PHASE top-k
+    (hot-term skew safety; same two-exchange reasoning as
+    skew.salted_ordered_concat).  tf/dl are scan-side array arithmetic."""
+    return bm25_topk(load(spark, sf_dir, "documents"), _BM25_TERMS)
+
+
+@query("q53_binned_quantiles", binned_quantiles_sql("lineitem", "l_extendedprice"))
+def q53(spark, sf_dir):
+    """Two-pass fixed-bin histogram quantiles over l_extendedprice (A7's
+    scale path: bounded O(bins) state per task instead of a holistic
+    percentile; deterministic cross-engine arithmetic, equality oracle)."""
+    return binned_quantiles(load(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
+@query("q54_chunk_windows", chunk_documents_sql() + " ORDER BY doc_id, chunk_idx")
+def q54(spark, sf_dir):
+    """Sliding-window document chunking (width 32 / stride 24 words) —
+    zero-shuffle scan-side transform feeding the packing operator (q49).
+    The descending-``sequence`` guard routes empty docs to zero chunks."""
+    return chunk_documents(load(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

@@ -269,3 +269,55 @@ def test_hll_partial_aggregation_bounds_state(spark):
     assert plan.count("HashAggregate") >= 4, plan
     assert count_exchanges(plan) <= 2, plan   # bucket shuffle + final fold
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_boilerplate_frequent_set_broadcasts(spark):
+    """q51: the learned frequent-gram set joins back as a broadcast (never
+    a shuffled hash join of the exploded gram stream), and the gram df
+    aggregation is two-level (map-side countDistinct partials)."""
+    from pdf_extraction_tests_spark.operators.boilerplate import (
+        boilerplate_fraction)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = formatted_plan(boilerplate_fraction(docs))
+    assert has_broadcast_join(plan)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_bm25_topk_is_two_phase(spark):
+    """q52: both top-k windows are present — the salted (term, _salt)
+    prune before the per-term final rank — so no single task ever ranks a
+    hot term's full posting list; corpus stats attach via broadcast."""
+    from pdf_extraction_tests_spark.operators.bm25 import bm25_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = formatted_plan(bm25_topk(docs, ["join", "window", "spark"]))
+    assert plan.count("hashpartitioning(term") >= 2, plan
+    assert "_salt" in plan, plan
+    assert has_broadcast_join(plan)
+
+
+def test_binned_quantiles_state_is_bounded(spark):
+    """q53: both passes are hash aggregates with map-side partials (state
+    <= bins counters per task); no global Sort of the scanned column ever
+    appears (that would be the exact-percentile anti-plan)."""
+    from pdf_extraction_tests_spark.operators.quantiles import (
+        binned_quantiles)
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    plan = formatted_plan(binned_quantiles(li, "l_extendedprice"))
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert has_broadcast_join(plan) or "BroadcastNestedLoop" in plan, plan
+
+
+def test_chunk_windows_zero_shuffle(spark):
+    """q54: sliding-window chunking is a pure scan-side transform — zero
+    exchanges, no Python (no ArrowEvalPython / BatchEvalPython nodes)."""
+    from pdf_extraction_tests_spark.operators.chunking import chunk_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = formatted_plan(chunk_documents(docs))
+    assert count_exchanges(plan) == 0, plan
+    assert "EvalPython" not in plan, plan

@@ -109,8 +109,9 @@ def test_entry_driver_cap_rotation():
     assert len(expected_top) == 50
     assert names[:50] == expected_top
     assert all(n in oracles for n in names[:50])  # 50/50 oracled
-    assert set(names[50:55]) == rotated
-    assert names[55:] == ["q92_dual_extractor_agreement", "q91_extract_spans"]
+    assert set(names[50:50 + len(rotated)]) == rotated
+    assert names[50 + len(rotated):] == [
+        "q92_dual_extractor_agreement", "q91_extract_spans"]
 
 
 @pytest.mark.parametrize(
