@@ -17,8 +17,8 @@ the deterministic, cross-engine-replayable variant: every arithmetic step
 is plain double math DuckDB reproduces bit for bit, so the oracle is an
 equality check, not a tolerance band.)
 
-No ``.collect()``: pass-1 stats are re-attached via crossJoin(broadcast)
-so the whole thing stays one lazy plan.
+No driver-side materialization: pass-1 stats are re-attached via
+crossJoin(broadcast) so the whole thing stays one lazy plan.
 """
 
 from __future__ import annotations
