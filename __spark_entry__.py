@@ -309,6 +309,10 @@ _ROTATED_BELOW_CAP = [
     "q52_bm25_topk",
     "q53_binned_quantiles",
     "q54_chunk_windows",
+    "q55_dup_span_rewrite",
+    "q56_pii_scrub",
+    "q57_repetition_signals",
+    "q58_quota_sample",
 ]
 
 

@@ -1462,6 +1462,59 @@ def q54(spark, sf_dir):
     return chunk_documents(load(spark, sf_dir, "documents"))
 
 
+from pdf_extraction_tests_spark.operators.substring_dedup import (  # noqa: E402
+    duplicated_span_rewrite, duplicated_span_rewrite_sql)
+from pdf_extraction_tests_spark.operators.pii import (  # noqa: E402
+    scrub_pii, scrub_pii_sql)
+from pdf_extraction_tests_spark.operators.repetition import (  # noqa: E402
+    repetition_signals, repetition_signals_sql)
+from pdf_extraction_tests_spark.operators.sampling import (  # noqa: E402
+    quota_sample, quota_sample_sql)
+
+
+@query("q55_dup_span_rewrite", duplicated_span_rewrite_sql())
+def q55(spark, sf_dir):
+    """Exact substring dedup REWRITE (Lee et al. 2022 at word-8-gram
+    granularity): spans covered by a gram occurring in >=2 distinct docs
+    are cut out; returns per-doc counts + the rewritten text.  The
+    duplicate-gram join is co-partitioned on gram (never a broadcast —
+    the dup vocabulary grows with the corpus)."""
+    return duplicated_span_rewrite(load(spark, sf_dir, "documents"))
+
+
+@query("q56_pii_scrub", scrub_pii_sql())
+def q56(spark, sf_dir):
+    """PII scrub: RE2-compatible email/IPv4/SSN/phone counts + redacted
+    text, one zero-shuffle codegen projection.  On the PII-free synthetic
+    corpus the oracle pins the FALSE-POSITIVE behavior (counts must be 0
+    and the text must round-trip unchanged in both engines)."""
+    return scrub_pii(load(spark, sf_dir, "documents"))
+
+
+@query("q57_repetition_signals", repetition_signals_sql())
+def q57(spark, sf_dir):
+    """Gopher-style within-document repetition gates: top-bigram occurrence
+    fraction + duplicated-trigram position fraction, two algebraic
+    aggregation pyramids (state = one counter per distinct (doc, gram))."""
+    return repetition_signals(load(spark, sf_dir, "documents"))
+
+
+_QUOTA_SQL = quota_sample_sql(
+    "(SELECT doc_id, source, n_chars FROM documents) t",
+    "source", "doc_id", "n_chars", 5, salt="q58:",
+)
+
+
+@query("q58_quota_sample", _QUOTA_SQL)
+def q58(spark, sf_dir):
+    """Per-source quality-weighted quota (k=5 docs per source, weight =
+    n_chars, Efraimidis-Spirakis keys): the training-mix "cap per domain"
+    primitive.  Salted two-phase rank — no task ever ranks a hot domain's
+    full corpus."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return quota_sample(d, "source", "doc_id", "n_chars", 5, salt="q58:")
+
+
 # ---------------------------------------------------------------------------
 # public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

@@ -910,3 +910,183 @@ class TestWeightedSample:
             sample_weighted(self._df(spark), "cast(id as string)", "w", 10))
         assert "TakeOrderedAndProject" in plan, plan
         assert "Exchange rangepartitioning" not in plan, plan
+
+
+class TestDupSpanRewrite:
+    """Exact substring dedup rewrite (operators/substring_dedup.py):
+    semantics on crafted duplicates, pass-through of unique/short docs,
+    partitioning invariance.  Cross-engine equality is the q55 oracle."""
+
+    def _df(self, spark):
+        shared = " ".join(f"tok{i}" for i in range(8))      # one 8-gram
+        rows = [
+            (0, f"alpha {shared} omega"),                   # dup in 0 and 1
+            (1, f"{shared} tail words here"),
+            (2, "a unique document with enough words to gram"),
+            (3, "short doc"),                               # < n words
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_duplicated_span_removed(self, spark):
+        from pdf_extraction_tests_spark.operators.substring_dedup import (
+            duplicated_span_rewrite)
+        out = {r.doc_id: r for r in
+               duplicated_span_rewrite(self._df(spark)).collect()}
+        assert out[0].clean_text == "alpha omega"
+        assert out[0].n_dup_words == 8
+        assert out[1].clean_text == "tail words here"
+        assert out[2].clean_text == "a unique document with enough words to gram"
+        assert out[2].n_dup_words == 0
+        assert out[3].clean_text == "short doc"      # pass-through, kept
+        assert out[3].dup_frac == 0.0
+
+    def test_case_insensitive_match_preserves_original_case(self, spark):
+        from pdf_extraction_tests_spark.operators.substring_dedup import (
+            duplicated_span_rewrite)
+        shared = " ".join(f"tok{i}" for i in range(8))
+        df = spark.createDataFrame(
+            [(0, f"KEEP {shared.upper()} END"), (1, f"{shared} x y z")],
+            ["doc_id", "text"])
+        out = {r.doc_id: r.clean_text
+               for r in duplicated_span_rewrite(df).collect()}
+        assert out[0] == "KEEP END"          # matched lowercased, kept case
+
+    def test_partition_invariant(self, spark):
+        from pdf_extraction_tests_spark.operators.substring_dedup import (
+            duplicated_span_rewrite)
+        df = self._df(spark)
+        a = sorted(map(tuple, duplicated_span_rewrite(df).collect()))
+        b = sorted(map(tuple,
+                       duplicated_span_rewrite(df.repartition(16)).collect()))
+        assert a == b
+
+
+class TestPiiScrub:
+    """PII scrubber (operators/pii.py): crafted positives per pattern,
+    false-positive guards, Spark == Python-re differential."""
+
+    CASES = [
+        ("mail me at jane.doe+x@sub.example.co.uk now", 1, 0, 0, 0),
+        ("server 10.0.255.1 and 192.168.1.77 up", 0, 2, 0, 0),
+        ("ssn 123-45-6789 leaked", 0, 0, 1, 0),
+        ("call 312-555-0188 or 312.555.0199", 0, 0, 0, 2),
+        ("version 1.2.3 of lib at 3-4-5", 0, 0, 0, 0),     # guards
+        ("plain text with no identifiers at all", 0, 0, 0, 0),
+    ]
+
+    def test_counts_and_redaction(self, spark):
+        from pdf_extraction_tests_spark.operators.pii import scrub_pii
+        df = spark.createDataFrame(
+            [(i, t) for i, (t, *_) in enumerate(self.CASES)],
+            ["doc_id", "text"])
+        out = {r.doc_id: r for r in scrub_pii(df).collect()}
+        for i, (text, ne, ni, ns, np_) in enumerate(self.CASES):
+            r = out[i]
+            assert (r.n_email, r.n_ipv4, r.n_ssn, r.n_phone) == \
+                (ne, ni, ns, np_), (text, r)
+            assert r.n_pii == ne + ni + ns + np_
+            if r.n_pii == 0:
+                assert r.clean_text == text      # untouched round-trip
+            else:
+                for tok in ("@", "123-45-6789", "312-555-0188"):
+                    assert tok not in r.clean_text or text.count(tok) == 0
+
+    def test_matches_python_re(self, spark):
+        import re
+        from pdf_extraction_tests_spark.operators.pii import (
+            PATTERNS, scrub_pii)
+        texts = [t for t, *_ in self.CASES] + [
+            "a@b.cd 1.2.3.4 999-99-9999 111-222-3333 end"]
+        df = spark.createDataFrame(list(enumerate(texts)),
+                                   ["doc_id", "text"])
+        got = {r.doc_id: r for r in scrub_pii(df).collect()}
+        for i, text in enumerate(texts):
+            clean = text
+            for name, pat, repl in PATTERNS:
+                assert got[i][f"n_{name}"] == len(re.findall(pat, text)), \
+                    (name, text)
+                clean = re.sub(pat, repl, clean)
+            assert got[i].clean_text == clean
+
+
+class TestRepetitionSignals:
+    """Gopher repetition gates (operators/repetition.py): crafted
+    repetitive vs diverse docs; short-doc zero default."""
+
+    def test_signals(self, spark):
+        from pdf_extraction_tests_spark.operators.repetition import (
+            repetition_signals)
+        df = spark.createDataFrame([
+            (0, ("spam ham " * 8).strip()),        # one bigram repeated
+            (1, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"),  # all grams unique
+            (2, "one"),                            # too short for grams
+        ], ["doc_id", "text"])
+        out = {r.doc_id: r for r in repetition_signals(df).collect()}
+        # doc 0: 16 words, bigrams: "spam ham" x8, "ham spam" x7 -> top 8/15
+        assert out[0].n_words == 16
+        assert abs(out[0].top_bigram_frac - 8 / 15) < 1e-6
+        assert out[0].dup_trigram_frac == 1.0      # every trigram repeats
+        assert out[1].top_bigram_frac == round(1 / 9, 6)
+        assert out[1].dup_trigram_frac == 0.0
+        assert out[2].top_bigram_frac == 0.0 and out[2].n_words == 1
+
+    def test_partition_invariant(self, spark):
+        from pdf_extraction_tests_spark.operators.repetition import (
+            repetition_signals)
+        df = spark.range(64).selectExpr(
+            "id as doc_id",
+            "concat('x y z w ', repeat('x y ', cast(id % 7 as int))) as text")
+        a = sorted(map(tuple, repetition_signals(df).collect()))
+        b = sorted(map(tuple,
+                       repetition_signals(df.repartition(16)).collect()))
+        assert a == b
+
+
+class TestQuotaSample:
+    """Per-group E-S quota (operators/sampling.py quota_sample):
+    exact-k per group, weight sensitivity, two-phase == single-window."""
+
+    def _df(self, spark):
+        from pyspark.sql import functions as F
+        return spark.range(300).select(
+            F.col("id"),
+            (F.col("id") % 3).cast("string").alias("grp"),
+            F.when(F.col("id") < 30, 50).otherwise(1).alias("w"))
+
+    def test_exact_k_per_group(self, spark):
+        from pdf_extraction_tests_spark.operators.sampling import quota_sample
+        rows = quota_sample(self._df(spark), "grp",
+                            "cast(id as string)", "w", 7).collect()
+        per = {}
+        for r in rows:
+            per.setdefault(r.grp, []).append(r.rank)
+        assert set(per) == {"0", "1", "2"}
+        assert all(sorted(v) == list(range(1, 8)) for v in per.values())
+
+    def test_two_phase_equals_single_window(self, spark):
+        from pyspark.sql import Window as W, functions as F
+        from pdf_extraction_tests_spark.operators.sampling import (
+            es_key, quota_sample)
+        df = self._df(spark)
+        got = sorted((r.grp, r.id) for r in quota_sample(
+            df, "grp", "cast(id as string)", "w", 7, prune_salt=4).collect())
+        direct = (
+            df.where(F.col("w") > 0)
+            .withColumn("k", es_key("cast(id as string)", F.col("w")))
+            .withColumn("rank", F.row_number().over(
+                W.partitionBy("grp").orderBy(
+                    F.desc("k"), F.expr("cast(id as string)"))))
+            .filter(F.col("rank") <= 7))
+        want = sorted((r.grp, r.id) for r in direct.collect())
+        assert got == want
+
+    def test_weights_bias_selection(self, spark):
+        from pdf_extraction_tests_spark.operators.sampling import quota_sample
+        heavy = 0
+        for s in range(6):
+            rows = quota_sample(self._df(spark), "grp",
+                                "cast(id as string)", "w", 5,
+                                salt=f"s{s}").collect()
+            heavy += sum(1 for r in rows if r.id < 30)
+        # heavy ids are 10% of each group but ~85% of group weight
+        assert heavy > 30, heavy

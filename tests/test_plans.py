@@ -321,3 +321,54 @@ def test_chunk_windows_zero_shuffle(spark):
     plan = formatted_plan(chunk_documents(docs))
     assert count_exchanges(plan) == 0, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_dup_span_rewrite_join_is_copartitioned_not_broadcast(spark):
+    """q55: the duplicate-gram join must be a shuffle join keyed on gram
+    (the dup vocabulary grows with the corpus — broadcasting it is the
+    100 TB anti-plan); the rewrite itself adds no Python."""
+    from pdf_extraction_tests_spark.operators.substring_dedup import (
+        duplicated_span_rewrite)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = formatted_plan(duplicated_span_rewrite(docs))
+    assert "hashpartitioning(gram" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_pii_scrub_zero_shuffle(spark):
+    """q56: the scrubber is one codegen projection — zero exchanges,
+    zero Python."""
+    from pdf_extraction_tests_spark.operators.pii import scrub_pii
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = formatted_plan(scrub_pii(docs))
+    assert count_exchanges(plan) == 0, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_repetition_aggregates_are_algebraic(spark):
+    """q57: both gram pyramids are hash aggregates with map-side partials
+    (no window over raw grams, no sort-based holistic state)."""
+    from pdf_extraction_tests_spark.operators.repetition import (
+        repetition_signals)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = formatted_plan(repetition_signals(docs))
+    assert plan.count("HashAggregate") >= 6, plan   # 2 grams x (partial+final)+fold
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_quota_sample_is_two_phase(spark):
+    """q58: both windows present — the salted (source, _salt) prune before
+    the final per-source rank — so a hot domain never funnels through one
+    task."""
+    from pdf_extraction_tests_spark.operators.sampling import quota_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", "n_chars")
+    plan = formatted_plan(
+        quota_sample(docs, "source", "doc_id", "n_chars", 5))
+    assert plan.count("hashpartitioning(source") >= 2, plan
+    assert "_salt" in plan, plan
