@@ -194,9 +194,91 @@ def run_scaling() -> dict:
     conditions on a favorable noise draw (extra rounds can tighten the
     slow level's best and LOWER the ratio), so the round count must be
     chosen independently of the value measured.
+
+    CONTENDED-MOMENT RETRY (round 6): a co-tenant burst can depress one
+    level's window and produce a garbage ratio (observed: control ceiling
+    1.078 — super-linear, i.e. the 2-proc control window itself was being
+    stolen from — alongside a 0.79 pipeline reading while the kernel A/B
+    showed HEAD faster).  The whole block retries up to
+    BENCH_SCALE_BLOCK_ATTEMPTS times, gated ONLY on contention signals —
+    the hardware control ceiling leaving its sane band and per-run steal —
+    never on the efficiency value itself, so the no-optional-stopping
+    property is preserved.  All blocks are recorded (`scaling_blocks`);
+    the pick is the calmest block by those same contention signals.
     """
     n = int(os.environ.get("BENCH_SCALE_N", "2"))
     rounds = int(os.environ.get("BENCH_SCALE_ROUNDS", "3"))
+    attempts = int(os.environ.get("BENCH_SCALE_BLOCK_ATTEMPTS", "2"))
+    gate = float(os.environ.get("BENCH_STEAL_GATE_PCT", "5.0"))
+    blocks: list[dict] = []
+    for _b in range(attempts):
+        blk = _scaling_block(n, rounds)
+        blocks.append(blk)
+        if _block_noise_score(blk, gate) == 0.0:
+            break
+    out = min(blocks, key=lambda b: _block_noise_score(b, gate))
+    out["scaling_blocks"] = [
+        {"eff": b["scaling_efficiency_n_to_4n"],
+         "ctrl": b["hardware_control"]["efficiency_ceiling"],
+         "precheck": b["control_precheck"],
+         "max_steal": _block_max_steal(b),
+         "picked": b is out}
+        for b in blocks
+    ]
+    return out
+
+
+# the hardware control's sane band: a pure-CPU 4x spin scales at 0.78-1.0
+# on this host when calm (measured across rounds 1-5); readings outside it
+# mean the CONTROL ITSELF was disturbed, so the same-moment pipeline
+# number is not evidence of anything
+_CALM_CTRL_BAND = (0.75, 1.02)
+
+
+def _moment_calm(ctrl_ceiling: float) -> bool:
+    return _CALM_CTRL_BAND[0] <= ctrl_ceiling <= _CALM_CTRL_BAND[1]
+
+
+def _block_max_steal(block: dict) -> float:
+    return max(
+        (r["steal_pct"] for lv in block["all_runs_sec"].values() for r in lv),
+        default=0.0,
+    )
+
+
+def _block_noise_score(block: dict, steal_gate: float) -> float:
+    """0.0 == calm (both control readings in band, no steal over the
+    gate); otherwise a deterministic contention score — distance of the
+    two control readings from the band plus gated steal overshoot.  Never
+    reads the pipeline efficiency."""
+
+    def band_dist(x: float) -> float:
+        lo, hi = _CALM_CTRL_BAND
+        return max(0.0, lo - x, x - hi)
+
+    steal = _block_max_steal(block)
+    return (
+        band_dist(block["hardware_control"]["efficiency_ceiling"])
+        + band_dist(block["control_precheck"])
+        + max(0.0, steal - steal_gate) / 100.0
+    )
+
+
+def _scaling_block(n: int, rounds: int) -> dict:
+    """One full interleaved N/4N measurement block (FIXED round count).
+
+    Takes a hardware-control reading BEFORE the block — waiting out a
+    provably hot moment (up to BENCH_SCALE_CALM_WAITS x 45 s) rather than
+    burning a 5-minute block into it — and one AFTER; both go into the
+    block's contention score."""
+    waits = int(os.environ.get("BENCH_SCALE_CALM_WAITS", "3"))
+    pre = _hardware_scaling_control(n)["efficiency_ceiling"]
+    for _w in range(waits):
+        if _moment_calm(pre):
+            break
+        time.sleep(45)
+        pre = _hardware_scaling_control(n)["efficiency_ceiling"]
+
     best: dict[int, float] = {}
     runs: dict[str, list[dict]] = {f"local[{n}]": [], f"local[{4 * n}]": []}
     docs = 0
@@ -244,6 +326,7 @@ def run_scaling() -> dict:
         eff / ctrl["efficiency_ceiling"], 3
     )
     out["all_runs_sec"] = {k: v for k, v in runs.items()}
+    out["control_precheck"] = pre
     return out
 
 

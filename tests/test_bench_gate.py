@@ -91,3 +91,50 @@ class TestBestBenchTimes:
         best = bench.best_bench_times(recs)
         assert "extract_pipeline" in best
         assert all(v > 0 for v in best.values())
+
+
+class TestScalingBlockPick:
+    """Contended-moment retry for run_scaling: the calm detector and the
+    block picker read ONLY contention signals (control ceilings, steal),
+    never the pipeline efficiency — the no-optional-stopping property."""
+
+    @staticmethod
+    def _block(eff, ctrl, pre, steals):
+        return {
+            "scaling_efficiency_n_to_4n": eff,
+            "hardware_control": {"efficiency_ceiling": ctrl},
+            "control_precheck": pre,
+            "all_runs_sec": {
+                "local[2]": [{"sec": 1.0, "steal_pct": s} for s in steals],
+                "local[8]": [{"sec": 1.0, "steal_pct": 0.0}],
+            },
+        }
+
+    def test_calm_block_scores_zero(self):
+        b = self._block(0.5, 0.9, 0.85, [0.3, 1.2])
+        assert bench._block_noise_score(b, 5.0) == 0.0
+
+    def test_superlinear_control_is_contended(self):
+        # the observed failure mode: ceiling 1.078 == the slow control
+        # window itself was being stolen from
+        b = self._block(0.95, 1.078, 0.9, [0.1])
+        assert bench._block_noise_score(b, 5.0) > 0.0
+        assert not bench._moment_calm(1.078)
+
+    def test_depressed_control_is_contended(self):
+        assert not bench._moment_calm(0.6)
+        assert bench._moment_calm(0.8)
+
+    def test_steal_over_gate_scores(self):
+        b = self._block(0.9, 0.9, 0.9, [9.0])
+        assert bench._block_noise_score(b, 5.0) > 0.0
+        assert bench._block_noise_score(b, 10.0) == 0.0
+
+    def test_picker_ignores_efficiency(self):
+        # the HIGHER-efficiency block is noisier; the picker must take the
+        # calmer one even though its efficiency reads worse
+        noisy_good = self._block(0.99, 1.2, 0.9, [0.1])
+        calm_bad = self._block(0.79, 0.9, 0.88, [0.2])
+        picked = min([noisy_good, calm_bad],
+                     key=lambda b: bench._block_noise_score(b, 5.0))
+        assert picked is calm_bad
