@@ -313,6 +313,7 @@ _ROTATED_BELOW_CAP = [
     "q56_pii_scrub",
     "q57_repetition_signals",
     "q58_quota_sample",
+    "q59_curation_funnel",
 ]
 
 

@@ -1482,20 +1482,42 @@ def q55(spark, sf_dir):
     return duplicated_span_rewrite(load(spark, sf_dir, "documents"))
 
 
-@query("q56_pii_scrub", scrub_pii_sql())
+# identical expression TEXT on both engines (the q48 lesson: going through
+# each engine's own SQL parser with the same source string sidesteps
+# escape-handling drift).  Four PII kinds planted on disjoint-ish moduli so
+# every pattern path redacts nonzero rows; rows hitting no modulus pin the
+# false-positive behavior (counts 0, text round-trips unchanged).
+_Q56_PLANTED_SQL = (
+    "text"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' mail a' || doc_id || '@example.org'"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || (doc_id % 200) ||"
+    " '.1' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN ' ssn 219-09-9999' ELSE '' END"
+    " || CASE WHEN doc_id % 13 = 0 THEN ' call 312-555-0188' ELSE '' END"
+)
+
+
+@query("q56_pii_scrub",
+       scrub_pii_sql(f"(SELECT doc_id, {_Q56_PLANTED_SQL} AS text"
+                     " FROM documents) s"))
 def q56(spark, sf_dir):
-    """PII scrub: RE2-compatible email/IPv4/SSN/phone counts + redacted
-    text, one zero-shuffle codegen projection.  On the PII-free synthetic
-    corpus the oracle pins the FALSE-POSITIVE behavior (counts must be 0
-    and the text must round-trip unchanged in both engines)."""
-    return scrub_pii(load(spark, sf_dir, "documents"))
+    """Multi-pattern PII scrub (generalizes q48's email-only scrub):
+    RE2-compatible email/IPv4/SSN/phone counts + redacted text, one
+    zero-shuffle codegen projection over deterministically planted PII."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_Q56_PLANTED_SQL).alias("text")
+    )
+    return scrub_pii(d)
 
 
 @query("q57_repetition_signals", repetition_signals_sql())
 def q57(spark, sf_dir):
     """Gopher-style within-document repetition gates: top-bigram occurrence
     fraction + duplicated-trigram position fraction, two algebraic
-    aggregation pyramids (state = one counter per distinct (doc, gram))."""
+    aggregation pyramids (state = one counter per distinct (doc, gram)).
+    Complements q47, which gates on exact repeated SENTENCES; these n-gram
+    signals catch sub-sentence loops q47 cannot see."""
     return repetition_signals(load(spark, sf_dir, "documents"))
 
 
@@ -1513,6 +1535,93 @@ def q58(spark, sf_dir):
     full corpus."""
     d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     return quota_sample(d, "source", "doc_id", "n_chars", 5, salt="q58:")
+
+
+def _q59_sql() -> str:
+    """The funnel oracle composes the component operators' own SQL builders
+    as CTEs — one source of truth per signal, zero drift between the
+    standalone queries (q29/q30/q51/q57/q21-style canonical) and the
+    composed funnel."""
+    from pdf_extraction_tests_spark.operators import text_analysis as TA2
+
+    return f"""
+    WITH lang AS ({TA2.language_guess_sql("documents")}),
+    qual AS ({TA2.quality_score_sql("documents")}),
+    rep AS ({repetition_signals_sql("documents")}),
+    boil AS ({boilerplate_fraction_sql("documents")}),
+    pfx AS (
+      SELECT doc_id,
+             md5(array_to_string((string_split(text, ' '))[1:5], ' '))
+               AS digest
+      FROM documents
+    ),
+    canon AS (SELECT digest, min(doc_id) AS canon_id FROM pfx GROUP BY digest)
+    SELECT d.doc_id,
+           l.lang_guess = 'en'                                AS pass_lang,
+           q.quality >= 1.0                                   AS pass_quality,
+           r.dup_trigram_frac <= 0.05 AND r.top_bigram_frac <= 0.1
+                                                              AS pass_repetition,
+           b.boiler_frac <= 0.3                               AS pass_boiler,
+           d.doc_id = c.canon_id                              AS is_canonical,
+           (l.lang_guess = 'en' AND q.quality >= 1.0
+            AND r.dup_trigram_frac <= 0.05 AND r.top_bigram_frac <= 0.1
+            AND b.boiler_frac <= 0.3 AND d.doc_id = c.canon_id)
+                                                              AS keep_doc
+    FROM documents d
+    JOIN lang l USING (doc_id)
+    JOIN qual q USING (doc_id)
+    JOIN rep  r USING (doc_id)
+    JOIN boil b USING (doc_id)
+    JOIN pfx  p USING (doc_id)
+    JOIN canon c USING (digest)
+    """
+
+
+@query("q59_curation_funnel", _q59_sql())
+def q59(spark, sf_dir):
+    """The C4/Dolma curation pipeline END-TO-END as one Spark plan: language
+    gate (char-trigram LID), quality gate (C4/Gopher score), repetition
+    gates (q57 n-gram signals), learned-boilerplate gate (q51 fraction),
+    and prefix-dedup canonicalization (q21 shape) — per-doc booleans plus
+    the final keep decision.  Every signal reuses the SAME operator the
+    standalone query registers, so the funnel cannot drift from its parts;
+    the whole thing is one lazy plan (scan-side LID/quality, three bounded
+    keyed shuffles for rep/boiler/canon)."""
+    d = load(spark, sf_dir, "documents")
+    base = TA.with_quality_score(TA.with_language_guess(d)).select(
+        "doc_id", "lang_guess", "quality"
+    )
+    rep = repetition_signals(d).select(
+        "doc_id", "top_bigram_frac", "dup_trigram_frac"
+    )
+    boil = boilerplate_fraction(d).select("doc_id", "boiler_frac")
+    digest = F.md5(F.array_join(F.slice(F.split("text", " "), 1, 5), " "))
+    pfx = d.select("doc_id", digest.alias("digest"))
+    canon = pfx.groupBy("digest").agg(F.min("doc_id").alias("canon_id"))
+    flags = (
+        base.join(rep, "doc_id")
+        .join(boil, "doc_id")
+        .join(pfx, "doc_id")
+        .join(canon, "digest")
+    )
+    pass_lang = F.col("lang_guess") == "en"
+    pass_quality = F.col("quality") >= 1.0
+    pass_rep = (F.col("dup_trigram_frac") <= 0.05) & (
+        F.col("top_bigram_frac") <= 0.1
+    )
+    pass_boiler = F.col("boiler_frac") <= 0.3
+    is_canon = F.col("doc_id") == F.col("canon_id")
+    return flags.select(
+        "doc_id",
+        pass_lang.alias("pass_lang"),
+        pass_quality.alias("pass_quality"),
+        pass_rep.alias("pass_repetition"),
+        pass_boiler.alias("pass_boiler"),
+        is_canon.alias("is_canonical"),
+        (pass_lang & pass_quality & pass_rep & pass_boiler & is_canon).alias(
+            "keep_doc"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------

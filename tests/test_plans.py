@@ -372,3 +372,17 @@ def test_quota_sample_is_two_phase(spark):
         quota_sample(docs, "source", "doc_id", "n_chars", 5))
     assert plan.count("hashpartitioning(source") >= 2, plan
     assert "_salt" in plan, plan
+
+
+def test_curation_funnel_single_lazy_plan(spark):
+    """q59: the composed funnel stays declarative — scan-side LID/quality
+    (no Python anywhere), keyed shuffles only for the rep/boiler/canon
+    signals, q51's frequent set still broadcast inside the composition,
+    and no global sort."""
+    import importlib
+    Q = importlib.import_module("pdf_extraction_tests_spark.queries")
+    plan = formatted_plan(Q.queries()["q59_curation_funnel"](spark, SF))
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert has_broadcast_join(plan)
