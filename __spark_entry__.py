@@ -314,6 +314,7 @@ _ROTATED_BELOW_CAP = [
     "q57_repetition_signals",
     "q58_quota_sample",
     "q59_curation_funnel",
+    "q60_kmeans_clusters",
 ]
 
 

@@ -1624,6 +1624,21 @@ def q59(spark, sf_dir):
     )
 
 
+from pdf_extraction_tests_spark.operators.kmeans import (  # noqa: E402
+    kmeans_assign, kmeans_assign_sql)
+
+
+@query("q60_kmeans_clusters", kmeans_assign_sql())
+def q60(spark, sf_dir):
+    """Distributed k-means over the embedding column (SemDeDup's first
+    stage): deterministic init (k smallest ids), two unrolled Lloyd
+    iterations — each one broadcast-assign scan + one bounded (cluster,
+    dim) shuffle — centroids rounded to quench summation-order drift.
+    The oracle replays the SAME unrolled iterations as CTEs (distances
+    via list_dot_product on doubles, identical sequential accumulation)."""
+    return kmeans_assign(load(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

@@ -1090,3 +1090,39 @@ class TestQuotaSample:
             heavy += sum(1 for r in rows if r.id < 30)
         # heavy ids are 10% of each group but ~85% of group weight
         assert heavy > 30, heavy
+
+
+class TestKmeansEmbeddings:
+    """Distributed k-means (operators/kmeans.py): determinism, partition
+    invariance, exact-k cluster usage on separable data.  Cross-engine
+    equality is the q60 oracle."""
+
+    def _df(self, spark):
+        # 3 tight, well-separated clusters on an 8-dim simplex
+        from pyspark.sql import functions as F
+        rows = []
+        for i in range(90):
+            c = i % 3
+            base = [0.0] * 8
+            base[c] = 10.0
+            base[(c + 3) % 8] = (i % 7) * 0.01      # tiny within-cluster jitter
+            rows.append((i, base))
+        return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def test_separable_clusters_recovered(self, spark):
+        from pdf_extraction_tests_spark.operators.kmeans import kmeans_assign
+        out = kmeans_assign(self._df(spark), k=3, iters=2).collect()
+        assert len(out) == 90
+        by_true = {}
+        for r in out:
+            by_true.setdefault(r.vec_id % 3, set()).add(r.cluster)
+        # every true cluster maps to exactly one learned cluster
+        assert all(len(s) == 1 for s in by_true.values()), by_true
+        assert len(set.union(*by_true.values())) == 3
+
+    def test_partition_invariant(self, spark):
+        from pdf_extraction_tests_spark.operators.kmeans import kmeans_assign
+        df = self._df(spark)
+        a = sorted(map(tuple, kmeans_assign(df, k=3).collect()))
+        b = sorted(map(tuple, kmeans_assign(df.repartition(16), k=3).collect()))
+        assert a == b

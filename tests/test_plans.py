@@ -386,3 +386,18 @@ def test_curation_funnel_single_lazy_plan(spark):
     assert "CartesianProduct" not in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
     assert has_broadcast_join(plan)
+
+
+def test_kmeans_centroid_update_state_is_bounded(spark):
+    """q60: assignment joins are broadcasts of the k-row centroid side
+    (never a shuffle of the corpus against centroids); the update
+    aggregation is a hash aggregate with map-side partials (k x dim
+    counters per task); no global sort of the embedding table."""
+    from pdf_extraction_tests_spark.operators.kmeans import kmeans_assign
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = formatted_plan(kmeans_assign(emb))
+    assert has_broadcast_join(plan)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan
+    assert "EvalPython" not in plan, plan
