@@ -315,6 +315,7 @@ _ROTATED_BELOW_CAP = [
     "q58_quota_sample",
     "q59_curation_funnel",
     "q60_kmeans_clusters",
+    "q61_semantic_near_dups",
 ]
 
 

@@ -175,3 +175,83 @@ def kmeans_assign_sql(
       FROM vecs e, {prev} c
     ) WHERE rn = 1
     """
+
+
+def semantic_near_dups(
+    emb: DataFrame,
+    k: int = DEFAULT_K,
+    iters: int = DEFAULT_ITERS,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup stage 2: cosine near-dup pairs WITHIN each k-means cluster.
+
+    The whole point of clustering first (Abbas et al. 2023): the pairwise
+    compare runs inside clusters only, so the quadratic term is
+    (n/k)^2 * k — at corpus scale k grows with the corpus (SemDeDup uses
+    ~100k clusters for billions of embeddings), keeping per-cluster
+    populations bounded, while the join below stays an equi-join on
+    ``cluster`` (co-partitioned shuffle, never an all-pairs cross join —
+    contrast the labeled q26 baseline).
+
+    Returns (id_a, id_b, cluster, cosine rounded 6 dp), id_a < id_b.
+    """
+    asg = kmeans_assign(emb, k, iters, id_col, vec_col).select(
+        id_col, "cluster"
+    )
+    vecs = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).join(asg, id_col)
+    a = vecs.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), "cluster"
+    )
+    b = vecs.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "cluster"
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x * x))
+    cos = dot / (na * nb)
+    return (
+        a.join(b, ["cluster"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cluster", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def semantic_near_dups_sql(
+    table: str = "embeddings",
+    k: int = DEFAULT_K,
+    iters: int = DEFAULT_ITERS,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB oracle for :func:`semantic_near_dups` (k-means CTE reused
+    verbatim from :func:`kmeans_assign_sql`; identical cosine arithmetic)."""
+    km = kmeans_assign_sql(table, k, iters, id_col, vec_col)
+    cos = ("list_dot_product(a.v, b.v)"
+           " / (sqrt(list_dot_product(a.v, a.v))"
+           " * sqrt(list_dot_product(b.v, b.v)))")
+    return f"""
+    WITH km AS ({km}),
+    vecs AS (SELECT {id_col}, {vec_col}::DOUBLE[] AS v FROM {table})
+    SELECT id_a, id_b, CAST(cluster AS INT) AS cluster,
+           round(cosine, 6) AS cosine
+    FROM (
+      SELECT ka.{id_col} AS id_a, kb.{id_col} AS id_b, ka.cluster,
+             {cos} AS cosine
+      FROM km ka
+      JOIN km kb ON ka.cluster = kb.cluster AND ka.{id_col} < kb.{id_col}
+      JOIN vecs a ON a.{id_col} = ka.{id_col}
+      JOIN vecs b ON b.{id_col} = kb.{id_col}
+    )
+    WHERE cosine >= {threshold}
+    """

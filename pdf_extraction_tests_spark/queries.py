@@ -1625,7 +1625,8 @@ def q59(spark, sf_dir):
 
 
 from pdf_extraction_tests_spark.operators.kmeans import (  # noqa: E402
-    kmeans_assign, kmeans_assign_sql)
+    kmeans_assign, kmeans_assign_sql, semantic_near_dups,
+    semantic_near_dups_sql)
 
 
 @query("q60_kmeans_clusters", kmeans_assign_sql())
@@ -1637,6 +1638,15 @@ def q60(spark, sf_dir):
     The oracle replays the SAME unrolled iterations as CTEs (distances
     via list_dot_product on doubles, identical sequential accumulation)."""
     return kmeans_assign(load(spark, sf_dir, "embeddings"))
+
+
+@query("q61_semantic_near_dups", semantic_near_dups_sql())
+def q61(spark, sf_dir):
+    """SemDeDup stage 2: cosine near-dup pairs WITHIN each q60 cluster —
+    the pairwise compare is an equi-join on cluster (bounded populations),
+    never the q26 all-pairs cross join.  27 pairs at sf0.01, threshold
+    0.4."""
+    return semantic_near_dups(load(spark, sf_dir, "embeddings"))
 
 
 # ---------------------------------------------------------------------------

@@ -401,3 +401,18 @@ def test_kmeans_centroid_update_state_is_bounded(spark):
     assert "CartesianProduct" not in plan, plan
     assert plan.count("HashAggregate") >= 4, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_semantic_near_dups_no_cartesian(spark):
+    """q61: the within-cluster pairwise compare must be an equi-join on
+    cluster — never a cartesian over the embedding table.  (The
+    BroadcastNestedLoopJoin nodes inside the plan are the k-ROW centroid
+    broadcast from the embedded q60 assignment — corpus x constant, fine;
+    the corpus x corpus pair join must be the SortMergeJoin.)"""
+    from pdf_extraction_tests_spark.operators.kmeans import semantic_near_dups
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = formatted_plan(semantic_near_dups(emb))
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    assert "hashpartitioning(cluster" in plan, plan
