@@ -1126,3 +1126,65 @@ class TestKmeansEmbeddings:
         a = sorted(map(tuple, kmeans_assign(df, k=3).collect()))
         b = sorted(map(tuple, kmeans_assign(df.repartition(16), k=3).collect()))
         assert a == b
+
+
+class TestRound6OperatorTotality:
+    """Hostile-input sweep for the round-6 text operators: none may throw
+    or silently drop documents on degenerate text (the same totality
+    contract as the PDF decoder).  NULL-text behavior is pinned where the
+    engines differ (the synthetic corpora never contain NULL text; the
+    oracle contract only covers non-null rows)."""
+
+    TEXTS = [
+        (0, ""),                          # empty
+        (1, "x"),                         # single char
+        (2, "   "),                       # whitespace only
+        (3, "السلام 世界 ש"
+            "לום"),        # RTL + CJK + Hebrew
+        (4, "a" * 5000),                  # one very long word
+        (5, ("tok " * 100).strip()),      # one token repeated
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.TEXTS, ["doc_id", "text"])
+
+    def test_all_keep_every_doc(self, spark):
+        from pdf_extraction_tests_spark.operators.boilerplate import (
+            boilerplate_fraction)
+        from pdf_extraction_tests_spark.operators.substring_dedup import (
+            duplicated_span_rewrite)
+        from pdf_extraction_tests_spark.operators.pii import scrub_pii
+        from pdf_extraction_tests_spark.operators.repetition import (
+            repetition_signals)
+        df = self._df(spark)
+        n = len(self.TEXTS)
+        for op in (boilerplate_fraction, duplicated_span_rewrite,
+                   scrub_pii, repetition_signals):
+            rows = op(df).collect()
+            assert len(rows) == n, (op.__name__, rows)
+            assert {r.doc_id for r in rows} == set(range(n)), op.__name__
+
+    def test_chunking_emits_only_for_nonempty(self, spark):
+        from pdf_extraction_tests_spark.operators.chunking import (
+            chunk_documents)
+        rows = chunk_documents(self._df(spark)).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        # every doc splits to >=1 word under \s+ (empty string -> [""]),
+        # so every doc emits at least one chunk; the repeated-token doc
+        # emits ceil(100/24) staggered windows
+        assert set(by_doc) == set(range(len(self.TEXTS)))
+        assert len(by_doc[5]) == 5
+        assert by_doc[4][0].n_words == 1
+
+    def test_bm25_and_funnel_signals_on_hostile(self, spark):
+        from pdf_extraction_tests_spark.operators.bm25 import bm25_topk
+        from pdf_extraction_tests_spark.operators.repetition import (
+            repetition_signals)
+        hits = bm25_topk(self._df(spark), ["tok", "missing"]).collect()
+        assert {r.term for r in hits} == {"tok"}      # only matching terms
+        rep = {r.doc_id: r for r in
+               repetition_signals(self._df(spark)).collect()}
+        assert rep[5].top_bigram_frac == 1.0          # pure repetition
+        assert rep[0].top_bigram_frac == 0.0          # too short, kept
