@@ -67,7 +67,22 @@ def bm25_topk(
         .filter(F.col("tf") > 0)
         .drop("w")
     )
+    return _rank_scored(scored, stats, k, id_col, k1, b, salt)
 
+
+def _rank_scored(
+    scored: DataFrame,
+    stats: DataFrame,
+    k: int,
+    id_col: str,
+    k1: float,
+    b: float,
+    salt: int,
+) -> DataFrame:
+    """Shared BM25 scoring + salted two-phase top-k over a
+    (term, id_col, tf, dl) posting frame and a 1-row (n_docs, avgdl)
+    stats frame — used by both the scan path and the indexed path so the
+    two cannot drift."""
     df_per_term = scored.groupBy("term").agg(
         F.count("*").cast("bigint").alias("df")
     )
@@ -176,3 +191,66 @@ def bm25_topk_sql(
            round(score, 4) AS score
     FROM ranked WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# index-backed retrieval: postings as a bucket-partitioned snapshot table
+# ---------------------------------------------------------------------------
+
+INDEX_BUCKETS = 16
+
+
+def build_term_index(docs: DataFrame, index_dir: str,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     buckets: int = INDEX_BUCKETS) -> None:
+    """Materialize an inverted index: postings (term, id, tf, dl) as a
+    snapshot table partitioned by ``bucket(buckets, term)`` plus a 1-row
+    corpus-stats table.
+
+    The scan path (bm25_topk) explodes query terms against the corpus at
+    QUERY time — fine for ad-hoc use, wrong for a serving index.  This
+    pays the corpus explode ONCE; each later query reads only the
+    bucket directories its terms hash to (PartitionFilters, plan-pinned)
+    — the same pay-once layout as similarity.write_ivf_partitioned.
+    """
+    from pdf_extraction_tests_spark.snapshots import commit_snapshot
+
+    words = docs.select(
+        F.col(id_col), F.split(F.lower(text_col), r"\s+").alias("w")
+    ).withColumn("dl", F.size("w"))
+    postings = (
+        words.select(id_col, "dl", F.explode("w").alias("term"))
+        .groupBy("term", id_col)
+        .agg(F.count("*").cast("bigint").alias("tf"),
+             F.max("dl").cast("bigint").alias("dl"))
+    )
+    stats = words.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    commit_snapshot(postings, f"{index_dir}/postings", mode="overwrite",
+                    partition_by=[f"bucket({buckets}, term)"])
+    commit_snapshot(stats, f"{index_dir}/stats", mode="overwrite")
+
+
+def bm25_topk_indexed(spark, index_dir: str, terms: list[str], k: int = 5,
+                      id_col: str = "doc_id", k1: float = K1, b: float = B,
+                      salt: int = DEFAULT_SALT) -> DataFrame:
+    """BM25 top-k over a :func:`build_term_index` snapshot: each query
+    term reads ONLY its hash bucket's directories (read_snapshot ``eq``
+    pruning), so query cost scales with posting-list sizes, never the
+    corpus.  Scoring and ranking share :func:`_rank_scored` with the scan
+    path — results are identical by construction (pinned in
+    tests/test_bm25_index.py)."""
+    from pdf_extraction_tests_spark.snapshots import read_snapshot
+
+    stats = read_snapshot(spark, f"{index_dir}/stats")
+    branches = [
+        read_snapshot(spark, f"{index_dir}/postings", eq={"term": t})
+        for t in terms
+    ]
+    scored = branches[0]
+    for br in branches[1:]:
+        scored = scored.unionByName(br)
+    return _rank_scored(scored.filter(F.col("tf") > 0), stats, k,
+                        id_col, k1, b, salt)
