@@ -254,3 +254,78 @@ def bm25_topk_indexed(spark, index_dir: str, terms: list[str], k: int = 5,
         scored = scored.unionByName(br)
     return _rank_scored(scored.filter(F.col("tf") > 0), stats, k,
                         id_col, k1, b, salt)
+
+
+def append_to_term_index(spark, docs: DataFrame, index_dir: str,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         tag: str | None = None) -> None:
+    """Incrementally index a DELTA of new documents.
+
+    Postings for the delta append to the bucket-partitioned table (the
+    layout is inherited from the parent manifest, so the new files land
+    in the same term buckets and PartitionFilters pruning keeps working
+    across generations); the 1-row stats table is REPLACED with the
+    merged stats — counts add, avgdl merges as the count-weighted mean,
+    so stats after any batch split equal stats of one whole-corpus build
+    (pinned in tests/test_bm25_index.py).
+
+    ``tag`` makes the call replay-idempotent for streaming foreachBatch
+    epochs: a replayed tag finds both commits already recorded and skips
+    (same contract as dedup.lsh_index_append).  A lost commit race on the
+    postings table retries the whole read-merge-commit cycle.
+    """
+    from pdf_extraction_tests_spark.snapshots import (
+        ConcurrentCommitError,
+        commit_snapshot,
+        committed_tags,
+        read_snapshot,
+    )
+
+    words = docs.select(
+        F.col(id_col), F.split(F.lower(text_col), r"\s+").alias("w")
+    ).withColumn("dl", F.size("w"))
+    delta_postings = (
+        words.select(id_col, "dl", F.explode("w").alias("term"))
+        .groupBy("term", id_col)
+        .agg(F.count("*").cast("bigint").alias("tf"),
+             F.max("dl").cast("bigint").alias("dl"))
+    )
+    delta_stats = words.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+
+    for _attempt in range(5):
+        if tag is not None and tag in committed_tags(f"{index_dir}/postings"):
+            break    # replayed epoch: postings already in — but still fall
+            # through to the stats loop, which checks ITS OWN tag: a crash
+            # between the two commits must be repaired by the replay, not
+            # frozen in place by an early return
+        try:
+            commit_snapshot(delta_postings, f"{index_dir}/postings",
+                            mode="append", tag=tag)
+            break
+        except ConcurrentCommitError:
+            continue                     # re-read version, retry the cycle
+    else:
+        raise RuntimeError("postings append lost 5 commit races")
+
+    for _attempt in range(5):
+        if tag is not None and tag in committed_tags(f"{index_dir}/stats"):
+            return
+        old = read_snapshot(spark, f"{index_dir}/stats")
+        merged = (
+            old.unionByName(delta_stats)
+            .agg(
+                F.sum("n_docs").cast("bigint").alias("n_docs"),
+                (F.sum(F.col("avgdl") * F.col("n_docs"))
+                 / F.sum("n_docs")).alias("avgdl"),
+            )
+        )
+        try:
+            commit_snapshot(merged, f"{index_dir}/stats",
+                            mode="overwrite", tag=tag)
+            return
+        except ConcurrentCommitError:
+            continue                     # merge against the winner's stats
+    raise RuntimeError("stats merge lost 5 commit races")
