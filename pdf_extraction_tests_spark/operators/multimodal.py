@@ -78,7 +78,7 @@ _PGM_HEADER_RE = re.compile(
 
 
 def _parse_pgm(data: bytes) -> np.ndarray:
-    """Binary PGM (P5, 8-bit) -> flat gray array.  Raises ValueError."""
+    """Binary PGM (P5, 8-bit) -> (h, w) gray array.  Raises ValueError."""
     m = _PGM_HEADER_RE.match(data)
     if not m:
         raise ValueError("bad PGM header")
@@ -88,11 +88,11 @@ def _parse_pgm(data: bytes) -> np.ndarray:
     px = data[m.end():m.end() + w * h]
     if len(px) < w * h:
         raise ValueError("truncated PGM pixel data")
-    return np.frombuffer(px, dtype=np.uint8).astype(np.float64)
+    return np.frombuffer(px, dtype=np.uint8).astype(np.float64).reshape(h, w)
 
 
 def _parse_bmp(data: bytes) -> np.ndarray:
-    """Uncompressed 8/24-bit BMP -> flat gray array.  Raises ValueError."""
+    """Uncompressed 8/24-bit BMP -> (h, w) gray array.  Raises ValueError."""
     if len(data) < 54 or data[:2] != b"BM":
         raise ValueError("bad BMP header")
     off = int.from_bytes(data[10:14], "little")
@@ -116,7 +116,7 @@ def _parse_bmp(data: bytes) -> np.ndarray:
         else:  # 24-bit BGR
             px = row[: w * 3].reshape(w, 3).astype(np.float64)
             out[r] = 0.114 * px[:, 0] + 0.587 * px[:, 1] + 0.299 * px[:, 2]
-    return out.ravel()
+    return out
 
 
 def _gray_histogram(gray: np.ndarray) -> np.ndarray:
@@ -132,6 +132,30 @@ def _wave_histogram(samples: np.ndarray) -> np.ndarray:
     feature standing in for a model embedding)."""
     hist, _ = np.histogram(samples, bins=FEATURE_DIM, range=(-1.0, 1.0))
     return (hist / max(samples.size, 1)).astype(np.float32)
+
+
+def decode_gray_image(content: bytes | None) -> np.ndarray | None:
+    """Grayscale (h, w) pixel decode for the codecs with REAL decoders
+    (P5 PGM, uncompressed BMP, JPEG baseline+progressive, PNG) — None for
+    anything else.  Shared by the histogram features below and
+    operators/phash.py."""
+    if content is None:
+        return None
+    content = bytes(content)
+    try:
+        if content[:2] == b"P5":
+            return _parse_pgm(content)
+        if content[:2] == b"BM":
+            return _parse_bmp(content)
+        if content[:2] == b"\xff\xd8":
+            from ..sources._jpeg import decode_jpeg_gray
+            return decode_jpeg_gray(content)
+        if content[:8] == b"\x89PNG\r\n\x1a\n":
+            from ..sources._png import decode_png_gray
+            return decode_png_gray(content)
+    except ValueError:
+        return None
+    return None
 
 
 def _decode(content: bytes | None,

@@ -1,0 +1,155 @@
+"""Perceptual image hashing (pHash) + banded near-dup pairs.
+
+Web corpora are full of visually-identical images that differ at the byte
+level (re-encodes, quality changes, metadata edits) — the exact digest in
+the media-features table cannot see them.  The classic DCT perceptual
+hash can: resize to 32x32, 2-D DCT-II, keep the 8x8 low-frequency block,
+threshold against its median -> 64 bits whose Hamming distance tracks
+visual similarity.
+
+Spark shape mirrors the SimHash text path (operators/dedup.py):
+
+* hashing is a batched ``mapInPandas`` over the media table's binary
+  column (numpy DCT per Arrow batch — the decode itself reuses
+  multimodal.decode_gray_image, so every codec with a real decoder gets
+  a real pHash and everything else is honestly NULL);
+* candidate pairs come from a BANDED self-join: the 64-bit hash splits
+  into ``bands`` 16-bit keys, same-(band, key) rows join — pigeonhole
+  guarantees any pair with Hamming distance < bands shares a band, so
+  recall at small distances is 1.0 by construction, never probabilistic;
+* the exact Hamming verify is JVM-side ``bit_count(a ^ b)`` — no Python
+  in the join or the verify.
+
+The reference has no image dedup at all (images pass through as files);
+this extends the dedup suite (exact/MinHash/SimHash/embedding) with the
+perceptual-visual modality.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+PHASH_SIZE = 32          # resize target (DCT input)
+PHASH_KEEP = 8           # low-frequency block kept
+DEFAULT_BANDS = 4        # 4 x 16-bit bands over the 64-bit hash
+DEFAULT_MAX_HAMMING = 10
+
+_DCT = None
+
+
+def _dct_matrix(n: int = PHASH_SIZE) -> np.ndarray:
+    """Orthonormal DCT-II matrix (same construction as sources/_jpeg's
+    IDCT, transposed use)."""
+    global _DCT
+    if _DCT is None or _DCT.shape[0] != n:
+        k = np.arange(n)[:, None]
+        i = np.arange(n)[None, :]
+        m = np.sqrt(2.0 / n) * np.cos((2 * i + 1) * k * np.pi / (2 * n))
+        m[0] *= np.sqrt(0.5)
+        _DCT = m
+    return _DCT
+
+
+def _resize_mean(img: np.ndarray, n: int = PHASH_SIZE) -> np.ndarray:
+    """Deterministic area-mean resize to n x n via bucketed reduceat."""
+    img = np.atleast_2d(np.asarray(img, dtype=np.float64))
+    h, w = img.shape
+    if h < 1 or w < 1:
+        raise ValueError("empty image")
+    rb = (np.arange(n) * h) // n
+    cb = (np.arange(n) * w) // n
+    rows = np.add.reduceat(img, rb, axis=0)
+    both = np.add.reduceat(rows, cb, axis=1)
+    rcount = np.diff(np.append(rb, h))[:, None].astype(np.float64)
+    ccount = np.diff(np.append(cb, w))[None, :].astype(np.float64)
+    return both / (rcount * ccount)
+
+
+def phash64(img: np.ndarray) -> int:
+    """64-bit DCT perceptual hash of a grayscale image array."""
+    small = _resize_mean(img)
+    d = _dct_matrix()
+    coefs = d @ small @ d.T
+    block = coefs[:PHASH_KEEP, :PHASH_KEEP].ravel()
+    ac = block[1:]                        # drop DC: it is just brightness
+    med = np.median(ac)
+    bits = 0
+    for v in ac:
+        bits = (bits << 1) | int(v > med)
+    return bits                           # 63 significant bits
+
+
+def phash_features(media: DataFrame,
+                   ref_col: str = "media_ref",
+                   content_col: str = "content") -> DataFrame:
+    """media table -> (ref_col, phash bigint | NULL).  NULL = no real
+    pixel decode for the content (honest, like feature_kind='stub')."""
+    from pdf_extraction_tests_spark.operators.multimodal import (
+        decode_gray_image)
+
+    schema = T.StructType([
+        T.StructField(ref_col, T.StringType(), False),
+        T.StructField("phash", T.LongType(), True),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for content in pdf[content_col]:
+                img = decode_gray_image(
+                    bytes(content) if content is not None else None)
+                try:
+                    hashes.append(phash64(img) if img is not None else None)
+                except ValueError:
+                    hashes.append(None)
+            yield pd.DataFrame({ref_col: pdf[ref_col], "phash": hashes},
+                               columns=[ref_col, "phash"])
+
+    return media.select(ref_col, content_col).mapInPandas(run, schema=schema)
+
+
+def phash_near_dups(hashes: DataFrame,
+                    max_hamming: int = DEFAULT_MAX_HAMMING,
+                    bands: int = DEFAULT_BANDS,
+                    ref_col: str = "media_ref") -> DataFrame:
+    """Near-dup image pairs from a :func:`phash_features` frame.
+
+    Banded candidate generation (explode ``bands`` 16-bit keys, equi-join
+    on (band, key) — never all-pairs) + exact ``bit_count(a ^ b)`` verify.
+    Pigeonhole: every pair with Hamming < ``bands`` is guaranteed found;
+    pairs between that and ``max_hamming`` are found iff some band
+    matches (the standard recall/cost dial, same as LSH bands).
+
+    Returns (ref_a, ref_b, hamming), ref_a < ref_b, deduped across bands.
+    """
+    width = 64 // bands
+    mask = (1 << width) - 1
+    h = hashes.filter(F.col("phash").isNotNull())
+    banded = h.select(
+        F.col(ref_col), "phash",
+        F.explode(F.array(*[F.lit(i) for i in range(bands)])).alias("band"),
+    ).withColumn(
+        # expr form: the pyspark shiftrightunsigned wrapper only accepts a
+        # python-int shift, not a per-row column
+        "bkey",
+        F.expr(f"shiftrightunsigned(phash, band * {width})")
+        .bitwiseAND(F.lit(mask)),
+    )
+    a = banded.select(F.col(ref_col).alias("ref_a"),
+                      F.col("phash").alias("ha"), "band", "bkey")
+    b = banded.select(F.col(ref_col).alias("ref_b"),
+                      F.col("phash").alias("hb"), "band", "bkey")
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("ref_a") < F.col("ref_b"))
+        .select(
+            "ref_a", "ref_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

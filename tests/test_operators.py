@@ -1188,3 +1188,104 @@ class TestRound6OperatorTotality:
                repetition_signals(self._df(spark)).collect()}
         assert rep[5].top_bigram_frac == 1.0          # pure repetition
         assert rep[0].top_bigram_frac == 0.0          # too short, kept
+
+
+class TestPerceptualHash:
+    """DCT pHash (operators/phash.py): visual-similarity tracking, banded
+    recall guarantee, honest NULLs, plan shape."""
+
+    @staticmethod
+    def _pgm(pixels):
+        import numpy as np
+        arr = np.asarray(pixels, dtype=np.uint8)
+        h, w = arr.shape
+        return b"P5\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+    def _images(self):
+        import numpy as np
+        rng = np.random.default_rng(11)
+        base = (np.linspace(0, 255, 64 * 64).reshape(64, 64)
+                + rng.normal(0, 12, (64, 64))).clip(0, 255).astype(np.uint8)
+        # mild re-encode-style noise: visually identical, byte-different
+        noised = (base.astype(np.float64)
+                  + rng.normal(0, 4, (64, 64))).clip(0, 255).astype(np.uint8)
+        other = rng.integers(0, 256, (64, 64)).astype(np.uint8)
+        return base, noised, other
+
+    def test_phash_tracks_visual_similarity(self):
+        import numpy as np
+        from pdf_extraction_tests_spark.operators.phash import phash64
+        base, noised, other = self._images()
+        ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+        assert phash64(base) == phash64(base.astype(np.float64))
+        assert ham(phash64(base), phash64(noised)) <= 8
+        assert ham(phash64(base), phash64(other)) > 16
+
+    def test_resize_invariance(self):
+        # the SAME scene at 2x resolution hashes within a few bits
+        import numpy as np
+        from pdf_extraction_tests_spark.operators.phash import phash64
+        base, _, _ = self._images()
+        big = np.kron(base, np.ones((2, 2)))      # 128x128 upscale
+        assert bin(phash64(base) ^ phash64(big)).count("1") <= 6
+
+    def test_spark_pairs_and_null_honesty(self, spark):
+        from pdf_extraction_tests_spark.operators.multimodal import (
+            MEDIA_SCHEMA)
+        from pdf_extraction_tests_spark.operators.phash import (
+            phash_features, phash_near_dups)
+        import pandas as pd
+        base, noised, other = self._images()
+        rows = [
+            {"media_ref": "img://base", "media_type": "image",
+             "content": bytearray(self._pgm(base))},
+            {"media_ref": "img://noised", "media_type": "image",
+             "content": bytearray(self._pgm(noised))},
+            {"media_ref": "img://other", "media_type": "image",
+             "content": bytearray(self._pgm(other))},
+            {"media_ref": "img://undecodable", "media_type": "image",
+             "content": bytearray(b"GIF89a notdecoded")},
+        ]
+        pdf = pd.DataFrame(rows)
+        for c in ("width", "height", "duration_ms"):
+            pdf[c] = pd.Series([None] * len(rows), dtype="object")
+        media = spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+        feats = phash_features(media)
+        got = {r.media_ref: r.phash for r in feats.collect()}
+        assert got["img://undecodable"] is None      # honest NULL
+        assert got["img://base"] is not None
+        pairs = {(r.ref_a, r.ref_b): r.hamming
+                 for r in phash_near_dups(feats).collect()}
+        assert ("img://base", "img://noised") in pairs
+        assert all("other" not in a and "other" not in b for a, b in pairs)
+
+    def test_pigeonhole_recall_guarantee(self, spark):
+        """Every pair with hamming < bands MUST be found (not probabilistic)."""
+        import random
+        from pdf_extraction_tests_spark.operators.phash import phash_near_dups
+        rng = random.Random(3)
+        rows = []
+        base = rng.getrandbits(63)
+        for i in range(20):
+            h = base
+            for _ in range(min(i % 4, 3)):          # 0-3 bit flips < 4 bands
+                h ^= 1 << rng.randrange(63)
+            rows.append((f"m{i:02d}", h))
+        hashes = spark.createDataFrame(rows, ["media_ref", "phash"])
+        pairs = {(r.ref_a, r.ref_b)
+                 for r in phash_near_dups(hashes, max_hamming=6).collect()}
+        seen = dict(rows)
+        ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+        for i, (ra, ha) in enumerate(rows):
+            for rb, hb in rows[i + 1:]:
+                if ham(ha, hb) < 4:                 # < bands -> guaranteed
+                    assert (min(ra, rb), max(ra, rb)) in pairs, (ra, rb)
+
+    def test_pair_join_is_banded_not_cartesian(self, spark):
+        from pdf_extraction_tests_spark.operators.phash import phash_near_dups
+        from pdf_extraction_tests_spark.plans.audit import formatted_plan
+        hashes = spark.createDataFrame(
+            [(f"m{i}", i * 7919) for i in range(8)], ["media_ref", "phash"])
+        plan = formatted_plan(phash_near_dups(hashes))
+        assert "CartesianProduct" not in plan, plan
+        assert "EvalPython" not in plan, plan        # verify is JVM-side
