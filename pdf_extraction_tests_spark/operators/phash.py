@@ -115,8 +115,10 @@ def phash_features(media: DataFrame,
 def phash_near_dups(hashes: DataFrame,
                     max_hamming: int = DEFAULT_MAX_HAMMING,
                     bands: int = DEFAULT_BANDS,
-                    ref_col: str = "media_ref") -> DataFrame:
-    """Near-dup image pairs from a :func:`phash_features` frame.
+                    ref_col: str = "media_ref",
+                    hash_col: str = "phash") -> DataFrame:
+    """Near-dup pairs from any 64-bit-hash frame (pHash images, audio
+    fingerprints — ``hash_col`` names the column).
 
     Banded candidate generation (explode ``bands`` 16-bit keys, equi-join
     on (band, key) — never all-pairs) + exact ``bit_count(a ^ b)`` verify.
@@ -128,7 +130,9 @@ def phash_near_dups(hashes: DataFrame,
     """
     width = 64 // bands
     mask = (1 << width) - 1
-    h = hashes.filter(F.col("phash").isNotNull())
+    h = hashes.select(
+        F.col(ref_col), F.col(hash_col).alias("phash")
+    ).filter(F.col("phash").isNotNull())
     banded = h.select(
         F.col(ref_col), "phash",
         F.explode(F.array(*[F.lit(i) for i in range(bands)])).alias("band"),
@@ -153,3 +157,78 @@ def phash_near_dups(hashes: DataFrame,
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprint (Haitsma-Kalker robust-hash shape) — shares the banded
+# Hamming join above
+# ---------------------------------------------------------------------------
+
+AFP_FRAMES = 16
+AFP_BANDS_PER_FRAME = 5          # 16 frames x 4 sign bits + 1 = 64 bits
+
+
+def audio_fingerprint64(samples: np.ndarray) -> int:
+    """64-bit spectral fingerprint of mono [-1, 1] samples.
+
+    The Haitsma-Kalker construction at toy scale: split the signal into
+    ``AFP_FRAMES`` frames, per-frame energies in
+    ``AFP_BANDS_PER_FRAME`` log-spaced FFT bands, one bit per
+    band-difference sign ``E[f, b] - E[f, b+1]`` — robust to gain changes
+    (signs survive scaling) and mild noise, which is exactly the
+    re-encode family the exact content digest cannot see.
+    """
+    x = np.asarray(samples, dtype=np.float64).ravel()
+    if x.size < AFP_FRAMES:
+        raise ValueError("audio too short to fingerprint")
+    flen = x.size // AFP_FRAMES
+    bits = 0
+    for f in range(AFP_FRAMES):
+        frame = x[f * flen:(f + 1) * flen]
+        spec = np.abs(np.fft.rfft(frame)) ** 2
+        # log-spaced band edges over the positive spectrum (DC excluded)
+        edges = np.unique(
+            np.geomspace(1, spec.size, AFP_BANDS_PER_FRAME + 1)
+            .astype(int)
+        )
+        while len(edges) < AFP_BANDS_PER_FRAME + 1:   # tiny frames: pad
+            edges = np.append(edges, edges[-1])
+        energies = [
+            float(spec[edges[b]:max(edges[b + 1], edges[b] + 1)].sum())
+            for b in range(AFP_BANDS_PER_FRAME)
+        ]
+        for b in range(AFP_BANDS_PER_FRAME - 1):
+            bits = (bits << 1) | int(energies[b] > energies[b + 1])
+    return bits                       # 16 x 4 = 64 significant bits
+
+
+def audio_fingerprints(media: DataFrame,
+                       ref_col: str = "media_ref",
+                       content_col: str = "content") -> DataFrame:
+    """media table -> (ref_col, afp bigint | NULL): RIFF/WAVE PCM rows get
+    a real fingerprint, everything else an honest NULL.  Near-dup pairs:
+    ``phash_near_dups(fps, hash_col='afp')`` — the same banded join."""
+    from pdf_extraction_tests_spark.sources._wav import decode_wav
+
+    schema = T.StructType([
+        T.StructField(ref_col, T.StringType(), False),
+        T.StructField("afp", T.LongType(), True),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps = []
+            for content in pdf[content_col]:
+                raw = bytes(content) if content is not None else None
+                try:
+                    if raw is not None and raw[:4] == b"RIFF":
+                        samples, _rate = decode_wav(raw)
+                        fps.append(audio_fingerprint64(samples))
+                    else:
+                        fps.append(None)
+                except ValueError:
+                    fps.append(None)
+            yield pd.DataFrame({ref_col: pdf[ref_col], "afp": fps},
+                               columns=[ref_col, "afp"])
+
+    return media.select(ref_col, content_col).mapInPandas(run, schema=schema)

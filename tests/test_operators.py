@@ -1289,3 +1289,67 @@ class TestPerceptualHash:
         plan = formatted_plan(phash_near_dups(hashes))
         assert "CartesianProduct" not in plan, plan
         assert "EvalPython" not in plan, plan        # verify is JVM-side
+
+
+class TestAudioFingerprint:
+    """Haitsma-Kalker-style audio fingerprint (operators/phash.py):
+    gain invariance, noise robustness, discrimination, Spark path with
+    honest NULLs, shared banded join."""
+
+    @staticmethod
+    def _tone(freqs, n=8000, rate=8000):
+        import numpy as np
+        t = np.arange(n) / rate
+        x = sum(np.sin(2 * np.pi * f * t) * a for f, a in freqs)
+        return (0.8 * x / max(1e-9, np.abs(x).max()))
+
+    def test_gain_invariant_noise_robust_discriminative(self):
+        import numpy as np
+        from pdf_extraction_tests_spark.operators.phash import (
+            audio_fingerprint64)
+        rng = np.random.default_rng(5)
+        a = self._tone([(440, 1.0), (880, 0.5), (1760, 0.2)])
+        quiet = 0.25 * a                                   # gain change
+        noisy = a + rng.normal(0, 0.01, a.size)            # mild noise
+        other = self._tone([(3100, 1.0), (150, 0.8)])
+        ham = lambda x, y: bin(x ^ y).count("1")  # noqa: E731
+        fa = audio_fingerprint64(a)
+        assert audio_fingerprint64(quiet) == fa            # signs survive gain
+        assert ham(audio_fingerprint64(noisy), fa) <= 6
+        assert ham(audio_fingerprint64(other), fa) > 12
+
+    def test_spark_path_and_pairs(self, spark):
+        import numpy as np
+        import pandas as pd
+        from tests.test_wav import encode_wav
+        from pdf_extraction_tests_spark.operators.multimodal import (
+            MEDIA_SCHEMA)
+        from pdf_extraction_tests_spark.operators.phash import (
+            audio_fingerprints, phash_near_dups)
+        rng = np.random.default_rng(9)
+        a = self._tone([(440, 1.0), (880, 0.5)])
+        rows = [
+            {"media_ref": "au://a", "media_type": "audio",
+             "content": bytearray(encode_wav(a))},
+            {"media_ref": "au://a_requant", "media_type": "audio",
+             "content": bytearray(encode_wav(
+                 a + rng.normal(0, 0.005, a.size), bits=8))},
+            {"media_ref": "au://other", "media_type": "audio",
+             "content": bytearray(encode_wav(
+                 self._tone([(2500, 1.0), (333, 0.7)])))},
+            {"media_ref": "au://notaudio", "media_type": "audio",
+             "content": bytearray(b"plainbytes")},
+        ]
+        pdf = pd.DataFrame(rows)
+        for c in ("width", "height", "duration_ms"):
+            pdf[c] = pd.Series([None] * len(rows), dtype="object")
+        media = spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+        fps = audio_fingerprints(media)
+        got = {r.media_ref: r.afp for r in fps.collect()}
+        assert got["au://notaudio"] is None
+        assert got["au://a"] is not None
+        pairs = {(r.ref_a, r.ref_b)
+                 for r in phash_near_dups(fps, hash_col="afp",
+                                          max_hamming=8).collect()}
+        assert ("au://a", "au://a_requant") in pairs
+        assert not any("other" in a_ or "other" in b_ for a_, b_ in pairs)
