@@ -316,6 +316,7 @@ _ROTATED_BELOW_CAP = [
     "q59_curation_funnel",
     "q60_kmeans_clusters",
     "q61_semantic_near_dups",
+    "q62_funnel_summary",
 ]
 
 

@@ -42,10 +42,11 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("content_digest", T.StringType(), True),
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
         T.StructField("decode_ok", T.BooleanType(), True),
-        # provenance: 'pixel' = real decode, 'stub' = digest-seeded fake
-        # (sanctioned codec boundary), NULL = no feature.  Non-oracled, but
-        # present IN DATA so downstream can tell a real histogram from a
-        # stand-in (round-3 verdict item 6).
+        # provenance: 'pixel' = real image decode, 'wave' = real PCM
+        # decode, 'frames' = real sampled-frame video decode (MJPEG-AVI),
+        # 'stub' = digest-seeded fake (sanctioned codec boundary), NULL =
+        # no feature.  Non-oracled, but present IN DATA so downstream can
+        # tell a real histogram from a stand-in (round-3 verdict item 6).
         T.StructField("feature_kind", T.StringType(), True),
     ]
 )
@@ -198,6 +199,17 @@ def _decode(content: bytes | None,
                 from ..sources._wav import decode_wav
                 samples, _rate = decode_wav(bytes(content))
                 return _wave_histogram(samples), "wave"
+        except ValueError:
+            pass
+    if content is not None and media_type == "video":
+        try:
+            if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+                from ..sources._avi import sample_avi_frames_gray
+                frames = sample_avi_frames_gray(bytes(content), k=4)
+                # mean of per-frame histograms: a real, pixel-deterministic
+                # video feature from SAMPLED frames (the production shape)
+                hist = np.mean([_gray_histogram(fr) for fr in frames], axis=0)
+                return hist.astype(np.float32), "frames"
         except ValueError:
             pass
     stub = _decode_stub(content, media_type)

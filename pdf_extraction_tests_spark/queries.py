@@ -1649,6 +1649,72 @@ def q61(spark, sf_dir):
     return semantic_near_dups(load(spark, sf_dir, "embeddings"))
 
 
+@query(
+    "q62_funnel_summary",
+    f"""
+    SELECT * FROM (
+      SELECT 'total' AS stage, 0 AS stage_idx, count(*) AS survivors
+      FROM ({_q59_sql()})
+      UNION ALL
+      SELECT 'lang', 1, sum(CASE WHEN pass_lang THEN 1 ELSE 0 END)
+      FROM ({_q59_sql()})
+      UNION ALL
+      SELECT 'lang+quality', 2,
+             sum(CASE WHEN pass_lang AND pass_quality THEN 1 ELSE 0 END)
+      FROM ({_q59_sql()})
+      UNION ALL
+      SELECT 'lang+quality+rep', 3,
+             sum(CASE WHEN pass_lang AND pass_quality AND pass_repetition
+                 THEN 1 ELSE 0 END)
+      FROM ({_q59_sql()})
+      UNION ALL
+      SELECT 'lang+quality+rep+boiler', 4,
+             sum(CASE WHEN pass_lang AND pass_quality AND pass_repetition
+                      AND pass_boiler THEN 1 ELSE 0 END)
+      FROM ({_q59_sql()})
+      UNION ALL
+      SELECT 'kept', 5, sum(CASE WHEN keep_doc THEN 1 ELSE 0 END)
+      FROM ({_q59_sql()})
+    )
+    """,
+)
+def q62(spark, sf_dir):
+    """The curation funnel REPORT: cumulative survivor counts per gate —
+    the number a pipeline operator actually watches.  One aggregation
+    over the q59 flags (the oracle re-derives each stage from the same
+    composed SQL, so the report cannot drift from the row-level truth)."""
+    f = q59(spark, sf_dir)
+    stages = [
+        ("total", 0, F.lit(True)),
+        ("lang", 1, F.col("pass_lang")),
+        ("lang+quality", 2, F.col("pass_lang") & F.col("pass_quality")),
+        ("lang+quality+rep", 3,
+         F.col("pass_lang") & F.col("pass_quality")
+         & F.col("pass_repetition")),
+        ("lang+quality+rep+boiler", 4,
+         F.col("pass_lang") & F.col("pass_quality")
+         & F.col("pass_repetition") & F.col("pass_boiler")),
+        ("kept", 5, F.col("keep_doc")),
+    ]
+    return f.agg(
+        *[
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"_s{idx}")
+            for _, idx, cond in stages
+        ]
+    ).select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(name).alias("stage"),
+                    F.lit(idx).alias("stage_idx"),
+                    F.col(f"_s{idx}").alias("survivors"),
+                )
+                for name, idx, _ in stages
+            ])
+        ).alias("s")
+    ).select("s.stage", "s.stage_idx", "s.survivors")
+
+
 # ---------------------------------------------------------------------------
 # public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------
