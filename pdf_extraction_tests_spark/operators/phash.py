@@ -64,8 +64,12 @@ def _resize_mean(img: np.ndarray, n: int = PHASH_SIZE) -> np.ndarray:
     cb = (np.arange(n) * w) // n
     rows = np.add.reduceat(img, rb, axis=0)
     both = np.add.reduceat(rows, cb, axis=1)
-    rcount = np.diff(np.append(rb, h))[:, None].astype(np.float64)
-    ccount = np.diff(np.append(cb, w))[None, :].astype(np.float64)
+    # upsampling repeats boundaries; reduceat then yields the SINGLE
+    # element at the repeated index, so the matching count is 1, not 0
+    # (a zero count divided every sub-32px image into NaNs -> phash 0
+    # for ALL of them — caught by the video fixtures, regression-pinned)
+    rcount = np.maximum(np.diff(np.append(rb, h)), 1)[:, None].astype(float)
+    ccount = np.maximum(np.diff(np.append(cb, w)), 1)[None, :].astype(float)
     return both / (rcount * ccount)
 
 
@@ -232,3 +236,86 @@ def audio_fingerprints(media: DataFrame,
                                columns=[ref_col, "afp"])
 
     return media.select(ref_col, content_col).mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# video near-dup: frame-level pHash composition
+# ---------------------------------------------------------------------------
+
+VIDEO_SAMPLE_FRAMES = 4
+
+
+def video_frame_phashes(media: DataFrame,
+                        ref_col: str = "media_ref",
+                        content_col: str = "content",
+                        k: int = VIDEO_SAMPLE_FRAMES) -> DataFrame:
+    """media table -> (ref_col, frame_idx, phash): one row per SAMPLED
+    frame of each decodable MJPEG-AVI video (sources/_avi).  Undecodable
+    content yields no rows (the honest-NULL analogue for an exploding
+    mapper)."""
+    schema = T.StructType([
+        T.StructField(ref_col, T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("phash", T.LongType(), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_extraction_tests_spark.sources._avi import (
+            sample_avi_frames_gray)
+        for pdf in batches:
+            refs, idxs, hashes = [], [], []
+            for ref, content in zip(pdf[ref_col], pdf[content_col]):
+                raw = bytes(content) if content is not None else None
+                if raw is None or raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
+                    continue
+                try:
+                    frames = sample_avi_frames_gray(raw, k=k)
+                except ValueError:
+                    continue
+                for i, fr in enumerate(frames):
+                    refs.append(ref)
+                    idxs.append(i)
+                    hashes.append(phash64(fr))
+            yield pd.DataFrame(
+                {ref_col: refs,
+                 "frame_idx": pd.Series(idxs, dtype="int32"),
+                 "phash": pd.Series(hashes, dtype="int64")},
+                columns=[ref_col, "frame_idx", "phash"])
+
+    return media.select(ref_col, content_col).mapInPandas(run, schema=schema)
+
+
+def video_near_dups(frame_hashes: DataFrame,
+                    min_matching_frames: int = 2,
+                    max_hamming: int = DEFAULT_MAX_HAMMING,
+                    bands: int = DEFAULT_BANDS,
+                    ref_col: str = "media_ref") -> DataFrame:
+    """Near-dup video pairs: two videos match when at least
+    ``min_matching_frames`` of their sampled frames are pHash-near
+    (re-encoded / re-containered copies survive; videos sharing one
+    incidental frame do not).
+
+    Composition: the SAME banded Hamming join over per-frame hashes
+    (frame identity folded into the ref key so the pair join stays an
+    equi-join), then one aggregation per video pair.
+    """
+    keyed = frame_hashes.select(
+        F.concat_ws("#", F.col(ref_col), F.col("frame_idx")).alias("fref"),
+        "phash",
+    )
+    frame_pairs = phash_near_dups(
+        keyed, max_hamming=max_hamming, bands=bands, ref_col="fref")
+    va = F.substring_index(F.col("ref_a"), "#", 1)
+    vb = F.substring_index(F.col("ref_b"), "#", 1)
+    return (
+        # least/greatest canonicalization: the frame-key ordering is by
+        # the composite string, which could disagree with the bare video
+        # ref ordering when one ref prefixes another
+        frame_pairs.select(F.least(va, vb).alias("vid_a"),
+                           F.greatest(va, vb).alias("vid_b"), "hamming")
+        .filter(F.col("vid_a") != F.col("vid_b"))
+        .groupBy("vid_a", "vid_b")
+        .agg(F.count("*").cast("bigint").alias("n_frames"),
+             F.min("hamming").alias("best_hamming"))
+        .filter(F.col("n_frames") >= min_matching_frames)
+    )

@@ -14,16 +14,17 @@ from pdf_extraction_tests_spark.sources import _avi as A
 from tests.test_jpeg import encode_jpeg
 
 
-def _frames(n=6, w=32, h=24, seed=3):
+def _planes(n=6, w=32, h=24, seed=3):
     rng = np.random.default_rng(seed)
-    out = []
-    for i in range(n):
-        base = np.clip(
-            np.linspace(0, 255, w)[None, :] + i * 20
-            + rng.normal(0, 4, (h, w)),
-            0, 255)
-        out.append(encode_jpeg(base))
-    return out
+    return [
+        np.clip(np.linspace(0, 255, w)[None, :] + i * 20
+                + rng.normal(0, 4, (h, w)), 0, 255)
+        for i in range(n)
+    ]
+
+
+def _frames(n=6, w=32, h=24, seed=3):
+    return [encode_jpeg(p) for p in _planes(n, w, h, seed)]
 
 
 class TestContainer:
@@ -99,3 +100,52 @@ class TestVideoFeature:
         assert real.feature_kind == "frames" and real.decode_ok
         assert abs(sum(real.feature) - 1.0) < 1e-5   # mean of histograms
         assert got["vid://junk"].feature_kind == "stub"
+
+
+class TestVideoNearDups:
+    """Frame-pHash video dedup (operators/phash.py video_near_dups)."""
+
+    def _media(self, spark, rows):
+        pdf = pd.DataFrame(rows)
+        for c in ("width", "height", "duration_ms"):
+            pdf[c] = pd.Series([None] * len(rows), dtype="object")
+        from pdf_extraction_tests_spark.operators.multimodal import (
+            MEDIA_SCHEMA)
+        return spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+
+    def test_reencoded_copy_found_distinct_not(self, spark):
+        from pdf_extraction_tests_spark.operators.phash import (
+            video_frame_phashes, video_near_dups)
+        rng = np.random.default_rng(21)
+        planes = _planes(n=6, seed=4)
+        frames = [encode_jpeg(p) for p in planes]
+        # re-encode: the SAME scenes through a different quantizer + noise
+        reenc = [encode_jpeg(np.clip(p + rng.normal(0, 2, p.shape), 0, 255),
+                             quant=2)
+                 for p in planes]
+        # structurally different scenes (noise fields, not gradients) —
+        # same-gradient fixtures ARE visually near-identical to pHash
+        orng = np.random.default_rng(99)
+        other = [encode_jpeg(orng.integers(0, 256, (24, 32)).astype(float))
+                 for _ in range(6)]
+        rows = [
+            {"media_ref": "v://orig", "media_type": "video",
+             "content": bytearray(A.build_avi(frames, 32, 24))},
+            {"media_ref": "v://reenc", "media_type": "video",
+             "content": bytearray(A.build_avi(reenc, 32, 24))},
+            {"media_ref": "v://other", "media_type": "video",
+             "content": bytearray(A.build_avi(other, 32, 24))},
+            {"media_ref": "v://junk", "media_type": "video",
+             "content": bytearray(b"nope")},
+        ]
+        fh = video_frame_phashes(self._media(spark, rows))
+        by_vid = {}
+        for r in fh.collect():
+            by_vid.setdefault(r.media_ref, []).append(r.phash)
+        assert "v://junk" not in by_vid          # undecodable -> no rows
+        assert len(by_vid["v://orig"]) == 4      # sampled, not all 6
+        pairs = {(r.vid_a, r.vid_b): r.n_frames
+                 for r in video_near_dups(fh).collect()}
+        assert ("v://orig", "v://reenc") in pairs
+        assert pairs[("v://orig", "v://reenc")] >= 2
+        assert not any("other" in a or "other" in b for a, b in pairs)

@@ -1353,3 +1353,18 @@ class TestAudioFingerprint:
                                           max_hamming=8).collect()}
         assert ("au://a", "au://a_requant") in pairs
         assert not any("other" in a_ or "other" in b_ for a_, b_ in pairs)
+
+
+def test_phash_small_images_not_degenerate():
+    """Regression: images smaller than the 32x32 DCT grid must produce
+    real hashes (a zero upsample count once NaN'd every sub-32px image
+    into phash 0 — all small images 'matched' each other)."""
+    import numpy as np
+    from pdf_extraction_tests_spark.operators.phash import phash64
+    rng = np.random.default_rng(2)
+    a = rng.integers(0, 256, (24, 32)).astype(float)
+    b = rng.integers(0, 256, (24, 32)).astype(float)
+    tiny = rng.integers(0, 256, (5, 7)).astype(float)
+    assert phash64(a) != 0 and phash64(tiny) != 0
+    assert bin(phash64(a) ^ phash64(b)).count("1") > 10
+    assert phash64(a) == phash64(a.copy())
