@@ -215,6 +215,18 @@ def build_term_index(docs: DataFrame, index_dir: str,
     """
     from pdf_extraction_tests_spark.snapshots import commit_snapshot
 
+    postings, stats = _postings_and_stats(docs, id_col, text_col)
+    commit_snapshot(postings, f"{index_dir}/postings", mode="overwrite",
+                    partition_by=[f"bucket({buckets}, term)"])
+    commit_snapshot(stats, f"{index_dir}/stats", mode="overwrite")
+
+
+def _postings_and_stats(docs: DataFrame, id_col: str,
+                        text_col: str) -> tuple[DataFrame, DataFrame]:
+    """Shared index derivation — the full build and the incremental
+    append MUST tokenize/aggregate identically or the incremental index
+    silently drifts from the scan path (same single-source rule as
+    _rank_scored on the scoring side)."""
     words = docs.select(
         F.col(id_col), F.split(F.lower(text_col), r"\s+").alias("w")
     ).withColumn("dl", F.size("w"))
@@ -228,9 +240,7 @@ def build_term_index(docs: DataFrame, index_dir: str,
         F.count("*").cast("bigint").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
-    commit_snapshot(postings, f"{index_dir}/postings", mode="overwrite",
-                    partition_by=[f"bucket({buckets}, term)"])
-    commit_snapshot(stats, f"{index_dir}/stats", mode="overwrite")
+    return postings, stats
 
 
 def bm25_topk_indexed(spark, index_dir: str, terms: list[str], k: int = 5,
@@ -281,19 +291,7 @@ def append_to_term_index(spark, docs: DataFrame, index_dir: str,
         read_snapshot,
     )
 
-    words = docs.select(
-        F.col(id_col), F.split(F.lower(text_col), r"\s+").alias("w")
-    ).withColumn("dl", F.size("w"))
-    delta_postings = (
-        words.select(id_col, "dl", F.explode("w").alias("term"))
-        .groupBy("term", id_col)
-        .agg(F.count("*").cast("bigint").alias("tf"),
-             F.max("dl").cast("bigint").alias("dl"))
-    )
-    delta_stats = words.agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-    )
+    delta_postings, delta_stats = _postings_and_stats(docs, id_col, text_col)
 
     for _attempt in range(5):
         if tag is not None and tag in committed_tags(f"{index_dir}/postings"):

@@ -169,7 +169,7 @@ def phash_near_dups(hashes: DataFrame,
 # ---------------------------------------------------------------------------
 
 AFP_FRAMES = 16
-AFP_BANDS_PER_FRAME = 5          # 16 frames x 4 sign bits + 1 = 64 bits
+AFP_BANDS_PER_FRAME = 5          # 16 frames x 4 sign bits = 64, top bit dropped
 
 
 def audio_fingerprint64(samples: np.ndarray) -> int:
@@ -203,7 +203,11 @@ def audio_fingerprint64(samples: np.ndarray) -> int:
         ]
         for b in range(AFP_BANDS_PER_FRAME - 1):
             bits = (bits << 1) | int(energies[b] > energies[b + 1])
-    return bits                       # 16 x 4 = 64 significant bits
+    # 16 x 4 = 64 raw bits: the top bit MUST be dropped or a bass-heavy
+    # signal (frame 0's lowest band dominating) lands in [2^63, 2^64) and
+    # overflows the LongType schema (pandas infers uint64, Arrow raises,
+    # the task dies).  Same 1-bit headroom rule as phash64's dropped DC.
+    return bits & ((1 << 63) - 1)
 
 
 def audio_fingerprints(media: DataFrame,
@@ -307,15 +311,31 @@ def video_near_dups(frame_hashes: DataFrame,
         keyed, max_hamming=max_hamming, bands=bands, ref_col="fref")
     va = F.substring_index(F.col("ref_a"), "#", 1)
     vb = F.substring_index(F.col("ref_b"), "#", 1)
+    fa = F.substring_index(F.col("ref_a"), "#", -1)
+    fb = F.substring_index(F.col("ref_b"), "#", -1)
+    swap = va > vb
     return (
         # least/greatest canonicalization: the frame-key ordering is by
         # the composite string, which could disagree with the bare video
-        # ref ordering when one ref prefixes another
-        frame_pairs.select(F.least(va, vb).alias("vid_a"),
-                           F.greatest(va, vb).alias("vid_b"), "hamming")
+        # ref ordering when one ref prefixes another; the frame indices
+        # swap along with their videos
+        frame_pairs.select(
+            F.least(va, vb).alias("vid_a"),
+            F.greatest(va, vb).alias("vid_b"),
+            F.when(swap, fb).otherwise(fa).alias("fr_a"),
+            F.when(swap, fa).otherwise(fb).alias("fr_b"),
+            "hamming",
+        )
         .filter(F.col("vid_a") != F.col("vid_b"))
         .groupBy("vid_a", "vid_b")
-        .agg(F.count("*").cast("bigint").alias("n_frames"),
-             F.min("hamming").alias("best_hamming"))
+        # DISTINCT frames on EACH side: one shared scene hitting two of
+        # the other video's (near-identical) frames counts once, so a
+        # single incidental frame can never satisfy min_matching_frames
+        .agg(
+            F.least(
+                F.countDistinct("fr_a"), F.countDistinct("fr_b")
+            ).cast("bigint").alias("n_frames"),
+            F.min("hamming").alias("best_hamming"),
+        )
         .filter(F.col("n_frames") >= min_matching_frames)
     )

@@ -41,7 +41,14 @@ def binned_quantiles(
     Estimate convention: with target = q * count, find the first bin whose
     cumulative count reaches target and interpolate linearly within it:
     ``est = lo + (target - cum_before) / bin_count * width``.
+
+    Quantiles must satisfy 0 < q <= 1: q = 0.0 has target 0, which no bin's
+    ``cum_before < target`` interval contains — the row would VANISH
+    silently (identically in the DuckDB twin, so the oracle could not
+    catch it).  Rejected loudly instead; use min() for the exact minimum.
     """
+    if not all(0.0 < float(q) <= 1.0 for q in qs):
+        raise ValueError(f"quantiles must be in (0, 1], got {qs!r}")
     stats = df.agg(
         F.min(col).cast("double").alias("lo"),
         F.max(col).cast("double").alias("hi"),

@@ -24,18 +24,14 @@ corpus-unique).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 
-
-def _gram_col(text: Column, n: int) -> Column:
-    w = F.split(F.lower(text), r"\s+")
-    return F.when(
-        F.size(w) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - n),
-            lambda i: F.array_join(F.slice(w, i + 1, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+# ONE gram definition engine-wide: the split/lower + sequence-descending
+# guard lives in boilerplate.word_ngrams_col; a local copy would silently
+# diverge from it (and from the SQL oracles that mirror it)
+from pdf_extraction_tests_spark.operators.boilerplate import (
+    word_ngrams_col as _gram_col,
+)
 
 
 def _per_doc_gram_stats(

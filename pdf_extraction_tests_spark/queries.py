@@ -1651,30 +1651,34 @@ def q61(spark, sf_dir):
 
 @query(
     "q62_funnel_summary",
+    # single funnel CTE (not six inlined copies) + CAST AS BIGINT on every
+    # branch: DuckDB's sum(int) is HUGEINT -> pandas float64, which flips
+    # the driver value hash against Spark's bigint (CLAUDE.md rule)
     f"""
-    SELECT * FROM (
+    WITH funnel AS ({_q59_sql()})
+    SELECT stage, stage_idx, CAST(survivors AS BIGINT) AS survivors FROM (
       SELECT 'total' AS stage, 0 AS stage_idx, count(*) AS survivors
-      FROM ({_q59_sql()})
+      FROM funnel
       UNION ALL
       SELECT 'lang', 1, sum(CASE WHEN pass_lang THEN 1 ELSE 0 END)
-      FROM ({_q59_sql()})
+      FROM funnel
       UNION ALL
       SELECT 'lang+quality', 2,
              sum(CASE WHEN pass_lang AND pass_quality THEN 1 ELSE 0 END)
-      FROM ({_q59_sql()})
+      FROM funnel
       UNION ALL
       SELECT 'lang+quality+rep', 3,
              sum(CASE WHEN pass_lang AND pass_quality AND pass_repetition
                  THEN 1 ELSE 0 END)
-      FROM ({_q59_sql()})
+      FROM funnel
       UNION ALL
       SELECT 'lang+quality+rep+boiler', 4,
              sum(CASE WHEN pass_lang AND pass_quality AND pass_repetition
                       AND pass_boiler THEN 1 ELSE 0 END)
-      FROM ({_q59_sql()})
+      FROM funnel
       UNION ALL
       SELECT 'kept', 5, sum(CASE WHEN keep_doc THEN 1 ELSE 0 END)
-      FROM ({_q59_sql()})
+      FROM funnel
     )
     """,
 )

@@ -25,10 +25,12 @@ Format essentials implemented (the public spec, nothing more):
   ``request`` / ``metadata`` records;
 * ``conversion`` records with a text/* type are taken as extracted text.
 
-Totality contract (same as the PDF decoder): a malformed blob raises
+Totality contract (same as the PDF decoder): malformed input raises
 ``UnsupportedWarcError`` — never an IndexError/UnicodeDecodeError out of
-an Arrow batch — and the Spark source isolates that to one parse-failure
-document per blob instead of killing the task.
+an Arrow batch.  Fault isolation is per RECORD (one bad HTTP payload ->
+one parse-failure doc, the rest of the archive still extracts); only a
+blob whose framing itself is broken collapses to a single failure doc,
+keyed by the file path.
 """
 
 from __future__ import annotations
@@ -149,17 +151,32 @@ def _body_spans(uri: str, ctype: str, body: bytes) -> list[dict]:
     return []
 
 
-def warc_to_docs(blob: bytes) -> list[tuple[str, list[dict]]]:
+_FAILURE_SPANS = [{"kind": "region", "text": "UNSUPPORTED_BINARY",
+                   "media_ref": None, "offset": 0}]
+
+
+def warc_to_docs(blob: bytes,
+                 blob_id: str = "warc") -> list[tuple[str, list[dict]]]:
     """(doc_id, spans) per document-bearing record of one WARC blob.
 
-    doc_id = WARC-Target-URI (falling back to the record id).  A blob
-    that cannot be framed yields ONE parse-failure document so the
-    archive stays accounted for (fault isolation, never a task error).
+    doc_id = WARC-Target-URI (falling back to the record id).  Fault
+    isolation is PER RECORD: one mislabeled/truncated response (routine
+    in real crawl archives) becomes one parse-failure document and never
+    discards the blob's other documents.  Only a blob whose FRAMING is
+    broken collapses to a single failure doc — keyed by ``blob_id`` (the
+    file path in the Spark source) so two bad archives never collide on
+    one doc_id.
     """
     try:
         records = iter_warc_records(bytes(blob))
-        docs: list[tuple[str, list[dict]]] = []
-        for rec in records:
+    except UnsupportedWarcError:
+        return [(f"{blob_id}#unparseable", list(_FAILURE_SPANS))]
+    docs: list[tuple[str, list[dict]]] = []
+    for i, rec in enumerate(records):
+        doc_id = (rec["uri"]
+                  or rec["headers"].get("warc-record-id")
+                  or f"{blob_id}#rec{i}")
+        try:
             if rec["type"] == "response":
                 ctype, body = _http_body(rec["payload"])
                 spans = _body_spans(rec["uri"], ctype, body)
@@ -169,15 +186,14 @@ def warc_to_docs(blob: bytes) -> list[tuple[str, list[dict]]]:
                                     rec["payload"])
             else:
                 continue
-            if spans:
-                doc_id = rec["uri"] or rec["headers"].get(
-                    "warc-record-id", "urn:missing")
-                docs.append((doc_id, spans))
-        return docs
-    except UnsupportedWarcError:
-        return [("warc:unparseable",
-                 [{"kind": "region", "text": "UNSUPPORTED_BINARY",
-                   "media_ref": None, "offset": 0}])]
+        except UnsupportedWarcError:
+            # this record, not this blob: the kernel counts it as one
+            # parse failure and every other record still extracts
+            docs.append((doc_id, list(_FAILURE_SPANS)))
+            continue
+        if spans:
+            docs.append((doc_id, spans))
+    return docs
 
 
 def read_warc_docs(spark: SparkSession, path: str,
@@ -190,15 +206,15 @@ def read_warc_docs(spark: SparkSession, path: str,
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
         .load(path)
-        .select("content")
+        .select("path", "content")
     )
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids: list[str] = []
             spans: list[list[dict]] = []
-            for blob in pdf["content"]:
-                for doc_id, s in warc_to_docs(blob):
+            for blob_path, blob in zip(pdf["path"], pdf["content"]):
+                for doc_id, s in warc_to_docs(blob, blob_id=str(blob_path)):
                     ids.append(doc_id)
                     spans.append(s)
             yield pd.DataFrame({"doc_id": ids, "spans": spans},

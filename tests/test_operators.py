@@ -1368,3 +1368,18 @@ def test_phash_small_images_not_degenerate():
     assert phash64(a) != 0 and phash64(tiny) != 0
     assert bin(phash64(a) ^ phash64(b)).count("1") > 10
     assert phash64(a) == phash64(a.copy())
+
+
+def test_audio_fingerprint_fits_int64_for_bass_heavy_signal():
+    """Regression: 64 raw sign bits overflowed LongType for bass-dominant
+    audio (frame 0's lowest band winning sets the top bit -> uint64 ->
+    Arrow schema crash).  The top bit is dropped, same headroom rule as
+    phash64's DC."""
+    import numpy as np
+    from pdf_extraction_tests_spark.operators.phash import (
+        audio_fingerprint64)
+    t = np.arange(8000) / 8000.0
+    bass = 0.8 * np.sin(2 * np.pi * 20 * t)       # 20 Hz: lowest band wins
+    fp = audio_fingerprint64(bass)
+    assert 0 <= fp < (1 << 63)
+    assert fp == audio_fingerprint64(0.3 * bass)  # still gain-invariant

@@ -108,3 +108,23 @@ class TestSparkEndToEnd:
         out = extract_docs(docs)
         got = {r.doc_id for r in out.collect()}
         assert got == set(rows)   # every archived doc extracted, none lost
+
+
+class TestPerRecordIsolation:
+    def test_one_bad_record_keeps_the_rest(self):
+        good = W.build_warc(DOCS)
+        bad_rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                   b"WARC-Target-URI: http://bad.example/x\r\n"
+                   b"Content-Length: 7\r\n\r\nnothttp\r\n\r\n")
+        docs = dict(W.warc_to_docs(good + bad_rec, blob_id="f.warc"))
+        # all three good documents survive; the bad RECORD becomes its own
+        # labeled failure doc instead of sinking the blob
+        assert {u for u, _, _ in DOCS[:3]} <= set(docs)
+        assert docs["http://bad.example/x"][0]["text"] == "UNSUPPORTED_BINARY"
+
+    def test_blob_failure_doc_is_keyed_by_blob_id(self):
+        a = W.warc_to_docs(b"junk", blob_id="/data/a.warc")
+        b = W.warc_to_docs(b"junk", blob_id="/data/b.warc")
+        assert a[0][0] == "/data/a.warc#unparseable"
+        assert b[0][0] == "/data/b.warc#unparseable"
+        assert a[0][0] != b[0][0]
