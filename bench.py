@@ -547,6 +547,10 @@ def best_bench_times(records: list[dict], steal_gate: float = 5.0) -> dict:
     function over parsed records, unit-tested in test_bench_gate."""
     best: dict[str, float] = {}
     for rec in records:
+        if not isinstance(rec, dict):
+            # a driver-captured record whose "parsed" body is null (e.g. a
+            # truncated tail) must not crash the gate — skip it
+            continue
         steal = rec.get("host_steal_pct")
         if steal is not None and steal > steal_gate:
             continue
@@ -570,7 +574,9 @@ def _all_bench_records() -> list[dict]:
         try:
             with open(p) as f:
                 rec = json.load(f)
-            out.append(rec.get("parsed", rec))
+            # "parsed" may be present-but-null (driver tail truncation,
+            # BENCH_r06.json) — fall back to the outer record, never None
+            out.append(rec.get("parsed") or rec)
         except (OSError, ValueError, AttributeError):
             continue
     return out
@@ -683,18 +689,24 @@ def main() -> None:
     # per-query regression gate vs the previous round's record; a
     # contended window (steal above the gate) makes slow times expected,
     # so the flags are marked unreliable rather than suppressed
-    prior = _latest_bench_record()
-    if prior is not None:
-        base_name, base_q = prior
-        result["regression_baseline"] = base_name
-        result["regressions"] = regression_flags(per_query, base_q)
-        if headline_steal > gate:
-            result["regressions_unreliable"] = True
-    # trend gate vs the BEST-EVER calm per-query time across all rounds —
-    # catches multi-round drifts too slow for the single-round threshold
-    best = best_bench_times(_all_bench_records(), steal_gate=gate)
-    if best:
-        result["regressions_vs_best"] = regression_flags(per_query, best)
+    # The gates are evidence blocks, never the metric: a malformed prior
+    # artifact must not suppress the JSON line (round 6 lost its record to
+    # exactly that — the driver's rebench crashed here on a null "parsed").
+    try:
+        prior = _latest_bench_record()
+        if prior is not None:
+            base_name, base_q = prior
+            result["regression_baseline"] = base_name
+            result["regressions"] = regression_flags(per_query, base_q)
+            if headline_steal > gate:
+                result["regressions_unreliable"] = True
+        # trend gate vs the BEST-EVER calm per-query time across all rounds —
+        # catches multi-round drifts too slow for the single-round threshold
+        best = best_bench_times(_all_bench_records(), steal_gate=gate)
+        if best:
+            result["regressions_vs_best"] = regression_flags(per_query, best)
+    except Exception as e:  # noqa: BLE001 — gates are evidence, not the metric
+        result["gate_error"] = str(e)[:300]
     if scaling is not None:
         # the north-rule scaling evidence ships in every bench record
         result["scaling"] = scaling
@@ -709,6 +721,18 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — A/B is evidence, not the metric
             result["kernel_ab"] = {"ref": ab_ref, "error": str(e)[:300]}
     print(json.dumps(result))
+    # Second, COMPACT summary line (round-6 verdict item 1): the full record
+    # above grew past the driver's tail-capture window in round 6 and its
+    # "parsed" came back null.  Same numbers, no evidence blocks — a
+    # truncated capture still yields a parseable final line.
+    print(json.dumps({
+        "metric": result["metric"], "value": result["value"],
+        "unit": result["unit"], "queries": per_query, "sf": SF_DIR,
+        "docs": n_docs, "host_steal_pct": headline_steal,
+        "total_query_sec": result["total_query_sec"],
+        "scaling_efficiency": (scaling or {}).get("scaling_efficiency_n_to_4n"),
+        "compact": True,
+    }))
 
 
 if __name__ == "__main__":
