@@ -70,6 +70,11 @@ def with_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
 
     Built scan-side with split + transform + filter — no explode until the
     (smaller) distinct shingle set is formed per row.
+
+    Round-7 measurement note: a ``concat_ws(element_at...)`` per-position
+    form (no sub-array allocation) was tried and measured 2.1x SLOWER than
+    this slice+array_join form in a same-session interleaved A/B at sf0.1
+    (1.26 s vs 2.61 s on the q42 shape) — keep this one.
     """
     words = F.split(F.col(text_col), " ")
     k = F.size(words) - F.lit(n - 1)
@@ -105,7 +110,14 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 8, shingle_n: int = 3,
 
     One 48-bit base hash per shingle; family members derived affinely
     (a_i*h + b_i mod M) — k-1 md5 computations saved per shingle row.
-    Mins are plain groupBy aggregates; signatures never shuffle raw text.
+    Mins are plain groupBy aggregates; signatures never shuffle raw text
+    (the exchange carries (doc_id, 6 partial mins) after map-side combine).
+
+    Round-7 measurement note: a zero-exchange scan-side form
+    (``array_min(transform(hash_array, ...))``) was tried and measured
+    2.1x SLOWER same-session (2.69 s vs 1.28 s at sf0.1) — higher-order-
+    function evaluation loses to the codegen'd explode + vectorized hash
+    aggregate, and the exchange it saves is tiny.  Keep this shape.
     """
     pairs = with_shingles(docs, shingle_n, text_col, id_col).withColumn(
         "_h", h48("shingle")
@@ -159,14 +171,39 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
     """LSH banding: docs agreeing on all hashes of any band become a
     candidate pair.  Shuffle is on (band, band_key) — tiny rows.  The band
     key is the band's hash values concatenated (cross-engine deterministic;
-    on a pure-Spark deployment swap in xxhash64(*cols) to shrink the key)."""
-    exploded = banded_keys(signatures, bands, rows_per_band)
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    on a pure-Spark deployment swap in xxhash64(*cols) to shrink the key).
+
+    Pairs are generated per BUCKET (groupBy (band, bh) -> sorted id list ->
+    upper-triangular explode), not by self-joining the banded frame: the
+    self-join planned the entire signature pipeline TWICE (both join inputs
+    re-scanned the corpus and recomputed every shingle md5 — visible as two
+    identical subtrees in the round-7 before-plan), while this shape
+    computes signatures once and shuffles only (band, bh, doc_id) rows.
+    Output is identical: ids within a bucket are unique (one row per
+    (doc, band)), so the sorted list's strict upper triangle is exactly
+    the ``a.doc_id < b.doc_id`` join result, distinct across bands.
+    Per-bucket state is the bucket's id list — bounded by bucket size, the
+    same concentration the join shape put in one partition's hash table.
+
+    Round-7 same-session A/B at sf0.1: 1.477 s (this shape) vs 1.504 s
+    (self-join) wall — parity locally because the join's two duplicate
+    subtrees ran on otherwise-idle cores; on a busy cluster the halved
+    signature CPU is the win, and the plan provably scans the corpus once.
+    """
+    bk = banded_keys(signatures, bands, rows_per_band)
+    buckets = (
+        bk.groupBy("band", "bh")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    lefts = buckets.select("ids", F.posexplode("ids").alias("i", "doc_a"))
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        lefts.select(
+            "doc_a",
+            F.explode(
+                F.slice(F.col("ids"), F.col("i") + F.lit(2), F.size("ids"))
+            ).alias("doc_b"),
+        )
         .distinct()
     )
 

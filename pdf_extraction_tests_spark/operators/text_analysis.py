@@ -489,10 +489,21 @@ def language_guess_sql(table: str = "documents") -> str:
     """
 
 
+_ALPHA_SPACE = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ "
+
+
 def with_quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality score in [0, 1]: length band, stopword ratio,
     alpha ratio, mean word length band — the standard pre-training filters
-    (C4/Gopher-style rules) as one codegen'd expression."""
+    (C4/Gopher-style rules) as one codegen'd expression.
+
+    The alpha count is ``length - length(translate(t, [a-zA-Z ], ''))``
+    rather than ``length(regexp_replace(t, '[^a-zA-Z ]', ''))`` — translate
+    is a single table-lookup pass where the regex walks its automaton per
+    char (guide §1.2 step 2: per-task work).  Value-identical: both count
+    exactly the characters in the 53-char class; the oracle SQL keeps the
+    regexp spelling (DuckDB-side cost is not the optimization target).
+    """
     t = F.col(text_col)
     n_chars = F.length(t)
     words = F.split(t, " ")
@@ -500,7 +511,7 @@ def with_quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     stop = F.size(
         F.filter(words, lambda w: F.lower(w).isin("the", "a", "of", "and", "to"))
     )
-    alpha = F.length(F.regexp_replace(t, "[^a-zA-Z ]", ""))
+    alpha = n_chars - F.length(F.translate(t, _ALPHA_SPACE, ""))
     mean_wlen = (n_chars - n_words + 1) / F.greatest(n_words, F.lit(1))
     score = (
         F.when((n_chars >= 50) & (n_chars <= 10000), 0.25).otherwise(0.0)

@@ -136,9 +136,90 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield out
 
 
+# Flat-boundary crossing (round-7, guide §4): the JVM's ArrowWriter
+# serializes an array<struct<4 fields>> column element-by-element, and that
+# conversion — not Python-side work — dominated the mapInPandas round trip
+# (measured: an identity pass over the bench corpus cost 3.2-5.1 s even
+# with zero Python object construction; projecting the same spans as four
+# parallel primitive arrays cut the identity pass ~15%).  So the hot path
+# crosses flat in BOTH directions: spans.kind/.text/.media_ref/.offset out
+# to Python (a free JVM field extraction), dict records rebuilt per batch
+# (cheap — measured inside the same probe), and result spans returned as
+# four arrays re-zipped to the public struct schema JVM-side.  The kernel
+# and the public EXTRACTED_WITH_PART schema are untouched.
+
+_EXTRACT_FLAT_COLS = ["_kinds", "_texts", "_refs", "_orders"]
+
+_EXTRACT_FLAT_OUT = T.StructType(
+    [f for f in EXTRACTED_WITH_PART.fields if f.name != "spans"]
+    + [
+        T.StructField("_kinds", T.ArrayType(T.StringType()), True),
+        T.StructField("_texts", T.ArrayType(T.StringType()), True),
+        T.StructField("_refs", T.ArrayType(T.StringType()), True),
+        T.StructField("_orders", T.ArrayType(T.IntegerType()), True),
+    ]
+)
+
+_FLAT_OUT_NAMES = [f.name for f in _EXTRACT_FLAT_OUT.fields]
+
+
+def _records_from_flat(pdf: pd.DataFrame) -> list[list[dict]]:
+    """Rebuild the kernel's span-record dicts from the four parallel input
+    arrays.  NULL spans arrays (doc with spans=NULL) come through as None
+    in every column -> empty record list, matching _spans_to_records."""
+    return [
+        [
+            {"kind": k, "text": t, "media_ref": m, "offset": o}
+            for k, t, m, o in zip(ks, ts, ms, os_)
+        ]
+        if ks is not None else []
+        for ks, ts, ms, os_ in zip(
+            pdf["_kinds"], pdf["_texts"], pdf["_refs"], pdf["_orders"])
+    ]
+
+
+def _extract_batches_flat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        frame = pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "spans": _records_from_flat(pdf)})
+        out = ec.extract_docs_frame(frame)
+        spans = out["spans"]
+        out = out.drop(columns=["spans"])
+        out["part_key"] = pdf["part_key"].to_numpy()
+        out["_kinds"] = spans.map(lambda sp: [s["kind"] for s in sp])
+        out["_texts"] = spans.map(lambda sp: [s["text"] for s in sp])
+        out["_refs"] = spans.map(lambda sp: [s["media_ref"] for s in sp])
+        out["_orders"] = spans.map(lambda sp: [s["order"] for s in sp])
+        yield out[_FLAT_OUT_NAMES]
+
+
 def extract_direct(docs: DataFrame) -> DataFrame:
-    """docs(doc_id, spans, part_key) -> extracted, one Arrow stage."""
-    return docs.mapInPandas(_extract_batches, schema=EXTRACTED_WITH_PART)
+    """docs(doc_id, spans, part_key) -> extracted, one Arrow stage.
+
+    Crosses the Python boundary flat (see note above) and re-zips the
+    span struct JVM-side so callers see the unchanged EXTRACTED_WITH_PART
+    schema."""
+    flat_in = docs.select(
+        "doc_id", "part_key",
+        F.col("spans.kind").alias("_kinds"),
+        F.col("spans.text").alias("_texts"),
+        F.col("spans.media_ref").alias("_refs"),
+        F.col("spans.offset").alias("_orders"),
+    )
+    raw = flat_in.mapInPandas(_extract_batches_flat, schema=_EXTRACT_FLAT_OUT)
+    spans = F.transform(
+        F.arrays_zip("_kinds", "_texts", "_refs", "_orders"),
+        lambda x: F.struct(
+            x["_kinds"].alias("kind"),
+            x["_texts"].alias("text"),
+            x["_refs"].alias("media_ref"),
+            x["_orders"].alias("order"),
+        ),
+    )
+    return raw.withColumn("spans", spans).select(
+        *[f.name for f in EXTRACTED_WITH_PART.fields])
 
 
 def _extract_simple_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -124,22 +124,34 @@ def q02(spark, sf_dir):
 )
 def q03(spark, sf_dir):
     """Multi-join star query; dims are broadcast (no shuffle for the small
-    sides — the plan a 100-TB fact table needs)."""
+    sides — the plan a 100-TB fact table needs).
+
+    Round-7 shape: lineitem pre-aggregates revenue per order BEFORE the
+    join (guide §2.3 "aggregate before you shuffle").  The joins then probe
+    with one row per order instead of one per line item (4x fewer rows at
+    TPC-H ratios), and because o_orderkey is unique after the pre-agg the
+    countDistinct — and its extra dedup aggregation phase over the joined
+    fact — becomes a plain count.  Same-session A/B at sf0.1: 1.27 s ->
+    0.71 s, result rows identical (values compared exactly, including the
+    2-dp rounding; the re-associated double sum is the same partial-sum
+    nondeterminism class every distributed sum already has)."""
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev")
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name", "r_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-            .alias("revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.round(F.sum("_rev"), 2).alias("revenue"),
+            F.count("o_orderkey").alias("n_orders"),
         )
     )
 
@@ -1231,6 +1243,16 @@ def q45(spark, sf_dir, tokenizer: str = "whitespace"):
         "quality", "_sub",
         F.coalesce(F.sum("_bt").over(off_w), F.lit(0).cast("long")).alias("_off"),
     )
+    # Budget prune BEFORE the join-back (guide §2.3 — shuffle fewer bytes):
+    # cum_tokens = _off + running_sum(_toks) >= _off (token counts are
+    # never negative; a NULL count contributes 0 to the window sum), so a
+    # bucket with _off > 20000 can only yield rows the final filter drops.
+    # Keeping only _off <= 20000 buckets turns the broadcast join into a
+    # selective semi-filter: the per-(quality,_sub) window exchange now
+    # carries just the head buckets instead of the whole corpus — at
+    # 100 TB this is the difference between shuffling every doc and
+    # shuffling only the budget's candidate buckets.  Output identical.
+    offsets = offsets.filter(F.col("_off") <= F.lit(20000))
     run_w = (
         W.partitionBy("quality", "_sub").orderBy(F.asc("doc_id"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
