@@ -254,11 +254,20 @@ def bm25_topk_indexed(spark, index_dir: str, terms: list[str], k: int = 5,
     tests/test_bm25_index.py)."""
     from pdf_extraction_tests_spark.snapshots import read_snapshot
 
+    if not terms:
+        raise ValueError("bm25_topk_indexed: terms list is empty")
     stats = read_snapshot(spark, f"{index_dir}/stats")
+    if stats is None:
+        raise ValueError(
+            f"bm25_topk_indexed: no stats snapshot at {index_dir}/stats "
+            "(index missing or expired)")
     branches = [
         read_snapshot(spark, f"{index_dir}/postings", eq={"term": t})
         for t in terms
     ]
+    if any(br is None for br in branches):
+        raise ValueError(
+            f"bm25_topk_indexed: no postings snapshot at {index_dir}/postings")
     scored = branches[0]
     for br in branches[1:]:
         scored = scored.unionByName(br)

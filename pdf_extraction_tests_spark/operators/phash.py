@@ -303,16 +303,22 @@ def video_near_dups(frame_hashes: DataFrame,
     (frame identity folded into the ref key so the pair join stays an
     equi-join), then one aggregation per video pair.
     """
+    # \x1f separator (round-7 advice): media_refs are raw target URIs and
+    # may themselves contain '#' (URL fragments; the repo's failure doc_ids
+    # use '#'), which silently truncated the video id at the first '#' and
+    # mis-grouped distinct videos sharing a prefix.  \x1f is the engine-wide
+    # span-hash separator and cannot appear in a URI.
+    _SEP = "\x1f"
     keyed = frame_hashes.select(
-        F.concat_ws("#", F.col(ref_col), F.col("frame_idx")).alias("fref"),
+        F.concat_ws(_SEP, F.col(ref_col), F.col("frame_idx")).alias("fref"),
         "phash",
     )
     frame_pairs = phash_near_dups(
         keyed, max_hamming=max_hamming, bands=bands, ref_col="fref")
-    va = F.substring_index(F.col("ref_a"), "#", 1)
-    vb = F.substring_index(F.col("ref_b"), "#", 1)
-    fa = F.substring_index(F.col("ref_a"), "#", -1)
-    fb = F.substring_index(F.col("ref_b"), "#", -1)
+    va = F.substring_index(F.col("ref_a"), _SEP, 1)
+    vb = F.substring_index(F.col("ref_b"), _SEP, 1)
+    fa = F.substring_index(F.col("ref_a"), _SEP, -1)
+    fb = F.substring_index(F.col("ref_b"), _SEP, -1)
     swap = va > vb
     return (
         # least/greatest canonicalization: the frame-key ordering is by

@@ -383,7 +383,15 @@ def decode_symbol_dict(body: bytes,
     newsyms: list[np.ndarray] = []
     hcheight = 0
     total_area = 0
+    hc_iters = 0
     while len(newsyms) < numnew:
+        # loop guard (round-7 advice): an empty height class (first IADW
+        # decode returns OOB) makes no progress, and arithmetic coding can
+        # encode billions of such classes at near-zero bits each — cap
+        # total height-class iterations so declared size bounds the work
+        hc_iters += 1
+        if hc_iters > numnew + 64:
+            raise ValueError("too many empty height classes")
         dh = iadh.decode(dec)
         if dh is None:
             raise ValueError("OOB delta height")
@@ -409,7 +417,14 @@ def decode_symbol_dict(body: bytes,
     all_syms = list(insyms) + newsyms
     exflags: list[int] = []
     cur = 0
+    ex_iters = 0
     while len(exflags) < len(all_syms):
+        # loop guard (round-7 advice): run=0 IAEX runs make no progress —
+        # cap total export-loop iterations (a valid stream needs at most
+        # one run per flag flip, so len+64 is generous)
+        ex_iters += 1
+        if ex_iters > len(all_syms) + 64:
+            raise ValueError("too many export runs")
         run = iaex.decode(dec)
         if run is None or run < 0:
             raise ValueError("bad export run length")

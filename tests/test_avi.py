@@ -149,3 +149,24 @@ class TestVideoNearDups:
         assert ("v://orig", "v://reenc") in pairs
         assert pairs[("v://orig", "v://reenc")] >= 2
         assert not any("other" in a or "other" in b for a, b in pairs)
+
+
+class TestVideoRefSeparator:
+    """Round-7 fix: media_refs containing '#' (URL fragments) must not be
+    truncated when frame identity is folded into the join key — the old
+    '#' separator collapsed 'v#1' and 'v' into one video."""
+
+    def test_hash_in_ref_keeps_videos_distinct(self, spark):
+        from pdf_extraction_tests_spark.operators.phash import video_near_dups
+
+        # two DISTINCT videos whose refs share a '#'-prefix relationship,
+        # with identical frame hashes -> must appear as a cross-video pair
+        rows = [("v#1", i, h) for i, h in enumerate((11, 22, 33))]
+        rows += [("v", i, h) for i, h in enumerate((11, 22, 33))]
+        fh = spark.createDataFrame(
+            rows, "media_ref string, frame_idx int, phash long")
+        pairs = {(r.vid_a, r.vid_b): r.n_frames
+                 for r in video_near_dups(fh, min_matching_frames=2).collect()}
+        # old separator truncated both to 'v' (same vid -> filtered out)
+        assert ("v", "v#1") in pairs
+        assert pairs[("v", "v#1")] == 3

@@ -121,3 +121,15 @@ class TestIncrementalIndex:
         merged = read_snapshot(spark, f"{idx}/stats").collect()
         assert merged != stale
         assert merged[0].n_docs == 500
+
+
+def test_indexed_empty_terms_and_missing_index_raise(spark, tmp_path):
+    """Round-7 fix: clear errors instead of IndexError/AttributeError."""
+    import pytest as _pytest
+
+    from pdf_extraction_tests_spark.operators.bm25 import bm25_topk_indexed
+
+    with _pytest.raises(ValueError, match="terms list is empty"):
+        bm25_topk_indexed(spark, str(tmp_path / "no_index"), [])
+    with _pytest.raises(ValueError, match="no stats snapshot"):
+        bm25_topk_indexed(spark, str(tmp_path / "no_index"), ["word"])
