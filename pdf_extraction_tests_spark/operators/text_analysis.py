@@ -7,7 +7,10 @@ beyond any final aggregation the caller adds) with exact DuckDB oracles.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves pd.Series hints here
+
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
 
 # ---------------------------------------------------------------------------
 # Language ID - three signal tiers, all exact integer column arithmetic on
@@ -434,7 +437,11 @@ def _lid_scores3(p: Column) -> dict[str, Column]:
     return scores
 
 
-def with_language_guess(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def with_language_guess_expr(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """All-JVM expression form of the classifier (the shape the DuckDB
+    oracle mirrors).  Kept as the semantic reference: equivalence with the
+    Arrow kernel below is pinned by
+    tests/test_langid.py::test_arrow_kernel_matches_expression_path."""
     padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
     scores = _lid_scores3(padded)
     # materialize scores as named columns so the 18-way argmax below
@@ -450,6 +457,93 @@ def with_language_guess(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "lang_guess",
         F.when(best >= _LID_THRESHOLD3, guess).otherwise(F.lit("und")),
     ).drop(*[f"_s_{lg}" for lg in scores])
+
+
+def _lid_guess_frame(padded: pd.Series) -> pd.Series:
+    """Vectorized replica of the JVM scoring over one Arrow batch.
+
+    Exactness argument, term by term (the guess must match the expression
+    path bit-for-bit — ties and the >= 6 threshold are live on real data):
+
+    * ``pc.count_substring`` counts NON-overlapping left-to-right literal
+      occurrences — the same value ``(length(p) - length(replace(p, t, '')))
+      / len(t)`` reads off the JVM's UTF8String.replace (verified:
+      'aaaa'/'aa' -> 2 on both);
+    * trigram/marker contributions are integer ``count * len(lit)`` /
+      ``count * 3 * weight`` — pure int arithmetic, no floats anywhere;
+    * script scores use ``pc.count_substring_regex('[<ranges>]')`` — each
+      match is a single char, so the count equals the JVM's
+      ``length - length(regexp_replace(p, '[cls]', ''))`` (the literal
+      codepoint ranges parse identically in Java regex and RE2, already a
+      load-bearing assumption of the DuckDB oracle);
+    * lowering/padding stays in the JVM (the caller passes
+      ``' ' || lower(text) || ' '``), so JVM-vs-Python case-mapping
+      differences cannot arise;
+    * NULL text -> NULL padded -> scored as '' here -> best=0 < threshold
+      -> 'und', identical to the expression path's NULL-condition fall-
+      through to the otherwise('und') branch.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.array(padded.fillna(""), type=pa.string())
+    n = len(arr)
+
+    def counts(pattern: str, regex: bool = False) -> "np.ndarray":
+        fn = pc.count_substring_regex if regex else pc.count_substring
+        return fn(arr, pattern=pattern).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+
+    scores: dict[str, "np.ndarray"] = {}
+    for lang, tris in LANG_TRIGRAMS.items():
+        s = np.zeros(n, dtype=np.int64)
+        for t in tris:
+            s += counts(t) * len(t)
+        for c in _MARKER_CHARS.get(lang, ""):
+            s += counts(c) * (3 * _MARKER_WEIGHT)
+        scores[lang] = s
+    for lang, cls in _SCRIPT_RANGES.items():
+        scores[lang] = counts(f"[{cls}]", regex=True) * (
+            3 * _SCRIPT_WEIGHT.get(lang, 1))
+
+    best = np.maximum.reduce(list(scores.values()))
+    guess = np.full(n, "und", dtype=object)
+    # first language in dict order with score == best wins (same tie
+    # priority as the reversed when-chain in the expression path)
+    for lang in reversed(list(scores)):
+        guess = np.where(scores[lang] == best, lang, guess)
+    guess = np.where(best >= _LID_THRESHOLD3, guess, "und")
+    return pd.Series(guess, dtype=object)
+
+
+_LID_UDF = None
+
+
+def _lid_guess_udf():
+    """Lazily-built pandas_udf (module-level @pandas_udf would parse the
+    DDL return type at import, which needs an active SparkContext)."""
+    global _LID_UDF
+    if _LID_UDF is None:
+        _LID_UDF = pandas_udf(_lid_guess_frame, "string")
+    return _LID_UDF
+
+
+def with_language_guess(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID via the Arrow-vectorized kernel (round-7, guide §4.2).
+
+    The expression path evaluates ~500 ``length(replace(p, t, ''))`` terms
+    per row, each a full scan PLUS an allocation of the replaced string —
+    measured 16 s for q29 at sf0.1.  This form ships the padded-lowered
+    text across the Arrow boundary once and counts every literal with
+    pyarrow's C++ ``count_substring`` kernels (no allocation, one batch
+    column pass per literal): 16.1 s -> ~2 s.  Scan-side, zero shuffle, no
+    per-row Python — the heavy loop is 500 vectorized kernel calls per
+    batch.  Guess values are bit-identical to the expression path
+    (equivalence pinned in tests/test_langid.py; the DuckDB oracle mirrors
+    the expression path as before)."""
+    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    return docs.withColumn("lang_guess", _lid_guess_udf()(padded))
 
 
 def language_guess_sql(table: str = "documents") -> str:

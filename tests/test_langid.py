@@ -267,3 +267,27 @@ class TestEndToEndCorpus:
         assert agree / len(rows) >= 0.95, (
             agree, len(rows),
             [(w, g) for w, g in rows if w != g][:10])
+
+
+def test_arrow_kernel_matches_expression_path(spark):
+    """Round-7: with_language_guess moved to an Arrow-vectorized kernel;
+    its guesses must be bit-identical to the all-JVM expression path the
+    DuckDB oracle mirrors — over real multilingual prose, the synthetic
+    corpus AND edge rows (NULL/empty/tie-shaped)."""
+    from pyspark.sql import functions as F
+
+    from pdf_extraction_tests_spark.operators.text_analysis import (
+        with_language_guess, with_language_guess_expr)
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    edge = spark.createDataFrame(
+        [(100001, None), (100002, ""), (100003, "   "),
+         (100004, "the of and to a"),          # en-ish, near threshold
+         (100005, "ß ß ß"), (100006, "añå")],  # marker-char ties
+        "doc_id long, text string")
+    both = docs.select("doc_id", "text").unionByName(edge)
+    a = {r.doc_id: r.lang_guess
+         for r in with_language_guess(both).select("doc_id", "lang_guess").collect()}
+    b = {r.doc_id: r.lang_guess
+         for r in with_language_guess_expr(both).select("doc_id", "lang_guess").collect()}
+    assert a == b
