@@ -67,9 +67,19 @@ def boilerplate_fraction(
     grams = docs.select(
         F.col(id_col), F.explode(word_ngrams_col(F.col(text_col), n)).alias("gram")
     )
+    # df via per-doc DISTINCT grams exploded + plain count (round-7): a
+    # doc's distinct set is formed scan-side by array_distinct, so
+    # count(*) == countDistinct(doc_id) while the aggregate loses the
+    # two-phase distinct machinery and its exchange carries one row per
+    # (doc, gram) instead of one per position
     frequent = (
-        grams.groupBy("gram")
-        .agg(F.countDistinct(id_col).alias("df"))
+        docs.select(
+            F.explode(
+                F.array_distinct(word_ngrams_col(F.col(text_col), n))
+            ).alias("gram")
+        )
+        .groupBy("gram")
+        .agg(F.count("*").alias("df"))
         .filter(F.col("df") >= min_df)
         .select("gram")
     )

@@ -71,9 +71,22 @@ def duplicated_span_rewrite(
         F.col(id_col), F.explode(gram_structs).alias("g")
     ).select(id_col, F.col("g.s").alias("s"), F.col("g.gram").alias("gram"))
 
+    # ddf via per-doc DISTINCT grams (round-7, same rewrite as q51's df):
+    # a leaner gram pipeline (strings only, no start offsets) feeds the
+    # frequency aggregate with one row per (doc, gram) and a plain count
+    # replaces the two-phase countDistinct — value-identical
+    gram_strings = F.when(
+        F.size(lwords) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(lwords) - n),
+            lambda i: F.array_join(F.slice(lwords, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     dup_grams = (
-        grams.groupBy("gram")
-        .agg(F.countDistinct(id_col).alias("ddf"))
+        docs.select(
+            F.explode(F.array_distinct(gram_strings)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("ddf"))
         .filter(F.col("ddf") >= min_docs)
         .select("gram")
     )

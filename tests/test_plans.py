@@ -375,14 +375,21 @@ def test_quota_sample_is_two_phase(spark):
 
 
 def test_curation_funnel_single_lazy_plan(spark):
-    """q59: the composed funnel stays declarative — scan-side LID/quality
-    (no Python anywhere), keyed shuffles only for the rep/boiler/canon
-    signals, q51's frequent set still broadcast inside the composition,
-    and no global sort."""
+    """q59: the composed funnel stays declarative — scan-side LID/quality,
+    keyed shuffles only for the rep/boiler/canon signals, q51's frequent
+    set still broadcast inside the composition, and no global sort.
+
+    Round-7: the LID gate moved to the Arrow-vectorized kernel (10x;
+    equivalence pinned in test_langid), so the plan legitimately carries
+    ArrowEvalPython nodes — still scan-side, still zero extra shuffles.
+    The pin now enforces the real invariant: no row-pickled Python
+    (BatchEvalPython) ever, and the only Python nodes are the Arrow ones."""
     import importlib
     Q = importlib.import_module("pdf_extraction_tests_spark.queries")
     plan = formatted_plan(Q.queries()["q59_curation_funnel"](spark, SF))
-    assert "EvalPython" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    # every Python node must be the vectorized Arrow flavor
+    assert plan.count("EvalPython") == plan.count("ArrowEvalPython"), plan
     assert "CartesianProduct" not in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
     assert has_broadcast_join(plan)
