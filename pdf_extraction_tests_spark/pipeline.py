@@ -201,14 +201,8 @@ def extract_direct(docs: DataFrame) -> DataFrame:
     Crosses the Python boundary flat (see note above) and re-zips the
     span struct JVM-side so callers see the unchanged EXTRACTED_WITH_PART
     schema."""
-    flat_in = docs.select(
-        "doc_id", "part_key",
-        F.col("spans.kind").alias("_kinds"),
-        F.col("spans.text").alias("_texts"),
-        F.col("spans.media_ref").alias("_refs"),
-        F.col("spans.offset").alias("_orders"),
-    )
-    raw = flat_in.mapInPandas(_extract_batches_flat, schema=_EXTRACT_FLAT_OUT)
+    raw = _flat_spans_input(docs, "part_key").mapInPandas(
+        _extract_batches_flat, schema=_EXTRACT_FLAT_OUT)
     spans = F.transform(
         F.arrays_zip("_kinds", "_texts", "_refs", "_orders"),
         lambda x: F.struct(
@@ -220,6 +214,18 @@ def extract_direct(docs: DataFrame) -> DataFrame:
     )
     return raw.withColumn("spans", spans).select(
         *[f.name for f in EXTRACTED_WITH_PART.fields])
+
+
+def _flat_spans_input(docs: DataFrame, *extra_cols: str) -> DataFrame:
+    """Project the spans struct array into four parallel arrays for a flat
+    boundary crossing (see the note above extract_direct)."""
+    return docs.select(
+        "doc_id", *extra_cols,
+        F.col("spans.kind").alias("_kinds"),
+        F.col("spans.text").alias("_texts"),
+        F.col("spans.media_ref").alias("_refs"),
+        F.col("spans.offset").alias("_orders"),
+    )
 
 
 def _extract_simple_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -243,12 +249,13 @@ DUAL_SCHEMA = T.StructType(
 )
 
 
-def _extract_dual_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _extract_dual_batches_flat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         if pdf.empty:
             continue
-        norm = pdf.assign(spans=pdf["spans"].map(_spans_to_records))
-        yield ec.extract_dual_frame(norm[["doc_id", "spans"]])
+        frame = pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "spans": _records_from_flat(pdf)})
+        yield ec.extract_dual_frame(frame)
 
 
 def extract_docs_dual(docs: DataFrame,
@@ -258,13 +265,13 @@ def extract_docs_dual(docs: DataFrame,
     mapInPandas stage — one corpus scan, zero joins/shuffles.  The round-2
     form (two full pipelines + equi-join) parsed every document twice and
     shuffled both outputs; at 100 TB the single-pass form is the only
-    sensible shape for a per-doc differential."""
+    sensible shape for a per-doc differential.  Crosses the boundary flat
+    (round 7 — only the input side here; the output is five scalars)."""
     from .shipping import ship_package
 
     ship_package(docs.sparkSession)
-    if "part_key" not in docs.columns:
-        docs = with_part_key(docs, num_parts)
-    return docs.mapInPandas(_extract_dual_batches, schema=DUAL_SCHEMA)
+    return _flat_spans_input(docs).mapInPandas(
+        _extract_dual_batches_flat, schema=DUAL_SCHEMA)
 
 
 def extract_docs_simple(docs: DataFrame,
@@ -400,13 +407,13 @@ def debug_boundaries(docs: DataFrame, context: int = 3) -> DataFrame:
         cols = [f.name for f in DEBUG_BOUNDARY_SCHEMA.fields]
         for pdf in batches:
             rows: list[dict] = []
-            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-                recs = ec.spans_to_regions(_spans_to_records(spans))
+            for doc_id, spans in zip(pdf["doc_id"], _records_from_flat(pdf)):
+                recs = ec.spans_to_regions(spans)
                 rows.extend(ec.boundary_debug_records(doc_id, recs, context))
             yield (pd.DataFrame(rows, columns=cols) if rows
                    else pd.DataFrame(columns=cols))
 
-    return docs.select("doc_id", "spans").mapInPandas(
+    return _flat_spans_input(docs).mapInPandas(
         run, schema=DEBUG_BOUNDARY_SCHEMA)
 
 
@@ -431,8 +438,8 @@ def extract_layout(docs: DataFrame) -> DataFrame:
         cols = [f.name for f in LAYOUT.fields]
         for pdf in batches:
             frames = []
-            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-                recs = ec.spans_to_regions(_spans_to_records(spans))
+            for doc_id, spans in zip(pdf["doc_id"], _records_from_flat(pdf)):
+                recs = ec.spans_to_regions(spans)
                 if not recs:
                     continue
                 f = pd.DataFrame(recs)
@@ -444,7 +451,7 @@ def extract_layout(docs: DataFrame) -> DataFrame:
                 else pd.DataFrame(columns=cols)
             )
 
-    return docs.select("doc_id", "spans").mapInPandas(run, schema=LAYOUT)
+    return _flat_spans_input(docs).mapInPandas(run, schema=LAYOUT)
 
 
 # ---------------------------------------------------------------------------
