@@ -65,6 +65,10 @@ def main() -> None:
     spark = bench._session(f"local[{bench._effective_tasks()}]")
     qmap = entry.queries()
     names = [n for n in args.queries.split(",") if n] or list(qmap)
+    unknown = [n for n in names if n not in qmap]
+    if unknown:
+        raise SystemExit(f"unknown query names: {unknown} "
+                         f"(declared: {sorted(qmap)[:5]}...)")
 
     if args.plans:
         os.makedirs(args.plans, exist_ok=True)

@@ -67,19 +67,20 @@ def boilerplate_fraction(
     grams = docs.select(
         F.col(id_col), F.explode(word_ngrams_col(F.col(text_col), n)).alias("gram")
     )
-    # df via per-doc DISTINCT grams exploded + plain count (round-7): a
-    # doc's distinct set is formed scan-side by array_distinct, so
-    # count(*) == countDistinct(doc_id) while the aggregate loses the
-    # two-phase distinct machinery and its exchange carries one row per
-    # (doc, gram) instead of one per position
+    # df over per-doc DISTINCT grams (round-7): array_distinct forms the
+    # doc's gram set scan-side, so the aggregate's exchange carries one
+    # row per (doc, gram) instead of one per position.  countDistinct is
+    # KEPT (not count(*)) so a frame with duplicated or NULL doc_id rows
+    # still matches the oracle's count(DISTINCT doc_id) exactly.
     frequent = (
         docs.select(
+            F.col(id_col),
             F.explode(
                 F.array_distinct(word_ngrams_col(F.col(text_col), n))
-            ).alias("gram")
+            ).alias("gram"),
         )
         .groupBy("gram")
-        .agg(F.count("*").alias("df"))
+        .agg(F.countDistinct(id_col).alias("df"))
         .filter(F.col("df") >= min_df)
         .select("gram")
     )

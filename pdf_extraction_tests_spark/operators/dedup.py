@@ -204,6 +204,10 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
                 F.slice(F.col("ids"), F.col("i") + F.lit(2), F.size("ids"))
             ).alias("doc_b"),
         )
+        # a duplicated input id would make the sorted list emit (x, x),
+        # which the old strict `a.doc_id < b.doc_id` join could never
+        # produce — the filter restores exact parity for ANY input
+        .filter(F.col("doc_a") != F.col("doc_b"))
         .distinct()
     )
 
@@ -258,7 +262,10 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
         F.explode(
             F.slice(F.col("ids"), F.col("i") + F.lit(2), F.size("ids"))
         ).alias("doc_b"),
-    )
+    # duplicate-id guard: a repeated doc_id row would emit (x, x) pairs the
+    # old strict-< self-join never produced; cross pairs keep the same
+    # per-row multiplicity either way
+    ).filter(F.col("doc_a") != F.col("doc_b"))
     common = pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_common"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
@@ -679,6 +686,9 @@ def embedding_near_dups_bucketed(emb: DataFrame, threshold: float = 0.95,
                 F.slice(F.col("ids"), F.col("i") + F.lit(2), F.size("ids"))
             ).alias("id_b"),
         )
+        # duplicate-id guard: parity with the old strict-< join (see
+        # lsh_candidate_pairs)
+        .filter(F.col("id_a") != F.col("id_b"))
         .distinct()
     )
     # per-vector norms computed once (value-identical deterministic fold),

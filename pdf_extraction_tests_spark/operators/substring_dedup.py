@@ -73,8 +73,9 @@ def duplicated_span_rewrite(
 
     # ddf via per-doc DISTINCT grams (round-7, same rewrite as q51's df):
     # a leaner gram pipeline (strings only, no start offsets) feeds the
-    # frequency aggregate with one row per (doc, gram) and a plain count
-    # replaces the two-phase countDistinct — value-identical
+    # frequency aggregate with one row per (doc, gram).  countDistinct is
+    # kept so duplicated/NULL doc_id rows still match the oracle's
+    # count(DISTINCT doc_id) exactly.
     gram_strings = F.when(
         F.size(lwords) >= n,
         F.transform(
@@ -84,9 +85,10 @@ def duplicated_span_rewrite(
     ).otherwise(F.array().cast("array<string>"))
     dup_grams = (
         docs.select(
+            F.col(id_col),
             F.explode(F.array_distinct(gram_strings)).alias("gram"))
         .groupBy("gram")
-        .agg(F.count("*").alias("ddf"))
+        .agg(F.countDistinct(id_col).alias("ddf"))
         .filter(F.col("ddf") >= min_docs)
         .select("gram")
     )

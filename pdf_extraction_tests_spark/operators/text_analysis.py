@@ -487,7 +487,9 @@ def _lid_guess_frame(padded: pd.Series) -> pd.Series:
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    arr = pa.array(padded.fillna(""), type=pa.string())
+    # large_string: 64-bit offsets — a plain pa.string() caps one batch's
+    # total text at 2 GiB, a limit the all-JVM path never had
+    arr = pa.array(padded.fillna(""), type=pa.large_string())
     n = len(arr)
 
     def counts(pattern: str, regex: bool = False) -> "np.ndarray":

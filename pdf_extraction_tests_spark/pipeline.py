@@ -266,7 +266,12 @@ def extract_docs_dual(docs: DataFrame,
     form (two full pipelines + equi-join) parsed every document twice and
     shuffled both outputs; at 100 TB the single-pass form is the only
     sensible shape for a per-doc differential.  Crosses the boundary flat
-    (round 7 — only the input side here; the output is five scalars)."""
+    (round 7 — only the input side here; the output is five scalars).
+
+    ``num_parts`` is accepted for call-shape stability but unused since
+    the flat crossing: the dual QA relation follows the scan partitioning
+    (no part_key column crosses the boundary any more)."""
+    del num_parts
     from .shipping import ship_package
 
     ship_package(docs.sparkSession)

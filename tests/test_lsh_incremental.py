@@ -96,3 +96,21 @@ class TestLshIncremental:
             D.minhash_signatures(docs.filter(F.col("doc_id") < 120))))
         prior = _pairs(D.lsh_candidate_pairs(D.minhash_signatures(a)))
         assert prior | got == want
+
+
+def test_candidate_pairs_duplicate_id_rows_no_self_pairs(spark):
+    """Round-7 guard: a signatures frame with a duplicated doc_id must not
+    emit (x, x) pairs from the bucket-pair generation (the old strict-<
+    self-join never could)."""
+    from pyspark.sql import functions as F
+
+    from pdf_extraction_tests_spark.operators import dedup as D
+
+    sig = spark.createDataFrame(
+        [(1, 10, 11, 12, 13, 14, 15),
+         (1, 10, 11, 12, 13, 14, 15),   # duplicated id row
+         (2, 10, 11, 99, 98, 97, 96)],  # shares band 0 with doc 1
+        "doc_id long, h0 long, h1 long, h2 long, h3 long, h4 long, h5 long")
+    pairs = {(r.doc_a, r.doc_b)
+             for r in D.lsh_candidate_pairs(sig, bands=3, rows_per_band=2).collect()}
+    assert pairs == {(1, 2)}
