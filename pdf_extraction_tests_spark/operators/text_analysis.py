@@ -544,6 +544,14 @@ def with_language_guess(docs: DataFrame, text_col: str = "text") -> DataFrame:
     batch.  Guess values are bit-identical to the expression path
     (equivalence pinned in tests/test_langid.py; the DuckDB oracle mirrors
     the expression path as before)."""
+    # the udf is pickled BY REFERENCE to this module (unlike bpe's
+    # closure-local udf), so executors must be able to import the package —
+    # ship it like every pipeline operator does (memoized per context;
+    # found by the round-7 4x-scale probe: a session that had never run an
+    # extraction had no package on the workers and q29/q59 crashed)
+    from ..shipping import ship_package
+
+    ship_package(docs.sparkSession)
     padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
     return docs.withColumn("lang_guess", _lid_guess_udf()(padded))
 
