@@ -69,6 +69,9 @@ def llm_structure_stage(
                 }
             )
 
+    from ..shipping import ship_package
+
+    ship_package(extracted.sparkSession)
     analyzed = extracted.select("doc_id", "spans").mapInPandas(run, schema=out_schema)
     return extracted.join(analyzed, "doc_id", "left")
 

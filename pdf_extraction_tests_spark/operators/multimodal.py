@@ -249,6 +249,9 @@ def extract_media_features(media: DataFrame) -> DataFrame:
                 }
             )
 
+    from ..shipping import ship_package
+
+    ship_package(media.sparkSession)
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
@@ -333,6 +336,9 @@ def media_from_binary_docs(docs: DataFrame, content_col: str = "content",
                     })
             yield pd.DataFrame(rows, columns=cols)
 
+    from ..shipping import ship_package
+
+    ship_package(docs.sparkSession)
     return docs.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 

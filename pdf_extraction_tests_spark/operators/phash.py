@@ -113,6 +113,9 @@ def phash_features(media: DataFrame,
             yield pd.DataFrame({ref_col: pdf[ref_col], "phash": hashes},
                                columns=[ref_col, "phash"])
 
+    from ..shipping import ship_package
+
+    ship_package(media.sparkSession)
     return media.select(ref_col, content_col).mapInPandas(run, schema=schema)
 
 
@@ -239,6 +242,9 @@ def audio_fingerprints(media: DataFrame,
             yield pd.DataFrame({ref_col: pdf[ref_col], "afp": fps},
                                columns=[ref_col, "afp"])
 
+    from ..shipping import ship_package
+
+    ship_package(media.sparkSession)
     return media.select(ref_col, content_col).mapInPandas(run, schema=schema)
 
 
@@ -286,6 +292,9 @@ def video_frame_phashes(media: DataFrame,
                  "phash": pd.Series(hashes, dtype="int64")},
                 columns=[ref_col, "frame_idx", "phash"])
 
+    from ..shipping import ship_package
+
+    ship_package(media.sparkSession)
     return media.select(ref_col, content_col).mapInPandas(run, schema=schema)
 
 
